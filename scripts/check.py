@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local dry-run of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <outDir> [key ...]
+
+Mimics the driver: for each query key, load the Spark-written parquet from
+<outDir>/<key>/, run the oracle SQL from <outDir>/oracle_sql.json in DuckDB
+with each harness table registered as a view over <sfDir>/<table>.parquet,
+sort columns by name, and compare values. Reports per-key PASS/FAIL with
+diagnostics (schema diff, row-count diff, first mismatching cells).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark_result(outdir, key):
+    files = sorted(glob.glob(os.path.join(outdir, key, "*.parquet")))
+    if not files:
+        return None
+    con = duckdb.connect()
+    frames = [con.execute(f"SELECT * FROM read_parquet('{f}')").df() for f in files]
+    return pd.concat(frames, ignore_index=True)
+
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    npass = nfail = 0
+    for key in sorted(oracle):
+        if only and key not in only:
+            continue
+        spark_df = load_spark_result(outdir, key)
+        if spark_df is None:
+            print(f"FAIL {key}: no spark result parquet")
+            nfail += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[key]).df()
+        except Exception as e:
+            print(f"FAIL {key}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        a, b = norm(spark_df), norm(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {key}: columns spark={list(a.columns)} duck={list(b.columns)}")
+            nfail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {key}: rows spark={len(a)} duck={len(b)}")
+            nfail += 1
+            continue
+        mismatch = []
+        for c in a.columns:
+            av, bv = a[c].tolist(), b[c].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                eq = (x == y) or (pd.isna(x) and pd.isna(y)) \
+                    if not isinstance(x, float) else \
+                    ((pd.isna(x) and pd.isna(y)) or x == y)
+                if not eq:
+                    mismatch.append((c, i, x, y))
+                    if len(mismatch) >= 3:
+                        break
+            if len(mismatch) >= 3:
+                break
+        if mismatch:
+            print(f"FAIL {key}: value mismatches {mismatch}")
+            nfail += 1
+        else:
+            print(f"PASS {key} ({len(a)} rows)")
+            npass += 1
+    print(f"== {npass} pass, {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
