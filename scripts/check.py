@@ -73,9 +73,13 @@ def main():
         for c in a.columns:
             av, bv = a[c].tolist(), b[c].tolist()
             for i, (x, y) in enumerate(zip(av, bv)):
-                eq = (x == y) or (pd.isna(x) and pd.isna(y)) \
-                    if not isinstance(x, float) else \
-                    ((pd.isna(x) and pd.isna(y)) or x == y)
+                # Exact equality on purpose (mimics the driver's value
+                # hash): queries must round floats onto a shared grid.
+                try:
+                    nn = pd.isna(x) and pd.isna(y)
+                except (TypeError, ValueError):
+                    nn = False
+                eq = nn or (x == y)
                 if not eq:
                     mismatch.append((c, i, x, y))
                     if len(mismatch) >= 3:

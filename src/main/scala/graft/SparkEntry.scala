@@ -4,8 +4,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` / `oracleSql` are aggregated from the per-area modules; each
-  * SURVEY §2 key appears in exactly one module. Keys, once declared, are
-  * stable forever (SURVEY §7.4.8).
+  * SURVEY §2 key appears in exactly one module (asserted below). Keys, once
+  * declared, are stable forever (SURVEY §7.4.8).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -13,15 +13,27 @@ object SparkEntry {
     relational.Aggregates.qAggHash(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (relational.Aggregates.queries, relational.Aggregates.oracle)
-  )
+    (relational.Core.queries, relational.Core.oracle),
+    (relational.Joins.queries, relational.Joins.oracle),
+    (relational.Aggregates.queries, relational.Aggregates.oracle))
+
+  private def merged[V](ms: Seq[Map[String, V]]): Map[String, V] = {
+    val out = ms.iterator.flatten.toMap
+    require(out.size == ms.map(_.size).sum,
+      "duplicate query key across modules")
+    out
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.flatMap(_._1).toMap
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    merged(modules.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  val oracleSql: Map[String, String] = {
+    val out = merged(modules.map(_._2))
+    require(out.keySet.subsetOf(queries.keySet),
+      "oracleSql key without a queries entry")
+    out
+  }
 }

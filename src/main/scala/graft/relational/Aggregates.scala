@@ -10,13 +10,21 @@ import graft.{Q, Tables}
   * HashAggregate — map-side combine happens before the shuffle, so network
   * volume is O(groups), not O(rows). Group-by keys are low-cardinality
   * categorical columns, so the final agg is tiny regardless of input scale.
+  * rollup/cube/grouping-sets plan as a single Expand + aggregate (one scan,
+  * one shuffle, rows multiplied only by the grouping-set count).
+  * approx_count_distinct is the sketch path: HLL++ partial states merge
+  * associatively, shuffling O(groups · sketch), never O(distinct).
   *
   * Float determinism vs the DuckDB oracle (SURVEY §7.4.1): summation order
   * differs between engines, so every aggregated double is rounded. Rounding
   * scale is chosen so the TRUE value sits on the rounding grid (prices have
   * 2 decimals -> sums of prices are 2dp-exact -> round at 2dp is safe;
   * price*(1-disc) is 4dp-exact -> round at 4dp), keeping both engines' tiny
-  * summation errors strictly inside the same bucket.
+  * summation errors strictly inside the same bucket. sum_qty is rounded at
+  * 2dp for the same reason even though quantities are integral doubles
+  * (sums stay exact below 2^53) — the invariant is uniform by construction.
+  * Statistical aggs use small-magnitude columns (quantity, discount) so a
+  * 4dp grid dwarfs cross-engine accumulation differences.
   */
 object Aggregates {
 
@@ -26,7 +34,7 @@ object Aggregates {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").as("sum_qty"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("sum_disc_price"),
@@ -35,14 +43,137 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q_agg_global — ungrouped min/max/count/sum over lineitem. */
+  def qAggGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        min("l_shipdate").as("min_shipdate"),
+        max("l_shipdate").as("max_shipdate"))
+
+  /** q_agg_distinct — distinct aggregates per returnflag (Catalyst expands
+    * to a two-phase agg via RewriteDistinctAggregates). */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("cnt_parts"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+      .orderBy("l_returnflag")
+
+  /** Shared shape for rollup/cube: subtotal nulls are coalesced to a
+    * sentinel so ordering is deterministic and dialect-independent. */
+  private def subtotals(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+    .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+    .select(
+      coalesce(col("o_orderstatus"), lit("_ALL_")).as("status"),
+      coalesce(col("o_orderpriority"), lit("_ALL_")).as("priority"),
+      col("cnt"), col("sum_price"))
+    .orderBy("status", "priority")
+
+  /** q_agg_rollup — subtotal hierarchy over (status, priority). */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    subtotals(Tables.orders(s, dir).rollup("o_orderstatus", "o_orderpriority"))
+
+  /** q_agg_cube — full cube over (status, priority). */
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    subtotals(Tables.orders(s, dir).cube("o_orderstatus", "o_orderpriority"))
+
+  /** q_agg_grouping_sets — explicit sets ((status),(priority),()). */
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '_ALL_') AS status,
+        |  COALESCE(o_orderpriority, '_ALL_') AS priority,
+        |  COUNT(1) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** q_agg_approx_distinct — HLL++ sketch distinct per returnflag. No
+    * oracle (Spark's HLL ≠ DuckDB's bit-for-bit); the scalatest suite
+    * asserts ±2% of exact instead. This is the 100 TB path for distinct
+    * counts — mergeable O(kB) sketches instead of an O(distinct) shuffle. */
+  def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_percentile — exact interpolated percentiles + median per
+    * returnflag. 2dp inputs at quarter interpolation points sit on a 4dp
+    * grid, so round(4) is exact on both engines. */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(median(col("l_quantity")), 4).as("med_qty"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_stats — statistical aggregates on small-magnitude columns
+    * (quantity ~[1,50], discount ~[0,0.1]) so the 4dp grid absorbs
+    * cross-engine accumulation-order noise. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qd"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("cov_qd"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_collect — collection aggregates; lists are sorted because
+    * collect order is partitioning-dependent (SURVEY §7.4.3). */
+  def qAggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sort_array(collect_list(col("s_name"))).as("suppliers"),
+        sort_array(collect_set(col("s_nationkey"))).as("nationkeys"))
+      .orderBy("n_name")
+
+  /** q_pivot — rows=orderpriority, cols=orderstatus (pinned value list),
+    * cells=order count; missing cells coalesced to 0 to match the oracle's
+    * conditional-count form. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
-    "q_agg_hash" -> (qAggHash _)
-  )
+    "q_agg_hash" -> (qAggHash _),
+    "q_agg_global" -> (qAggGlobal _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_collect" -> (qAggCollect _),
+    "q_pivot" -> (qPivot _))
 
   val oracle: Map[String, String] = Map(
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(l_quantity) AS sum_qty,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
         |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
@@ -51,6 +182,74 @@ object Aggregates {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MIN(l_shipdate) AS min_shipdate,
+        |  MAX(l_shipdate) AS max_shipdate
+        |FROM lineitem""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS cnt_parts,
+        |  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_dist_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT COALESCE(o_orderstatus, '_ALL_') AS status,
+        |  COALESCE(o_orderpriority, '_ALL_') AS priority,
+        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, '_ALL_') AS status,
+        |  COALESCE(o_orderpriority, '_ALL_') AS priority,
+        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '_ALL_') AS status,
+        |  COALESCE(o_orderpriority, '_ALL_') AS priority,
+        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  ROUND(median(l_quantity), 4) AS med_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_discount), 4) AS corr_qd,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT n_name,
+        |  list(s_name ORDER BY s_name) AS suppliers,
+        |  list(DISTINCT s_nationkey ORDER BY s_nationkey) AS nationkeys
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -1,0 +1,179 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Join operators (SURVEY §2.3).
+  *
+  * Scale notes (100 TB posture):
+  *  - Equi-joins shuffle both sides on the key (sort-merge) unless one side
+  *    fits the broadcast threshold; AQE flips SMJ→BHJ at runtime from
+  *    observed sizes. Dimension tables (region/nation/part/supplier/
+  *    customer) stay broadcast-able at every sf; q_join_broadcast pins the
+  *    hint explicitly to show the intended plan.
+  *  - q_join_theta keeps an equi-conjunct (p_brand) so Catalyst plans a
+  *    hash join with the inequality as a post-join residual — NOT a
+  *    nested-loop over the full cross product. Per-brand fan-out is the
+  *    only blow-up axis, bounded by brand cardinality (25).
+  *  - q_join_interval turns a range predicate into an equi-join on the
+  *    hour bucket (date_trunc) — the 100 TB-safe rewrite of interval joins.
+  *  - q_join_cross is intentionally tiny (region × nation, 125 rows);
+  *    cartesian products over large sides are forbidden in this codebase.
+  */
+object Joins {
+
+  /** q_join_inner — inner equi-join orders ⋈ customer on custkey. */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** q_join_broadcast — lineitem ⋈ part with part explicitly broadcast:
+    * the map-side join shape that avoids shuffling the fact table. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
+      // (l_orderkey, l_linenumber) is not unique — include the part key
+      // (p_brand is functionally dependent on it) for a total order.
+      .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+
+  /** q_join_left — all customers with their orders (orderless → nulls). */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** q_join_right — mirror of q_join_left via right outer join. */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "right")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** q_join_full — supplier ⟗ nation on nationkey (nations without
+    * suppliers surface null supplier columns). */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"), "full")
+      .select("n_nationkey", "n_name", "s_suppkey", "s_name")
+      .orderBy(col("n_nationkey").asc_nulls_first,
+        col("s_suppkey").asc_nulls_first)
+
+  /** q_join_semi — customers having ≥1 order (EXISTS). */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q_join_anti — customers with no orders (NOT EXISTS). */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q_join_theta — same-brand part pairs with p1.size < p2.size. The
+    * brand equi-conjunct keeps this hash-based (inequality is a residual
+    * filter), bounding cost to per-brand fan-out. */
+  def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.part(s, dir)
+      .select(col("p_partkey").as("k1"), col("p_brand").as("brand"),
+        col("p_size").as("size1"))
+    val p2 = Tables.part(s, dir)
+      .select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
+        col("p_size").as("size2"))
+    p1.join(p2, col("brand") === col("brand2") && col("size1") < col("size2"))
+      .select("k1", "k2", "brand", "size1", "size2")
+      .orderBy("k1", "k2")
+  }
+
+  /** q_join_cross — cartesian region × nation (bounded: 5 × 25). */
+  def qJoinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select("r_name")
+      .crossJoin(Tables.nation(s, dir).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** q_join_interval — events assigned to hour buckets: the range
+    * predicate ts ∈ [bucket, bucket+1h) rewritten as an equi-join on
+    * date_trunc('hour', ts), then aggregated per bucket. */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("bucket_start", date_trunc("hour", col("ts")))
+    val buckets = ev.select("bucket_start").distinct()
+    buckets.join(ev, Seq("bucket_start"))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("bucket_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_right" -> (qJoinRight _),
+    "q_join_full" -> (qJoinFull _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_theta" -> (qJoinTheta _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_join_interval" -> (qJoinInterval _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+        |FROM supplier FULL JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST"""
+        .stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2,
+        |  p1.p_brand AS brand, p1.p_size AS size1, p2.p_size AS size2
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |ORDER BY k1, k2""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_interval" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket_start""".stripMargin)
+}
