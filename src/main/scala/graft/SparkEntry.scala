@@ -15,7 +15,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (relational.Core.queries, relational.Core.oracle),
     (relational.Joins.queries, relational.Joins.oracle),
-    (relational.Aggregates.queries, relational.Aggregates.oracle))
+    (relational.Aggregates.queries, relational.Aggregates.oracle),
+    (relational.Windows.queries, relational.Windows.oracle),
+    (relational.Scalars.queries, relational.Scalars.oracle),
+    (sources.Sources.queries, sources.Sources.oracle))
 
   private def merged[V](ms: Seq[Map[String, V]]): Map[String, V] = {
     val out = ms.iterator.flatten.toMap

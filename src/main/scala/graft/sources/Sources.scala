@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Source formats (SURVEY §2.1).
+  *
+  * q_scan_csv / q_scan_json / q_scan_text materialize a copy of a dimension
+  * table in the target format under a scratch dir, then read it back with
+  * an explicit schema. The oracle is the original parquet table — so the
+  * check verifies Spark's reader+writer round-trip exactly, with no
+  * DuckDB-CSV-dialect coupling. Dimension tables only (region/nation):
+  * at 100 TB these formats are ingest edges, not the storage layout.
+  *
+  * q_scan_parquet is the real at-scale path: vectorized columnar scan with
+  * predicate pushdown + column pruning (ReadSchema restricted to 3 of 11
+  * columns, quantity filter reaches the row-group level).
+  */
+object Sources {
+
+  private def scratch(sub: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_sources/$sub"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
+  /** q_scan_parquet — projection+filter scan of lineitem with pushdown. */
+  def qScanParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** q_scan_csv — region → CSV (header) → read back with explicit schema. */
+  def qScanCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.region(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .orderBy("r_regionkey")
+  }
+
+  /** q_scan_json — nation → JSON-lines → read back with explicit schema. */
+  def qScanJson(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.nation(s, dir).coalesce(1).write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).json(path)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** q_scan_text — region names → raw text lines → spark.read.text. */
+  def qScanText(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.region(s, dir).select(col("r_name")).coalesce(1)
+      .write.mode("overwrite").text(path)
+    s.read.text(path).orderBy("value")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_parquet" -> (qScanParquet _),
+    "q_scan_csv" -> (qScanCsv _),
+    "q_scan_json" -> (qScanJson _),
+    "q_scan_text" -> (qScanText _))
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_scan_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_scan_text" ->
+      "SELECT r_name AS value FROM region ORDER BY value")
+}
