@@ -18,7 +18,10 @@ object SparkEntry {
     (relational.Aggregates.queries, relational.Aggregates.oracle),
     (relational.Windows.queries, relational.Windows.oracle),
     (relational.Scalars.queries, relational.Scalars.oracle),
-    (sources.Sources.queries, sources.Sources.oracle))
+    (sources.Sources.queries, sources.Sources.oracle),
+    (text.TextOps.queries, text.TextOps.oracle),
+    (llm.Dedup.queries, llm.Dedup.oracle),
+    (llm.Similarity.queries, llm.Similarity.oracle))
 
   private def merged[V](ms: Seq[Map[String, V]]): Map[String, V] = {
     val out = ms.iterator.flatten.toMap

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus analysis + deduplication (SURVEY §2.10) — the operators a
+  * large-scale training-data pipeline runs over raw document tables.
+  *
+  * Scale notes (100 TB posture):
+  *  - q_dedup_exact is the canonical shape: group on a content hash
+  *    (sha256), keep min doc_id. The shuffle is keyed by hash — uniform by
+  *    construction (no skew), volume O(distinct docs), never a window over
+  *    everything and never a driver-side collect.
+  *  - q_dedup_near is MinHash+LSH: shingle → binary feature vector →
+  *    minhash band signatures → candidate pairs via LSH bucket join →
+  *    exact Jaccard filter. Cost is O(candidates), not O(n²); the
+  *    approxSimilarityJoin threshold and table count are pinned constants
+  *    so results are reproducible (seed fixed).
+  */
+object Dedup {
+
+  /** q_text_stats — per (lang, source): corpus size, char-length stats,
+    * token stats, and type-token ratio. Two partial aggregates (doc-level
+    * and token-level) joined on the group key — both map-side combined. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val docStats = docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg("n_chars"), 4).as("avg_chars"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"))
+    val tokStats = docs
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "source").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_types"))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+    docStats.join(tokStats, Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+
+  /** q_dedup_exact — canonical doc per content hash: keep min doc_id,
+    * count duplicates. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+      .select("keeper_id", "h", "dup_count")
+      .orderBy("keeper_id")
+
+  /** q_dedup_near — MinHash-LSH near-duplicate pairs with Jaccard ≥ 0.8
+    * over distinct 3-token shingle sets. Unigram sets are useless on a
+    * small vocabulary (nearly all pairs collide); 3-gram shingles separate
+    * the corpus's constructed near-dups (Jaccard ≈ 0.99) from everything
+    * else (< 0.2). No oracle (LSH banding is not reproducible in DuckDB);
+    * the scalatest suite asserts recall/precision on the constructed
+    * pairs. */
+  def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("tokens", expr(
+        """array_distinct(transform(
+          |  slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |  (t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2])))"""
+          .stripMargin))
+      .filter(size(col("tokens")) > 0)
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val featured = tf.transform(docs).select("doc_id", "features")
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_near" -> (qDedupNear _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH doc_stats AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    ROUND(AVG(n_chars), 4) AS avg_chars,
+        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |  FROM documents GROUP BY lang, source),
+        |tok AS (
+        |  SELECT lang, source, COUNT(*) AS n_tokens,
+        |    ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY lang, source)
+        |SELECT lang, source, n_docs, avg_chars, min_chars, max_chars,
+        |  n_tokens, ttr
+        |FROM doc_stats JOIN tok USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, sha256(text) AS h,
+        |  COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY sha256(text)
+        |ORDER BY keeper_id""".stripMargin)
+}

@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the embedding column (SURVEY §2.10).
+  *
+  * Scale notes (100 TB posture): q_sim_topk is the exact baseline — the
+  * bounded query set is broadcast against the distributed candidate side
+  * (never a shuffled N×N cross join), then per-query top-k via window
+  * rank. Cost is O(|queries| · n); it exists to calibrate the approximate
+  * path. q_sim_lsh is the at-scale variant: random-projection bucketing
+  * turns the quadratic pair space into per-bucket joins; recall vs the
+  * exact baseline is asserted in tests (≥ 0.8). Norms are computed once
+  * per side before the join, not per pair.
+  */
+object Similarity {
+
+  /** Per-element double cast (embeddings are float32; both engines compute
+    * in float64 after this, so sums agree to well under the 6dp grid). */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def l2norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k of the first `nQueries` vectors against the whole
+    * embedding table; k+tie-broken by neighbor id on the 6dp-rounded score. */
+  private def cosineTopK(s: SparkSession, dir: String, nQueries: Int, k: Int)
+      : DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2norm(col("emb")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** q_sim_topk — brute-force cosine top-5 per query vector. */
+  def qSimTopk(s: SparkSession, dir: String): DataFrame =
+    cosineTopK(s, dir, nQueries = 20, k = 5)
+      .select("qid", "cid", "rn", "cos_sim")
+      .orderBy("qid", "rn")
+
+  /** q_sim_lsh — approximate neighbors via random-projection LSH: the
+    * 100 TB path for q_sim_topk. Euclidean-distance based; pinned seed and
+    * bucket length. No oracle (bucketing is engine-specific); tests assert
+    * recall ≥ 0.8 against the exact baseline. */
+  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(asDouble(col("embedding"))).as("features"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("features").as("qf"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(e)
+    val joined = model.approxSimilarityJoin(
+      q.withColumnRenamed("qf", "features"), e, 3.0, "dist")
+      .select(col("datasetA.qid").as("qid"),
+        col("datasetB.vec_id").as("cid"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
+    * (tie → smallest label). Stacks on the exact top-k operator. */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("cid"), col("label"))
+    val votes = cosineTopK(s, dir, nQueries = 20, k = 5)
+      .join(broadcast(labels), Seq("cid"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
+  /** q_embed_stats — per-label vector-column statistics: mean L2 norm and
+    * dimension-wise means of the first 4 dims. */
+  def qEmbedStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), asDouble(col("embedding")).as("emb"))
+      .select(col("label"), l2norm(col("emb")).as("nrm"),
+        element_at(col("emb"), 1).as("d1"),
+        element_at(col("emb"), 2).as("d2"),
+        element_at(col("emb"), 3).as("d3"),
+        element_at(col("emb"), 4).as("d4"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        round(avg("d1"), 6).as("avg_d1"),
+        round(avg("d2"), 6).as("avg_d2"),
+        round(avg("d3"), 6).as("avg_d3"),
+        round(avg("d4"), 6).as("avg_d4"))
+      .orderBy("label")
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_topk" -> (qSimTopk _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_embed_stats" -> (qEmbedStats _))
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, cid ASC) AS rn,
+        |  cos_sim
+        |FROM pairs
+        |QUALIFY rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+        |    ROUND(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+        |top5 AS (
+        |  SELECT qid, cid, label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, cid ASC) AS rn
+        |  FROM pairs QUALIFY rn <= 5),
+        |votes AS (
+        |  SELECT qid, label, COUNT(*) AS votes
+        |  FROM top5 GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, label ASC) AS rn FROM votes)
+        |WHERE rn = 1
+        |ORDER BY qid""".stripMargin,
+    "q_embed_stats" ->
+      """WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |per_vec AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+        |    emb[1] AS d1, emb[2] AS d2, emb[3] AS d3, emb[4] AS d4
+        |  FROM e)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(nrm), 6) AS avg_norm,
+        |  ROUND(AVG(d1), 6) AS avg_d1,
+        |  ROUND(AVG(d2), 6) AS avg_d2,
+        |  ROUND(AVG(d3), 6) AS avg_d3,
+        |  ROUND(AVG(d4), 6) AS avg_d4
+        |FROM per_vec
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,192 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-processing pipeline, SQL forms (SURVEY §2.9) — the reference's
+  * core capability re-expressed as declarative DataFrame transforms so the
+  * DuckDB oracle can verify it exactly. The ML-estimator forms
+  * (RegexTokenizer→HashingTF→IDF→classifier) live in graft.ml.Pipelines.
+  *
+  * Scale notes (100 TB posture): everything here is explode→hash-aggregate
+  * — token streams shuffle only as (group, count) partial aggregates, never
+  * raw token rows (map-side combine). The top-k vocab selections are
+  * window-rank over the aggregated (small) term space, not the corpus.
+  * The stop-word list is a literal in the plan (broadcast by construction).
+  */
+object TextOps {
+
+  /** Fixed 20-word stoplist (high-frequency corpus terms). */
+  val stopWords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+    "data", "table", "row", "value", "key", "query", "fast", "slow",
+    "small", "large")
+
+  private def stopList = stopWords.map(w => s"'$w'").mkString(", ")
+
+  /** q_text_clean — lowercase, strip non-letters, collapse whitespace. */
+  def qTextClean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "),
+          " +", " ")).as("cleaned"))
+      .orderBy("doc_id")
+
+  /** q_text_tokenize — regex-split tokens per doc with counts. */
+  def qTextTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_tokens"),
+        size(array_distinct(split(col("text"), "\\s+"))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** q_text_stopwords — drop the fixed stoplist, recount per doc. */
+  def qTextStopwords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr(s"size(filter(tokens, t -> t NOT IN ($stopList)))")
+          .as("n_kept"),
+        expr(s"size(filter(tokens, t -> t IN ($stopList)))")
+          .as("n_removed"))
+      .orderBy("doc_id")
+
+  /** q_text_ngrams — top-20 bigrams per language (count desc, bigram asc). */
+  def qTextNgrams(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("lang"), explode(expr(
+        """transform(slice(tokens, 1, size(tokens) - 1),
+          |          (t, i) -> concat(t, ' ', tokens[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    bigrams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "bigram", "cnt", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  /** Top-100 corpus vocabulary (count desc, token asc) with global stats. */
+  private def vocab(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("corpus_tf"), countDistinct(col("doc_id")).as("df"))
+    counts
+      .withColumn("vrank", row_number().over(
+        Window.orderBy(col("corpus_tf").desc, col("term").asc)))
+      .filter(col("vrank") <= 100)
+  }
+
+  /** q_text_tf — per-doc term frequency restricted to the top-100 vocab. */
+  def qTextTf(s: SparkSession, dir: String): DataFrame = {
+    val docTerms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    docTerms.join(broadcast(vocab(s, dir).select("term")), Seq("term"))
+      .select("doc_id", "term", "tf")
+      .orderBy("doc_id", "term")
+  }
+
+  /** q_text_tfidf — smoothed IDF over the fixed vocab:
+    * idf = ln((N+1)/(df+1)) + 1; score = tf · idf. */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val docTerms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    docTerms
+      .join(broadcast(vocab(s, dir).select("term", "df")), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(log((col("n_docs") + 1) / (col("df") + 1)) + 1, 6).as("idf"),
+        round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_clean" -> (qTextClean _),
+    "q_text_tokenize" -> (qTextTokenize _),
+    "q_text_stopwords" -> (qTextStopwords _),
+    "q_text_ngrams" -> (qTextNgrams _),
+    "q_text_tf" -> (qTextTf _),
+    "q_text_tfidf" -> (qTextTfidf _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_tokenize" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_stopwords" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '),
+         |      t -> t NOT IN ($stopList))) AS n_kept,
+         |  len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS n_removed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks),
+        |cnts AS (
+        |  SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram)
+        |SELECT lang, bigram, cnt,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, bigram ASC) AS rn
+        |FROM cnts
+        |QUALIFY rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
+    "q_text_tf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS corpus_tf,
+        |      row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS vrank
+        |    FROM terms GROUP BY term)
+        |  WHERE vrank <= 100)
+        |SELECT doc_id, term, COUNT(*) AS tf
+        |FROM terms
+        |WHERE term IN (SELECT term FROM vocab)
+        |GROUP BY doc_id, term
+        |ORDER BY doc_id, term""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, df FROM (
+        |    SELECT term, COUNT(*) AS corpus_tf,
+        |      COUNT(DISTINCT doc_id) AS df,
+        |      row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS vrank
+        |    FROM terms GROUP BY term)
+        |  WHERE vrank <= 100),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  ROUND(ln((n.n_docs + 1) / (vocab.df + 1)) + 1, 6) AS idf,
+        |  ROUND(tf.tf * (ln((n.n_docs + 1) / (vocab.df + 1)) + 1), 6)
+        |    AS tfidf
+        |FROM tf JOIN vocab USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin)
+}
