@@ -21,7 +21,10 @@ object SparkEntry {
     (sources.Sources.queries, sources.Sources.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
-    (llm.Similarity.queries, llm.Similarity.oracle))
+    (llm.Similarity.queries, llm.Similarity.oracle),
+    (ml.Pipelines.queries, ml.Pipelines.oracle),
+    (stream.EventOps.queries, stream.EventOps.oracle),
+    (udf.Extensions.queries, udf.Extensions.oracle))
 
   private def merged[V](ms: Seq[Map[String, V]]): Map[String, V] = {
     val out = ms.iterator.flatten.toMap

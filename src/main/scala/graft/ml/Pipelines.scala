@@ -1,0 +1,141 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer, StopWordsRemover, StringIndexer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** ML pipelines (SURVEY §2.9 ✗-ml keys) — the reference's primary surface:
+  * text feature engineering + MLlib classifiers, natively in Scala.
+  *
+  * No DuckDB oracle (model fits aren't SQL-reproducible); correctness =
+  * seeded determinism + accuracy floors asserted in the scalatest suite.
+  * Every randomized stage pins seed=42; splits use randomSplit(seed) under
+  * the harness's fixed partitioning (SURVEY §7.4.5).
+  *
+  * Scale notes: all estimators here are MLlib's distributed
+  * implementations — NB/KMeans aggregate per-partition sufficient
+  * statistics (treeAggregate), LR runs L-BFGS with one distributed
+  * gradient pass per iteration over cached features. Nothing collects the
+  * dataset to the driver.
+  */
+object Pipelines {
+
+  private val seed = 42L
+
+  /** Text features → label pipeline shared by fit and transform. */
+  private def textPipeline(): Pipeline = {
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+      .setPattern("\\s+")
+    val stop = new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
+      .setStopWords(graft.text.TextOps.stopWords.toArray)
+    val tf = new HashingTF().setInputCol("kept").setOutputCol("tf")
+      .setNumFeatures(1 << 14)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val label = new StringIndexer().setInputCol("lang").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val nb = new NaiveBayes().setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(tok, stop, tf, idf, label, nb))
+  }
+
+  /** q_ml_tfidf_nb — tokenize→stopwords→TF-IDF→NaiveBayes on documents,
+    * seeded 80/20 split; per-doc test predictions. */
+  def qMlTfidfNb(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed)
+    val model = textPipeline().fit(train)
+    model.transform(test)
+      .select(col("doc_id"), col("lang"), col("label").cast("int"),
+        col("prediction").cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  private def embFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("double").as("label"),
+        array_to_vector(transform(col("embedding"), x => x.cast("double")))
+          .as("features"))
+
+  /** q_ml_lr_vec — multinomial LogisticRegression on the embedding
+    * vectors; seeded split; per-row test predictions. */
+  def qMlLrVec(s: SparkSession, dir: String): DataFrame = {
+    val Array(train, test) =
+      embFeatures(s, dir).randomSplit(Array(0.8, 0.2), seed)
+    val lr = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+    val model = lr.fit(train)
+    model.transform(test)
+      .select(col("vec_id"), col("label").cast("int"),
+        col("prediction").cast("int").as("pred"))
+      .orderBy("vec_id")
+  }
+
+  /** q_ml_eval — evaluation surface: confusion matrix of the LR model on
+    * its test split, plus accuracy/weighted-F1 as extra columns (constant
+    * per row; asserted against floors in tests). */
+  def qMlEval(s: SparkSession, dir: String): DataFrame = {
+    val Array(train, test) =
+      embFeatures(s, dir).randomSplit(Array(0.8, 0.2), seed)
+    val model = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+      .fit(train)
+    val pred = model.transform(test).select("label", "prediction").cache()
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(pred)
+    val f1 = new MulticlassClassificationEvaluator()
+      .setMetricName("f1").evaluate(pred)
+    pred.groupBy(col("label").cast("int").as("label"),
+        col("prediction").cast("int").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("accuracy", round(lit(acc), 4))
+      .withColumn("weighted_f1", round(lit(f1), 4))
+      .orderBy("label", "pred")
+  }
+
+  /** q_ml_cv — 3-fold cross-validation over a regParam grid for the
+    * vector classifier; per-grid-point mean F1. */
+  def qMlCv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = embFeatures(s, dir)
+    val lr = new LogisticRegression().setMaxIter(30)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.1)).build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("f1"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setSeed(seed)
+    val fitted = cv.fit(data)
+    val rows = grid.zip(fitted.avgMetrics).map { case (pm, m) =>
+      (pm.get(lr.regParam).get, math.rint(m * 1e4) / 1e4)
+    }.toSeq
+    rows.toDF("reg_param", "avg_f1").orderBy("reg_param")
+  }
+
+  /** q_ml_kmeans — seeded KMeans (k=10) on embeddings; cluster sizes. */
+  def qMlKmeans(s: SparkSession, dir: String): DataFrame = {
+    val data = embFeatures(s, dir)
+    val km = new KMeans().setK(10).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(data)
+    model.transform(data)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ml_tfidf_nb" -> (qMlTfidfNb _),
+    "q_ml_lr_vec" -> (qMlLrVec _),
+    "q_ml_eval" -> (qMlEval _),
+    "q_ml_cv" -> (qMlCv _),
+    "q_ml_kmeans" -> (qMlKmeans _))
+
+  /** ✗-ml: no oracle entries (SURVEY §2.9) — verified by scalatest
+    * thresholds instead. */
+  val oracle: Map[String, String] = Map.empty
+}

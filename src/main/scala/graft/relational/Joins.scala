@@ -119,7 +119,44 @@ object Joins {
       .orderBy("bucket_start")
   }
 
+  /** q_join_asof — for each 'click' event, the latest 'purchase' by the
+    * same user at ts ≤ click ts (left: clicks without a prior purchase
+    * keep nulls). Spark has no native as-of join; this is the
+    * union+window form: tag both sides, order (user, ts, side, id), carry
+    * the last non-null build row forward, keep probe rows. One shuffle on
+    * the key, O(n log n) partition-local sort — the same shape pandas-on-
+    * Spark's merge_asof lowers to, and 100 TB-safe (no range cross join).
+    * At equal timestamps the build side sorts first, so ties match
+    * (≤ semantics); among equal-ts builds the max event_id wins. */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("probe_id"),
+        col("event_id").as("p_id"), col("value").as("p_value"),
+        lit(0).as("side"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("probe_id"),
+        lit(null).cast("long").as("p_id"),
+        lit(null).cast("double").as("p_value"),
+        lit(1).as("side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("m_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("probe_id"), col("user_id"), col("ts"),
+        col("m_id"), col("m_value"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_asof" -> (qJoinAsof _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_left" -> (qJoinLeft _),
@@ -132,6 +169,13 @@ object Joins {
     "q_join_interval" -> (qJoinInterval _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof" ->
+      """SELECT c.event_id AS probe_id, c.user_id, c.ts,
+        |  p.event_id AS m_id, p.value AS m_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY probe_id""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,132 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Streaming operators over the events table (SURVEY §2.11).
+  *
+  * Each operator is a `DataFrame => DataFrame` transform defined ONCE and
+  * run in two modes: batch (against the parquet table, verified by the
+  * DuckDB oracle here) and streaming (MemoryStream + watermark in the
+  * scalatest suite, asserting batch ≡ stream on closed windows). The
+  * `*Transform` members are the shared definitions.
+  *
+  * Scale notes: tumbling/sliding windows are hash aggregations keyed by
+  * (window, type) — partial-aggregated before the shuffle, state per
+  * group O(1). Sessionization is the lag+cumsum shape: one shuffle on
+  * user_id, then partition-local window scans; in streaming mode the same
+  * semantics come from session_window with a watermark bounding state.
+  */
+object EventOps {
+
+  /** Tumbling 1h windows × event_type: count + sum. */
+  def tumblingTransform(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** q_stream_tumbling — batch form of the tumbling-window aggregate. */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingTransform(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1h windows every 30min: count per window. */
+  def slidingTransform(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("cnt"),
+        col("sum_value"))
+
+  /** q_stream_sliding — batch form of the sliding-window aggregate. */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    slidingTransform(Tables.events(s, dir)).orderBy("window_start")
+
+  /** Batch sessionization: split per-user event streams on >30min gaps
+    * (lag + cumulative-sum-of-breaks — the oracle-matchable form of
+    * session_window). */
+  def sessionTransform(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    df.withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** q_stream_session — batch sessionization per user (30min gap). */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    sessionTransform(Tables.events(s, dir))
+      .orderBy("user_id", "session_id")
+
+  /** Dedup on event_id (streaming mode adds a watermark bound). */
+  def dedupTransform(df: DataFrame): DataFrame =
+    df.dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** q_stream_dedup — batch form of streaming dropDuplicates. */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupTransform(Tables.events(s, dir)).orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _),
+    "q_stream_dedup" -> (qStreamDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+        |    AS w, value FROM events
+        |  UNION ALL
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+        |    - INTERVAL '30 minutes' AS TIMESTAMP) AS w, value FROM events)
+        |SELECT w AS window_start, COUNT(*) AS cnt,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM assigned
+        |GROUP BY w
+        |ORDER BY window_start""".stripMargin,
+    "q_stream_session" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY ts) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin)
+}

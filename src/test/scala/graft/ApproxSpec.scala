@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy contracts for the approximate operators (SURVEY §5): each
+  * sketch/LSH path is checked against its exact twin. */
+class ApproxSpec extends AnyFunSuite with SparkFixture {
+
+  test("approx_count_distinct within 2% of exact per group") {
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = relational.Aggregates.qAggApproxDistinct(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, d) =>
+      assert(math.abs(approx(k) - d).toDouble / d <= 0.02,
+        s"group $k: approx=${approx(k)} exact=$d")
+    }
+  }
+
+  test("LSH neighbors reach recall >= 0.8 vs exact cosine top-5") {
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = llm.Similarity.qSimLsh(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("exact dedup is idempotent and survivors cover the corpus") {
+    val survivors = llm.Dedup.qDedupExact(spark, sf001).collect()
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(survivors.map(_.getLong(2)).sum == nDocs)
+    assert(survivors.map(_.getString(1)).distinct.length == survivors.length)
+  }
+
+  test("near-dup pairs all have true Jaccard >= 0.8 and full recall") {
+    import spark.implicits._
+    // Ground truth: exact Jaccard over distinct 3-token shingle sets.
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val t = text.split(" ")
+        id -> t.sliding(3).map(_.mkString(" ")).toSet
+      }
+    val truth = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.8
+    } yield (a, b)).toSet
+    val found = llm.Dedup.qDedupNear(spark, sf001)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.forall(_._3 >= 0.8))
+    assert(found.map(t => (t._1, t._2)).toSet == truth,
+      s"found=${found.length} truth=${truth.size}")
+  }
+
+  test("knn predictions agree with a driver-side recomputation") {
+    val topk = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.embeddings(spark, sf001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = topk.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2))
+        .groupBy(identity).map { case (l, v) => (l, v.length) }
+      q -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+    }
+    val got = llm.Similarity.qKnnClassify(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-row assertions (FIXTURES.md, computed with DuckDB 1.0.0 at
+  * sf0.001) for the flagship aggregate, plus structural invariants of the
+  * core relational operators. */
+class GoldenSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_agg_hash reproduces the FIXTURES.md golden rows at sf0.001") {
+    val rows = relational.Aggregates.qAggHash(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(7)))
+    // FIXTURES.md prints sum_disc_price at 2dp; the query rounds at 4dp
+    // (the exact grid of price·(1−disc)). 4dp values recomputed with
+    // DuckDB 1.0.0 on the same filter/grouping.
+    val golden = Seq(
+      ("A", "F", 13096.0, 26731890.14, 25368762.5198, 25.678431, 510L),
+      ("A", "O", 13173.0, 27267029.09, 25899278.959, 24.668539, 534L),
+      ("N", "F", 15619.0, 31788102.13, 30158055.965, 26.294613, 594L),
+      ("N", "O", 13130.0, 27778238.79, 26325536.7587, 24.867424, 528L),
+      ("R", "F", 13038.0, 28543439.97, 27069022.8592, 24.553672, 531L),
+      ("R", "O", 13188.0, 27674702.11, 26333407.7788, 24.977273, 528L))
+    assert(rows.toSeq == golden)
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() == 6)
+  }
+
+  test("every oracleSql key has a queries entry and keys are unique") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == 77,
+      s"expected all 77 SURVEY keys, got ${SparkEntry.queries.size}")
+  }
+
+  test("q_limit_topk is the top-25 of q_sort-style ordering") {
+    val top = relational.Core.qLimitTopk(spark, sf0001).collect()
+    assert(top.length == 25)
+    val prices = top.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_offset_page continues exactly where q_limit_topk ends") {
+    val page1 = relational.Core.qLimitTopk(spark, sf0001)
+      .collect().map(_.getDouble(2))
+    val page2 = relational.Core.qOffsetPage(spark, sf0001)
+      .collect().map(_.getDouble(2))
+    assert(page2.length == 25)
+    assert(page1.last >= page2.head)
+  }
+
+  test("q_sample_det is deterministic across runs") {
+    val a = relational.Core.qSampleDet(spark, sf0001).collect()
+    val b = relational.Core.qSampleDet(spark, sf0001).collect()
+    assert(a.sameElements(b))
+  }
+}

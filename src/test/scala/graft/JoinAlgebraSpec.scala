@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-algebra cross-checks (SURVEY §5.3): different operators whose
+  * results are related by algebraic identities must agree — a bug in any
+  * one of them breaks an identity. */
+class JoinAlgebraSpec extends AnyFunSuite with SparkFixture {
+
+  test("semi-join customers == distinct custkeys of inner join") {
+    val semi = relational.Joins.qJoinSemi(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val inner = relational.Joins.qJoinInner(spark, sf0001)
+      .select("c_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(semi == inner)
+  }
+
+  test("anti-join == customers EXCEPT order-owners (q_set_except)") {
+    val anti = relational.Joins.qJoinAnti(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val except = relational.Core.qSetExcept(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(anti == except)
+  }
+
+  test("semi + anti partition the customer table") {
+    val nCust = Tables.customer(spark, sf0001).count()
+    val nSemi = relational.Joins.qJoinSemi(spark, sf0001).count()
+    val nAnti = relational.Joins.qJoinAnti(spark, sf0001).count()
+    assert(nSemi + nAnti == nCust)
+  }
+
+  test("left join row count == inner + orderless customers") {
+    val left = relational.Joins.qJoinLeft(spark, sf0001)
+    val inner = relational.Joins.qJoinInner(spark, sf0001)
+    val nAnti = relational.Joins.qJoinAnti(spark, sf0001).count()
+    assert(left.count() == inner.count() + nAnti)
+  }
+
+  test("left and right joins of the same tables agree") {
+    val l = relational.Joins.qJoinLeft(spark, sf0001).collect()
+    val r = relational.Joins.qJoinRight(spark, sf0001).collect()
+    assert(l.sameElements(r))
+  }
+
+  test("cross join cardinality is |region| * |nation|") {
+    val n = relational.Joins.qJoinCross(spark, sf0001).count()
+    assert(n == Tables.region(spark, sf0001).count() *
+      Tables.nation(spark, sf0001).count())
+  }
+
+  test("theta join emits only same-brand strictly-increasing size pairs") {
+    val rows = relational.Joins.qJoinTheta(spark, sf0001)
+      .select("size1", "size2").collect()
+    assert(rows.forall(r => r.getInt(0) < r.getInt(1)))
+  }
+
+  test("union minus intersect == symmetric parts (set-op consistency)") {
+    val u = relational.Core.qSetUnion(spark, sf0001).count()
+    val i = relational.Core.qSetIntersect(spark, sf0001).count()
+    val e = relational.Core.qSetExcept(spark, sf0001).count()
+    // orders ⊆ customer on custkey ⇒ union == customers, except == cust−∩
+    assert(u == i + e)
+  }
+
+  test("as-of join matches a hand-computed per-user scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(3).toInstant
+        val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+        (r.getLong(0), r.getLong(1), r.getString(2), us, r.getDouble(4))
+      }
+    val purchases = ev.filter(_._3 == "purchase")
+    val expected = ev.filter(_._3 == "click").map { c =>
+      val prior = purchases.filter(p => p._2 == c._2 && p._4 <= c._4)
+      val best =
+        if (prior.isEmpty) None
+        else Some(prior.maxBy(p => (p._4, p._1)))
+      (c._1, best.map(_._1))
+    }.toMap
+    val got = relational.Joins.qJoinAsof(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics (SURVEY §2.11 / §5.5): each transform is defined
+  * once in stream.EventOps; here it runs through a MemoryStream with
+  * out-of-order input + watermark and must equal its batch result on
+  * closed windows. Late data beyond the watermark must be dropped.
+  * Arbitrary stateful processing is exercised via flatMapGroupsWithState. */
+/** Top-level so Spark can derive an Encoder (inner classes can't be
+  * instantiated by generated code). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    new Timestamp(t0 + min * 60000L + sec * 1000L)
+
+  test("tumbling window: stream (with watermark) == batch on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(5), 1, "view", 2.0),
+      Ev(3, ts(3), 2, "click", 3.0), // out of order within window
+      Ev(4, ts(62), 1, "click", 4.0), Ev(5, ts(65), 2, "view", 5.0),
+      Ev(6, ts(130), 1, "click", 6.0)) // advances watermark past 1st hour
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val streamed = stream.EventOps.tumblingTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+    val q = streamed.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .select("window_start", "event_type", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = stream.EventOps.tumblingTransform(events.toDF())
+      .collect().map(_.toSeq)
+      // append mode only emits windows the watermark has closed (< 2:00)
+      .filter(_.head.asInstanceOf[Timestamp].before(ts(120)))
+      .toSet
+    assert(got == batch)
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(2, ts(2), 1, "view", 2.0))
+    val q = stream.EventOps.dedupTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // a later batch re-sending event 2 must also be dropped (cross-batch
+    // dedup state), and event 3 passes through
+    mem.addData(Ev(2, ts(3), 1, "view", 2.5), Ev(3, ts(4), 2, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select("event_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("late rows beyond the watermark are dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = stream.EventOps.tumblingTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(1, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first hour...
+    mem.addData(Ev(2, ts(200), 1, "click", 2.0))
+    q.processAllAvailable()
+    // ...then send a very late row into the long-closed first window.
+    mem.addData(Ev(3, ts(6), 1, "click", 100.0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, ts(400), 1, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val firstWindow = spark.table("late_out")
+      .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+      .collect()
+    assert(firstWindow.length == 1)
+    // the late row (value=100) must NOT be in the emitted first window
+    assert(firstWindow.head.getAs[Long]("cnt") == 1)
+  }
+
+  test("session windows: batch sessionization splits on >30min gaps") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "view", 2.0),
+      Ev(3, ts(55), 1, "click", 3.0), // 45min gap → new session
+      Ev(4, ts(60), 1, "view", 4.0),
+      Ev(5, ts(0), 2, "click", 5.0))
+    val got = stream.EventOps.sessionTransform(events.toDF())
+      .select("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("arbitrary stateful op: running per-user counter via " +
+      "flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val n = prev + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n_events")
+    val q = counted.writeStream.format("memory").queryName("counter_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(3), 1, "click", 3.0), Ev(4, ts(4), 2, "view", 4.0))
+    q.processAllAvailable(); q.stop()
+    val byBatch = spark.table("counter_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 1 counted 2 then 3 cumulative; user 2 counted 1
+    assert(byBatch.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+}
