@@ -20,7 +20,10 @@ object SparkEntry {
     (relational.Scalars.queries, relational.Scalars.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
+    (text.Analysis.queries, text.Analysis.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
+    (llm.DedupVariants.queries, llm.DedupVariants.oracle),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (ml.Pipelines.queries, ml.Pipelines.oracle),
     (stream.EventOps.queries, stream.EventOps.oracle),

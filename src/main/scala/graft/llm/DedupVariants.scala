@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Additional deduplication families for training-data pipelines: exact
+  * n-gram Jaccard (inverted index), SimHash (Hamming-banded), and
+  * embedding-cosine near-duplicates. Complements Dedup (sha256 exact,
+  * MinHash-LSH).
+  *
+  * Scale notes (100 TB posture):
+  *  - q_dedup_ngram is the inverted-index join: explode shingles, self-join
+  *    on the shingle, count common shingles per candidate pair. Pairs are
+  *    generated ONLY for docs sharing ≥1 shingle — never an n² cross join.
+  *    The shuffle is keyed by shingle; a stop-shingle cap would bound skew
+  *    at corpus scale (the harness corpus needs none).
+  *  - q_dedup_simhash compresses each doc to a 32-bit signature, then
+  *    finds candidates by banding the signature into 4 bytes and joining
+  *    on (band index, band value) — Hamming-distance LSH. Candidate count
+  *    is O(docs per colliding band), not O(n²); the exact bit_count(xor)
+  *    filter runs only on candidates.
+  *  - q_dedup_embed pairs embeddings by cosine ≥ threshold. The harness
+  *    form joins the full (small) table; at scale the identical query runs
+  *    after an IVF/LSH bucketing stage (see Similarity.qSimIvf) — the
+  *    final-filter semantics stay exactly this query.
+  *
+  * Cross-engine hash: Spark's xxhash64/hash differ from DuckDB's, so
+  * token/shingle hashes are derived from md5 (byte-identical on both):
+  * h32(s) = first 8 hex chars of md5(s) as an integer.
+  */
+object DedupVariants {
+
+  /** 3-token shingle array (distinct), as a Column over `text`. */
+  private def shingleExpr = expr(
+    """array_distinct(transform(
+      |  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
+      |  (t, i) -> concat(t, ' ', split(text, ' ')[i + 1], ' ',
+      |            split(text, ' ')[i + 2])))""".stripMargin)
+
+  /** q_dedup_ngram — exact n-gram (3-token shingle) Jaccard pairs ≥ 0.8
+    * via inverted index + per-pair common-count. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleExpr).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "common", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_dedup_simhash — 32-bit SimHash signatures + Hamming-banded pair
+    * search (distance ≤ 6). Signature: per token, h32 = md5-derived hash;
+    * per bit b, sum ±1 over tokens; bit set iff sum ≥ 0. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tokHash = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+    val bits = tokHash
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
+        .as("v"))
+    val sig = bits.groupBy("doc_id")
+      .agg(sum(when(col("v") >= 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("band", expr("shiftright(simhash, k * 8) & 255"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_dedup_embed — embedding near-duplicates: pairs with cosine ≥ 0.3
+    * (threshold chosen to be meaningful on the harness corpus; semantic
+    * near-dup pipelines tune it per embedding model). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed" -> (qDedupEmbed _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE ROUND(common * 1.0 / (sa.n + sb.n - common), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 32)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS band
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS k)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a, sig_b)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
+}

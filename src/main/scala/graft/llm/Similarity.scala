@@ -81,6 +81,53 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** q_sim_ivf — IVF (inverted-file) approximate neighbors: a seeded
+    * KMeans coarse quantizer (k=16) buckets all vectors; each query
+    * probes its nprobe=4 nearest centroids and brute-forces cosine only
+    * within those buckets. This is the classic at-scale ANN layout: the
+    * candidate set shrinks to ~nprobe/k of the corpus, centroids are
+    * broadcast, and the final filter is exactly the q_dedup_embed /
+    * q_sim_topk cosine. No oracle (bucketing is model-dependent);
+    * scalatest asserts recall vs the exact baseline. */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2norm(col("emb")))
+    val feat = e.withColumn("features", array_to_vector(col("emb")))
+    val km = new KMeans().setK(16).setSeed(42L).setFeaturesCol("features")
+      .setPredictionCol("bucket")
+    val model = km.fit(feat)
+    val bucketed = model.transform(feat)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val cents = s.createDataFrame(centroids).toDF("bucket", "cemb")
+    // nprobe=4 nearest centroids per query (euclidean), centroids broadcast
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val qBuckets = q.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("qemb"), col("cemb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("bucket").asc)))
+      .filter(col("rn") <= 4)
+      .select("qid", "qemb", "qnrm", "bucket")
+    val pairs = qBuckets.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid", "rn", "cos_sim")
+      .orderBy("qid", "rn")
+  }
+
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
     * (tie → smallest label). Stacks on the exact top-k operator. */
   def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
@@ -118,6 +165,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for training-data curation (beyond SURVEY §2.9):
+  * n-gram-profile language identification, heuristic quality scoring, and
+  * rolling-hash document fingerprinting. All fully declarative → exact
+  * DuckDB oracles.
+  *
+  * Scale notes: langid's per-language profiles are tiny aggregates
+  * (top-20 bigrams × 5 languages) broadcast to the scoring join; quality
+  * scoring is a pure projection; fingerprinting is explode→min/max
+  * aggregation (map-side combined). Nothing shuffles token-level rows
+  * except keyed partial aggregates.
+  */
+object Analysis {
+
+  /** Token-bigram array of `text` (the langid/fingerprint shingle unit). */
+  private def bigramExpr = expr(
+    """transform(slice(split(text, ' '), 1,
+      |          greatest(size(split(text, ' ')) - 1, 0)),
+      |  (t, i) -> concat(t, ' ', split(text, ' ')[i + 1]))""".stripMargin)
+
+  /** q_text_langid — n-gram-profile language ID: build top-20 token-bigram
+    * profiles per language from the corpus, score each doc by profile
+    * overlap, predict the best-scoring language (ties → lang asc). The
+    * heuristic's accuracy depends on how language-distinct the corpus
+    * vocabulary is; the operator contract is the deterministic pipeline. */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(bigramExpr).as("bg"))
+      .distinct()
+    val profiles = docBigrams
+      .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("bg").asc)))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("cand_lang"), col("bg"))
+    val scores = docBigrams.select("doc_id", "lang", "bg")
+      .join(broadcast(profiles), Seq("bg"))
+      .groupBy("doc_id", "lang", "cand_lang")
+      .agg(count(lit(1)).as("score"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand_lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_quality — heuristic quality score per doc: token count,
+    * mean token length, stop-word ratio, distinct-token ratio, and a
+    * fixed linear composite. (No punctuation/case signals exist in the
+    * harness corpus; the operator shape is what carries to real data.) */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      // raw (unrounded) ratios feed the composite so both engines round
+      // exactly once, from identical inputs
+      .withColumn("r_mean",
+        (col("n_chars") - (size(col("toks")) - 1)) / size(col("toks")))
+      .withColumn("r_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))") /
+          size(col("toks")))
+      .withColumn("r_dist",
+        size(array_distinct(col("toks"))) / size(col("toks")))
+      // floor(x·1e6)/1e6 instead of round(): the ratios are rationals that
+      // can land exactly on a half-way decimal, where Spark (decimal-repr
+      // HALF_UP) and DuckDB (binary round) split. floor over bit-identical
+      // doubles is identical on both engines by construction.
+      .select(col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        (floor(col("r_mean") * 1e6) / 1e6).as("mean_tok_len"),
+        (floor(col("r_stop") * 1e6) / 1e6).as("stop_ratio"),
+        (floor(col("r_dist") * 1e6) / 1e6).as("distinct_ratio"),
+        (floor((lit(0.5) * col("r_dist") +
+          lit(0.3) * (lit(1.0) - col("r_stop")) +
+          lit(0.2) * least(size(col("toks")) / lit(100.0), lit(1.0)))
+          * 1e6) / 1e6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_fingerprint — rolling-hash fingerprint: md5-derived 32-bit
+    * hash per token-bigram shingle; doc fingerprint = (min, max) shingle
+    * hash + shingle cardinality. Equal fingerprints ⇒ near-identical
+    * shingle sets (the winnowing primitive). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bigramExpr).as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+        countDistinct(col("h")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_fingerprint" -> (qTextFingerprint _))
+
+  val oracle: Map[String, String] = {
+    val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
+    Map(
+      "q_text_langid" ->
+        """WITH db AS (
+          |  SELECT DISTINCT doc_id, lang, bg
+          |  FROM (SELECT doc_id, lang,
+          |          unnest(list_transform(
+          |            range(1, len(string_split(text, ' '))),
+          |            i -> string_split(text, ' ')[i] || ' ' ||
+          |                 string_split(text, ' ')[i + 1])) AS bg
+          |        FROM documents)),
+          |profiles AS (
+          |  SELECT lang AS cand_lang, bg FROM (
+          |    SELECT lang, bg, COUNT(*) AS cnt,
+          |      row_number() OVER (PARTITION BY lang
+          |        ORDER BY COUNT(*) DESC, bg ASC) AS rn
+          |    FROM db GROUP BY lang, bg)
+          |  WHERE rn <= 20),
+          |scores AS (
+          |  SELECT doc_id, lang, cand_lang, COUNT(*) AS score
+          |  FROM db JOIN profiles USING (bg)
+          |  GROUP BY 1, 2, 3)
+          |SELECT doc_id, lang, cand_lang AS pred_lang, score
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, cand_lang ASC) AS rn FROM scores)
+          |WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin,
+      "q_text_quality" ->
+        s"""SELECT doc_id, n_chars,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  floor(((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0 /
+           |    len(string_split(text, ' '))) * 1e6) / 1e6 AS mean_tok_len,
+           |  floor((len(list_filter(string_split(text, ' '),
+           |      t -> t IN ($stopList))) * 1.0 /
+           |    len(string_split(text, ' '))) * 1e6) / 1e6 AS stop_ratio,
+           |  floor((len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |    len(string_split(text, ' '))) * 1e6) / 1e6 AS distinct_ratio,
+           |  floor((
+           |    0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' '))) +
+           |    0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+           |        t -> t IN ($stopList))) * 1.0 /
+           |      len(string_split(text, ' '))) +
+           |    0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0))
+           |    * 1e6) / 1e6 AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_fingerprint" ->
+        """SELECT doc_id,
+          |  MIN(h) AS fp_min, MAX(h) AS fp_max,
+          |  COUNT(DISTINCT h) AS n_shingles
+          |FROM (
+          |  SELECT doc_id,
+          |    ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h
+          |  FROM (SELECT doc_id,
+          |          unnest(list_transform(
+          |            range(1, len(string_split(text, ' '))),
+          |            i -> string_split(text, ' ')[i] || ' ' ||
+          |                 string_split(text, ' ')[i + 1])) AS sh
+          |        FROM documents))
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)
+  }
+}

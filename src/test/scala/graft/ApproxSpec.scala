@@ -60,6 +60,49 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"found=${found.length} truth=${truth.size}")
   }
 
+  test("IVF neighbors reach recall >= 0.6 vs exact cosine top-5") {
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = llm.Similarity.qSimIvf(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("ngram-Jaccard dedup finds the same pairs as MinHash-LSH here") {
+    val exact = llm.DedupVariants.qDedupNgram(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = llm.Dedup.qDedupNear(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == lsh)
+  }
+
+  test("simhash pairs include every true near-dup (banding recall)") {
+    val truth = llm.DedupVariants.qDedupNgram(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = llm.DedupVariants.qDedupSimhash(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & sim).size.toDouble / truth.size
+    assert(recall >= 0.8, s"simhash recall=$recall")
+  }
+
+  test("multimodal decode stub is deterministic with fixed width") {
+    val a = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
+    val b = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.getLong(0) == y.getLong(0) &&
+        x.getSeq[Float](2) == y.getSeq[Float](2)
+    })
+    assert(a.forall(_.getSeq[Float](2).length == 8))
+  }
+
   test("knn predictions agree with a driver-side recomputation") {
     val topk = llm.Similarity.qSimTopk(spark, sf001)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -31,8 +31,9 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 77,
-      s"expected all 77 SURVEY keys, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 87,
+      s"expected 77 SURVEY keys + 10 training-data extensions, " +
+        s"got ${SparkEntry.queries.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
