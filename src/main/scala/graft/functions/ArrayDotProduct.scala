@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd dot product over two array<double> columns.
+  *
+  * The pairwise-similarity operators (q_dedup_embed, q_sim_topk, …)
+  * evaluate a dot product per candidate PAIR — O(pairs · dim). Spark's
+  * higher-order `aggregate(zip_with(...))` expression is interpreted (no
+  * whole-stage codegen), which made the 2M-pair q_dedup_embed the bench
+  * bottleneck (~100 s at sf0.1). This Expression generates a tight Java
+  * loop inside the codegen stage instead (~50× less per-pair overhead)
+  * while accumulating IN THE SAME left-to-right order as the interpreted
+  * form, so results — and the DuckDB-oracle 6dp hashes — are bit-identical.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are always array<double> at the (internal) call sites; type
+  // enforcement happens there via explicit casts
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions: makes `array_dot(a, b)`
+  * resolvable in SQL/expr strings on the given session (idempotent). */
+object NativeFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "array_dot takes exactly 2 arguments")
+        ArrayDotProduct(exprs.head, exprs(1))
+      },
+      "built-in")
+}

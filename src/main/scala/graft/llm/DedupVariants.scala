@@ -98,6 +98,10 @@ object DedupVariants {
     * (threshold chosen to be meaningful on the harness corpus; semantic
     * near-dup pipelines tune it per embedding model). */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    // codegen'd dot product (graft.functions.ArrayDotProduct): this query
+    // evaluates O(n²/2) pairs, and the interpreted higher-order form made
+    // it the bench bottleneck (~100 s at sf0.1 → ~seconds with codegen)
+    graft.functions.NativeFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
@@ -109,8 +113,8 @@ object DedupVariants {
       col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(
-        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+        call_function("array_dot", col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

@@ -28,13 +28,18 @@ object Similarity {
   private def l2norm(c: Column): Column =
     sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
 
+  /** Codegen'd dot product (graft.functions.ArrayDotProduct) — same
+    * left-to-right accumulation as the interpreted higher-order form, so
+    * results are bit-identical, but it runs inside whole-stage codegen:
+    * the per-pair hot loop of every similarity operator. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("array_dot", a, b)
 
   /** Exact cosine top-k of the first `nQueries` vectors against the whole
     * embedding table; k+tie-broken by neighbor id on the 6dp-rounded score. */
   private def cosineTopK(s: SparkSession, dir: String, nQueries: Int, k: Int)
       : DataFrame = {
+    graft.functions.NativeFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
@@ -91,6 +96,7 @@ object Similarity {
     * scalatest asserts recall vs the exact baseline. */
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
+    graft.functions.NativeFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
