@@ -16,6 +16,26 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
   event_type: String, value: Double)
 
+/** Spark 4 transformWithState processor: running per-user event count in
+  * a ValueState (the arbitrary-stateful-op surface, SURVEY §2.11). */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+  @transient private var count: ValueState[Long] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator((key, n))
+  }
+}
+
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -107,6 +127,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .select("user_id", "session_id", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("transformWithState (Spark 4): running per-user counter with " +
+      "ValueState on the RocksDB store") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, OutputMode => OM}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val counted = mem.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningCountProcessor,
+          TimeMode.None(), OM.Update())
+        .toDF("user_id", "n_events")
+      val q = counted.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OM.Update).start()
+      mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(3), 1, "click", 3.0), Ev(4, ts(4), 2, "view", 4.0))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("arbitrary stateful op: running per-user counter via " +
