@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.3) over scalacheck-generated data:
+  * operators must satisfy their algebraic laws for arbitrary inputs, not
+  * just the harness tables. Generators are driven with fixed seeds (the
+  * scalatest-scalacheck bridge artifact isn't in the offline cache), so
+  * runs are deterministic; 5 samples per property, each materializing
+  * real Spark jobs. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).map { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator produced no value for seed $i"))
+    }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 25)
+    texts <- Gen.listOfN(n, Gen.listOfN(8,
+      Gen.oneOf("join", "scan", "hash", "sort", "merge", "row"))
+      .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("exact dedup is idempotent and partitions the corpus") {
+    import spark.implicits._
+    samples(docGen).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val once = df.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy("h").agg(min("doc_id").as("keeper_id"),
+          count(lit(1)).as("dup_count"))
+      val rows = once.collect()
+      // survivors' dup counts cover every input row exactly once
+      assert(rows.map(_.getLong(2)).sum == docs.length)
+      // dedup of the survivors is a no-op (idempotence)
+      val survivors = rows.map(_.getLong(1)).toSet
+      val again = df.filter(col("doc_id").isin(survivors.toSeq: _*))
+        .select(sha2(col("text"), 256).as("h")).distinct().count()
+      assert(again == rows.length)
+    }
+  }
+
+  test("window ranks are dense, gapless, and bounded by partition size") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 4); v <- Gen.choose(0, 20)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+    samples(rowsGen).foreach { rows =>
+      val df = rows.toDF("k", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v"), col("id"))
+      val rn = df.withColumn("rn", row_number().over(w)).collect()
+      rn.groupBy(_.getInt(0)).foreach { case (_, part) =>
+        val ranks = part.map(_.getInt(3)).sorted
+        assert(ranks.toSeq == (1 to part.length))
+      }
+    }
+  }
+
+  test("sessionization: session count matches a sequential scan and " +
+      "counts cover all events") {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        offMin <- Gen.choose(0, 72 * 60) // minutes over 3 days
+      } yield (u, offMin))
+    } yield evs.zipWithIndex.map { case ((u, off), i) =>
+      Ev(i.toLong, new Timestamp(1704067200000L + off * 60000L), u,
+        "click", 1.0)
+    }
+    samples(evGen).foreach { evs =>
+      val sessions = stream.EventOps.sessionTransform(evs.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4)))
+      val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        val breaks = ts.zip(ts.drop(1)).count { case (a, b) => b - a > gapMs }
+        u -> (breaks + 1)
+      }
+      val got = sessions.groupBy(_._1).map { case (u, ss) => u -> ss.length }
+      assert(got == expected)
+      assert(sessions.map(_._4).sum == evs.length)
+      assert(sessions.forall(s => s._2 <= s._3))
+    }
+  }
+
+  test("set algebra: |A ∪ B| = |A ∩ B| + |A \\ B| + |B \\ A| on keys") {
+    import spark.implicits._
+    val setsGen = for {
+      a <- Gen.listOf(Gen.choose(0, 30))
+      b <- Gen.listOf(Gen.choose(0, 30))
+    } yield (a, b)
+    samples(setsGen).foreach { case (a, b) =>
+      val da = a.toDF("k").distinct()
+      val db = b.toDF("k").distinct()
+      val union = da.union(db).distinct().count()
+      val inter = da.intersect(db).count()
+      val aOnly = da.except(db).count()
+      val bOnly = db.except(da).count()
+      assert(union == inter + aOnly + bOnly)
+    }
+  }
+}

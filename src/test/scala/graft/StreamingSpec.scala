@@ -69,6 +69,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == batch)
   }
 
+  test("sliding window: stream (with watermark) == batch on closed " +
+      "windows, each event in exactly two windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(10), 1, "click", 1.0), Ev(2, ts(40), 1, "view", 2.0),
+      Ev(3, ts(75), 2, "click", 3.0),
+      Ev(4, ts(300), 1, "click", 4.0)) // closes the early windows
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = stream.EventOps.slidingTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sliding_out")
+      .select("window_start", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = stream.EventOps.slidingTransform(events.toDF())
+      .collect().map(_.toSeq)
+      .filter(_.head.asInstanceOf[Timestamp].before(ts(230)))
+      .toSet
+    assert(got == batch)
+    // sliding 1h/30min ⇒ every event lands in exactly 2 windows
+    val totalAssigned = stream.EventOps.slidingTransform(events.toDF())
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()
+      .head.getLong(0)
+    assert(totalAssigned == events.length * 2)
+  }
+
+  test("foreachBatch sink writes each micro-batch to parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fes").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 2, "view", 2.0))
+    val q = stream.EventOps.dedupTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() == 2)
+    assert(written.columns.toSet ==
+      Set("event_id", "user_id", "event_type", "value"))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
