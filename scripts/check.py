@@ -26,6 +26,11 @@ def load_spark_result(outdir, key):
     return pd.concat(frames, ignore_index=True)
 
 
+# NOTE: rows are compared positionally WITHOUT sorting, on purpose — the
+# driver's hash compare may be order-sensitive, so every query must emit a
+# total ORDER BY; sorting here would mask a missing/ambiguous ordering that
+# the driver could then flag. (Columns are sorted by name to match the
+# driver's column canonicalization.)
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:

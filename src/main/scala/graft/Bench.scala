@@ -16,6 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): JIT the scan/shuffle/codegen paths and touch each
+    // input file once, so the one-time JVM cost doesn't land on whichever
+    // query happens to run first and distort its per-query number.
+    spark.range(1 << 20).selectExpr("sum(id % 7)").collect()
+    Tables.names.foreach { t =>
+      try Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () } // events needs its loader; skip
+    }
+    Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
