@@ -24,7 +24,9 @@ object Bench {
       try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () } // events needs its loader; skip
     }
-    Tables.events(spark, sfDir).count()
+    // warm-up must never abort the run before the JSON line is emitted
+    try Tables.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

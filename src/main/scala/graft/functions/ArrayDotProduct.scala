@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product over two array<double> columns.
   *
@@ -20,8 +21,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are always array<double> at the (internal) call sites; type
-  // enforcement happens there via explicit casts
+  // array_dot is registered as a public SQL function, so analysis must
+  // reject non-double arrays: ArrayData.getDouble reads 8-byte slots and
+  // would silently return garbage on e.g. a raw array<float> embedding
+  // column. (ImplicitCastInputTypes would auto-coerce, but its
+  // AbstractDataType signature is private[sql] — fail fast instead;
+  // callers cast explicitly.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDoubleArray(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires (array<double>, array<double>) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}) " +
+        "— cast(col as array<double>) first")
+  }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "array_dot"

@@ -26,9 +26,12 @@ object Dedup {
     * and token-level) joined on the group key — both map-side combined. */
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // ratio outputs (avg of ints, k/n) use floor(x·1e6)/1e6, not round():
+    // rationals can sit exactly on a half-way decimal where Spark
+    // (decimal HALF_UP) and DuckDB (binary round) split (SURVEY §7.4.9)
     val docStats = docs.groupBy("lang", "source").agg(
       count(lit(1)).as("n_docs"),
-      round(avg("n_chars"), 4).as("avg_chars"),
+      (floor(avg("n_chars") * 1e6) / 1e6).as("avg_chars"),
       min("n_chars").as("min_chars"),
       max("n_chars").as("max_chars"))
     val tokStats = docs
@@ -38,7 +41,7 @@ object Dedup {
         count(lit(1)).as("n_tokens"),
         countDistinct(col("token")).as("n_types"))
       .select(col("lang"), col("source"), col("n_tokens"),
-        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+        (floor(col("n_types") / col("n_tokens") * 1e6) / 1e6).as("ttr"))
     docStats.join(tokStats, Seq("lang", "source"))
       .orderBy("lang", "source")
   }
@@ -98,12 +101,12 @@ object Dedup {
     "q_text_stats" ->
       """WITH doc_stats AS (
         |  SELECT lang, source, COUNT(*) AS n_docs,
-        |    ROUND(AVG(n_chars), 4) AS avg_chars,
+        |    floor(AVG(n_chars) * 1e6) / 1e6 AS avg_chars,
         |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |  FROM documents GROUP BY lang, source),
         |tok AS (
         |  SELECT lang, source, COUNT(*) AS n_tokens,
-        |    ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr
+        |    floor(COUNT(DISTINCT token) * 1.0 / COUNT(*) * 1e6) / 1e6 AS ttr
         |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token
         |        FROM documents)
         |  GROUP BY lang, source)

@@ -31,17 +31,21 @@ import graft.{Q, Tables}
   */
 object DedupVariants {
 
-  /** 3-token shingle array (distinct), as a Column over `text`. */
+  /** 3-token shingle array (distinct) over a precomputed `toks` column.
+    * The lambda indexes the already-split array — `split(text)[i]` inside
+    * a higher-order lambda re-splits the whole doc per element (interpreted,
+    * no CSE): O(tokens²·len) per doc (see Analysis.bigramExpr). */
   private def shingleExpr = expr(
     """array_distinct(transform(
-      |  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
-      |  (t, i) -> concat(t, ' ', split(text, ' ')[i + 1], ' ',
-      |            split(text, ' ')[i + 2])))""".stripMargin)
+      |  slice(toks, 1, greatest(size(toks) - 2, 0)),
+      |  (t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2])))"""
+      .stripMargin)
 
   /** q_dedup_ngram — exact n-gram (3-token shingle) Jaccard pairs ≥ 0.8
     * via inverted index + per-pair common-count. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -52,8 +56,12 @@ object DedupVariants {
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      // floor(x·1e6)/1e6, not round(): jaccard is a rational k/n that can
+      // sit exactly on a half-way decimal, where Spark (decimal HALF_UP)
+      // and DuckDB (binary round) split (SURVEY §7.4.9)
       .withColumn("jaccard",
-        round(col("common") / (col("na") + col("nb") - col("common")), 6))
+        floor(col("common") / (col("na") + col("nb") - col("common")) * 1e6)
+          / 1e6)
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "common", "jaccard")
       .orderBy("id_a", "id_b")
@@ -140,11 +148,12 @@ object DedupVariants {
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, common,
-        |  ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+        |  floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
+        |    AS jaccard
         |FROM common
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE ROUND(common * 1.0 / (sa.n + sb.n - common), 6) >= 0.8
+        |WHERE floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6 >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash" ->
       """WITH th AS (

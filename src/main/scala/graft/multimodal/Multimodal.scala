@@ -72,7 +72,14 @@ object Multimodal {
       .mapPartitions { it =>
         // partition-local batch loop: one decoder init per partition
         it.map { case (id, bytes) =>
-          (id, bytes.length, stubDecode(bytes))
+          // features emitted as a fixed-format CSV string, not array<float>:
+          // the driver's row compare sorts values and cannot order raw array
+          // cells (round-2 finding: its pandas sort dies on ndarray columns)
+          val features = stubDecode(bytes)
+            .map(v => String.format(java.util.Locale.ROOT, "%.6f",
+              Double.box(v.toDouble)))
+            .mkString(",")
+          (id, bytes.length, features)
         }
       }
       .toDF("doc_id", "n_bytes", "features")

@@ -132,14 +132,19 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   /** q_agg_collect — collection aggregates; lists are sorted because
-    * collect order is partitioning-dependent (SURVEY §7.4.3). */
+    * collect order is partitioning-dependent (SURVEY §7.4.3), and emitted
+    * as joined strings because the driver's row compare sorts values and
+    * cannot order raw array cells (round-2 finding: its pandas sort dies
+    * on ndarray columns). */
   def qAggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        sort_array(collect_list(col("s_name"))).as("suppliers"),
-        sort_array(collect_set(col("s_nationkey"))).as("nationkeys"))
+        array_join(sort_array(collect_list(col("s_name"))), "|")
+          .as("suppliers"),
+        array_join(transform(sort_array(collect_set(col("s_nationkey"))),
+          _.cast("string")), ",").as("nationkeys"))
       .orderBy("n_name")
 
   /** q_pivot — rows=orderpriority, cols=orderstatus (pinned value list),
@@ -239,8 +244,9 @@ object Aggregates {
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT n_name,
-        |  list(s_name ORDER BY s_name) AS suppliers,
-        |  list(DISTINCT s_nationkey ORDER BY s_nationkey) AS nationkeys
+        |  string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        |  array_to_string(list_sort(list(DISTINCT s_nationkey)), ',')
+        |    AS nationkeys
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,

@@ -169,12 +169,29 @@ object Joins {
     "q_join_interval" -> (qJoinInterval _))
 
   val oracle: Map[String, String] = Map(
+    // tie-explicit window form rather than DuckDB's native ASOF JOIN:
+    // ASOF leaves the choice among equal-timestamp purchases unspecified,
+    // while this mirrors the Spark query's (ts, side, event_id) order
+    // exactly (max event_id wins a tie) — so the compare is not
+    // data-dependent on (user_id, ts) purchase uniqueness (ADVICE r2)
     "q_join_asof" ->
-      """SELECT c.event_id AS probe_id, c.user_id, c.ts,
-        |  p.event_id AS m_id, p.value AS m_value
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, NULL::BIGINT AS probe_id,
+        |    event_id AS p_id, value AS p_value, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_id AS probe_id,
+        |    NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value, 1 AS side
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER w AS m_id,
+        |    last_value(p_value IGNORE NULLS) OVER w AS m_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT probe_id, user_id, ts, m_id, m_value
+        |FROM m WHERE side = 1
         |ORDER BY probe_id""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice

@@ -77,7 +77,9 @@ object Scalars {
 
   /** q_math_funcs — math family over lineitem. Transcendentals rounded at
     * 6dp (irrational true values → no boundary risk); integral powers and
-    * mods are exact. */
+    * mods are exact. Spark floor/ceil return BIGINT while DuckDB's return
+    * DECIMAL (→ float in the driver's compare) — the oracle casts them to
+    * BIGINT so the value representations match. */
   def qMathFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -228,8 +230,8 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  floor(l_extendedprice) AS price_floor,
-        |  ceil(l_extendedprice) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  abs(l_quantity - 25) AS qty_dev,
         |  round(sqrt(l_quantity), 6) AS qty_sqrt,
         |  round(exp(l_discount), 6) AS disc_exp,

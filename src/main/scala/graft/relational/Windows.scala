@@ -82,8 +82,11 @@ object Windows {
     Tables.orders(s, dir)
       .select(col("o_orderstatus"), col("o_orderkey"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        // percent_rank/cume_dist are rationals k/n that can sit exactly on
+        // a half-way decimal where Spark (decimal HALF_UP) and DuckDB
+        // (binary round) split — floor(x·1e6)/1e6 instead (SURVEY §7.4.9)
+        (floor(percent_rank().over(w) * 1e6) / 1e6).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1e6) / 1e6).as("cume"))
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
@@ -148,8 +151,8 @@ object Windows {
     "q_window_dist" ->
       """SELECT o_orderstatus, o_orderkey,
         |  ntile(4) OVER w AS quartile,
-        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-        |  ROUND(cume_dist() OVER w, 6) AS cume
+        |  floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1e6) / 1e6 AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)

@@ -113,9 +113,12 @@ object EventOps {
         |      OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM t),
         |sess AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |  -- CAST: DuckDB integer window SUM yields HUGEINT (→ float in the
+        |  -- driver's compare); Spark's sum(long) is BIGINT
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
         |  FROM b)
         |SELECT user_id, session_id, MIN(ts) AS session_start,
         |  MAX(ts) AS session_end, COUNT(*) AS n_events,

@@ -18,11 +18,18 @@ import graft.{Q, Tables}
   */
 object Analysis {
 
-  /** Token-bigram array of `text` (the langid/fingerprint shingle unit). */
+  /** Token-bigram array over a precomputed `toks` column (the
+    * langid/fingerprint shingle unit). The lambda indexes the ALREADY-SPLIT
+    * array — never `split(text)[i]` inside the lambda: higher-order
+    * functions are interpreted (no codegen, no subexpression elimination),
+    * so an inner split re-tokenizes the whole document per element —
+    * O(tokens²·len) per doc, measured as a 60× blow-up at sf0.1. */
   private def bigramExpr = expr(
-    """transform(slice(split(text, ' '), 1,
-      |          greatest(size(split(text, ' ')) - 1, 0)),
-      |  (t, i) -> concat(t, ' ', split(text, ' ')[i + 1]))""".stripMargin)
+    """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+      |  (t, i) -> concat(t, ' ', toks[i + 1]))""".stripMargin)
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
 
   /** q_text_langid — n-gram-profile language ID: build top-20 token-bigram
     * profiles per language from the corpus, score each doc by profile
@@ -30,7 +37,7 @@ object Analysis {
     * heuristic's accuracy depends on how language-distinct the corpus
     * vocabulary is; the operator contract is the deterministic pipeline. */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    val docBigrams = Tables.documents(s, dir)
+    val docBigrams = withToks(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), explode(bigramExpr).as("bg"))
       .distinct()
     val profiles = docBigrams
@@ -92,7 +99,7 @@ object Analysis {
     * hash + shingle cardinality. Equal fingerprints ⇒ near-identical
     * shingle sets (the winnowing primitive). */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    withToks(Tables.documents(s, dir))
       .select(col("doc_id"), explode(bigramExpr).as("sh"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)")
