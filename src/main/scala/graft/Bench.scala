@@ -34,13 +34,17 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // ms precision: keeps the JSON line short enough to survive the
+      // driver's bounded log-tail capture (r2's full-precision line was
+      // ~3.6 KB and its head — including "metric" — was truncated away,
+      // so the driver recorded parsed:null despite rc=0)
+      (name, math.rint((System.nanoTime() - t0) / 1e6) / 1e3, ok)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = math.rint(results.map(_._2).sum * 1e3) / 1e3
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -100,7 +100,12 @@ object Pipelines {
     * vector classifier; per-grid-point mean F1. */
   def qMlCv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val data = embFeatures(s, dir)
+    // 6 LR fits × ~30 L-BFGS iterations = hundreds of tiny treeAggregate
+    // jobs; at 32 shuffle partitions the per-task scheduling overhead
+    // dominates (the fold data is a few MB). Coalesce the cached features
+    // to a handful of partitions and fit the grid points concurrently —
+    // this is a small-data tuning loop, not the 100 TB scan path.
+    val data = embFeatures(s, dir).coalesce(4).cache()
     val lr = new LogisticRegression().setMaxIter(30)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.01, 0.1)).build()
@@ -109,6 +114,7 @@ object Pipelines {
       .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("f1"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(3)
+      .setParallelism(2)
       .setSeed(seed)
     val fitted = cv.fit(data)
     val rows = grid.zip(fitted.avgMetrics).map { case (pm, m) =>
