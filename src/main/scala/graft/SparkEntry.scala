@@ -18,6 +18,7 @@ object SparkEntry {
     (relational.Aggregates.queries, relational.Aggregates.oracle),
     (relational.Windows.queries, relational.Windows.oracle),
     (relational.Scalars.queries, relational.Scalars.oracle),
+    (relational.ScaleOps.queries, relational.ScaleOps.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (text.Analysis.queries, text.Analysis.oracle),

@@ -1,0 +1,167 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scale-technique operators (round 3): the shuffle-shaping idioms a
+  * 100 TB deployment leans on — skew salting, bucketed co-located joins,
+  * and partitioned layouts with partition pruning — each exposed as an
+  * oracle-checked query key so the technique is verified to preserve
+  * semantics, not just asserted in prose.
+  *
+  * Salting notes: a salt must be (a) deterministic, so results are
+  * reproducible, and (b) semantics-invariant, so the salted plan equals
+  * the unsalted one. Both keys below derive the salt from row-identity
+  * columns via xxhash64 → pmod — uniform spread, no RNG, and the salt
+  * never leaks into the output.
+  */
+object ScaleOps {
+
+  private val S = 16 // salt fan-out
+
+  private def scratch(sub: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_scale/$sub"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** q_agg_salted — two-phase salted aggregation: partial aggregate on
+    * (key, salt), final aggregate on key. On a skewed key (3 values cover
+    * all of lineitem) the single-phase shuffle would send each key's whole
+    * volume to one reducer; the salt phase spreads it S ways and the final
+    * phase combines S tiny rows per key. Equal to the direct GROUP BY —
+    * which is what the oracle checks. */
+  def qAggSalted(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey")), lit(S)))
+    val partial = salted.groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("qty"),
+        sum("l_extendedprice").as("price"),
+        count(lit(1)).as("n"))
+    partial.groupBy("l_returnflag")
+      .agg(round(sum("qty"), 2).as("sum_qty"),
+        round(sum("price"), 2).as("sum_price"),
+        sum("n").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_join_skew_salted — salted shuffle join: the probe side gets a
+    * deterministic salt in [0, S), the build side is replicated S ways
+    * (explode over the salt range), and the join key becomes
+    * (key, salt) — a skewed probe key's rows now land on S reducers
+    * instead of one. shuffle_hash hint keeps it a shuffle join so the
+    * salting (not a broadcast) is what's exercised; result is identical
+    * to the plain equi-join, which the oracle checks. */
+  def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")), lit(S)).cast("int"))
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    li.join(part.hint("shuffle_hash"),
+        li("l_partkey") === part("p_partkey") && li("salt") === part("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** q_join_bucketed — co-located join over bucketed layouts: both sides
+    * are written bucketed (and sorted) by the join key, so the join needs
+    * NO shuffle and NO sort — each task zips bucket i with bucket i. This
+    * is the storage-layout answer to the repeated-join workload: pay the
+    * shuffle once at write time, never at read time. PlanSpec asserts the
+    * exchange-free plan; the oracle checks the result equals the plain
+    * join. */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val t = tag(dir)
+    val ordersTbl = s"graft_orders_b_$t"
+    val custTbl = s"graft_customer_b_$t"
+    if (!s.catalog.tableExists(ordersTbl)) {
+      Tables.orders(s, dir)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratch(s"orders_b_$t"))
+        .saveAsTable(ordersTbl)
+      Tables.customer(s, dir)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratch(s"customer_b_$t"))
+        .saveAsTable(custTbl)
+    }
+    val o = s.table(ordersTbl)
+    val c = s.table(custTbl)
+    // merge hint: at harness scale Catalyst would broadcast the customer
+    // side; the point here is the exchange-free sort-merge over co-located
+    // sorted buckets — the plan that wins when BOTH sides are fact-sized
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q_scan_partitioned — partitioned layout + partition pruning: orders
+    * written partitioned by order-year; a year predicate then prunes
+    * whole directories before any IO (PartitionFilters in the scan, no
+    * row-level work for excluded years). The 100 TB default layout for
+    * time-series facts. Oracle recomputes from the flat table. */
+  def qScanPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"orders_part_${tag(dir)}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("o_year").isin(1995, 1996))
+      .groupBy(col("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_year", "o_month")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_salted" -> (qAggSalted _),
+    "q_join_skew_salted" -> (qJoinSkewSalted _),
+    "q_join_bucketed" -> (qJoinBucketed _),
+    "q_scan_partitioned" -> (qScanPartitioned _))
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_scan_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin)
+}

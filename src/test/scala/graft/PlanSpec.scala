@@ -55,6 +55,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "expected a partial and a final HashAggregate")
   }
 
+  test("bucketed join is exchange-free and sort-free on both sides") {
+    val df = relational.ScaleOps.qJoinBucketed(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over bucketed tables in:\n$plan")
+    // co-located + co-sorted buckets: no shuffle before the join (the
+    // only exchange allowed is the post-join aggregation's)
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan should report bucket selection:\n$plan")
+  }
+
+  test("partitioned scan prunes partitions from the year predicate") {
+    val plan = planOf(relational.ScaleOps.qScanPartitioned(spark, sf0001))
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"expected a partition filter on o_year in:\n$plan")
+  }
+
+  test("salted join and salted agg equal their unsalted forms") {
+    import org.apache.spark.sql.functions._
+    val salted = relational.ScaleOps.qJoinSkewSalted(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    val aggSalted = relational.ScaleOps.qAggSalted(spark, sf0001)
+      .select("l_returnflag", "n_rows").collect().map(_.toSeq).toSeq
+    val aggPlain = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(aggSalted == aggPlain)
+  }
+
   test("dynamic partition pruning fires on a partitioned layout") {
     // SURVEY §7.5's deferred demo: write orders partitioned by year, join
     // against a filtered dim — the fact scan must carry a partition filter
