@@ -128,10 +128,54 @@ object DedupVariants {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_dedup_cluster — duplicate clusters: connected components over the
+    * exact n-gram near-dup pairs, labeling every clustered doc with the
+    * min doc_id of its component (the canonical survivor) + component
+    * size. This is the step that turns pairwise dedup output into
+    * "keep one per cluster".
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are tiny and dense,
+    * so 1–2 rounds in practice; the loop is bounded and checkpointed so
+    * lineage stays flat). Each round is one keyed shuffle — the same
+    * shape GraphX/GraphFrames CC uses; at corpus scale the large-star/
+    * small-star variant halves rounds but keeps this per-round plan. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(s, dir).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val next = labels.select(col("id"), col("label").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+        .localCheckpoint(true) // truncate lineage; also caches for reuse
+      converged =
+        next.filter(col("label") =!= col("old")).limit(1).count() == 0L
+      labels = next.select("id", "label")
+      rounds += 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_embed" -> (qDedupEmbed _))
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_cluster" -> (qDedupCluster _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_ngram" ->
@@ -183,6 +227,39 @@ object DedupVariants {
         |FROM cand
         |WHERE bit_count(xor(sig_a, sig_b)) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
+        |    >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
