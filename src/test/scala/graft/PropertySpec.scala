@@ -96,6 +96,26 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup clustering: labels are component minima and pair-consistent") {
+    val clusters = llm.DedupVariants.qDedupCluster(spark, sf0001)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = llm.DedupVariants.qDedupNgram(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus must contain near-dup pairs")
+    // every paired doc is clustered, pairs share a label, and the label
+    // is a member doc_id that is <= every member (the component min)
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b))
+    }
+    clusters.foreach { case (doc, label) =>
+      assert(label <= doc && clusters(label) == label,
+        s"label $label of doc $doc must be its component's min member")
+    }
+  }
+
   test("set algebra: |A ∪ B| = |A ∩ B| + |A \\ B| + |B \\ A| on keys") {
     import spark.implicits._
     val setsGen = for {
