@@ -142,12 +142,17 @@ object DedupVariants {
     * shape GraphX/GraphFrames CC uses; at corpus scale the large-star/
     * small-star variant halves rounds but keeps this per-round plan. */
   def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgram(s, dir).select("id_a", "id_b")
+    // cache the pair set BEFORE the symmetrizing union — otherwise the
+    // union's two branches each re-run the whole inverted-index join
+    val pairs = qDedupNgram(s, dir).select("id_a", "id_b").cache()
+    // the pair graph is orders of magnitude smaller than the corpus (only
+    // docs with a near-dup survive into it) — shrink the loop's
+    // parallelism to match, or per-round task overhead dominates
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").repartition(4, col("dst")).cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .withColumn("label", col("id")).coalesce(4).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
