@@ -39,6 +39,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      // drop caches between queries: several operators legitimately
+      // cache (LSH features, CV folds, CC edges); letting those pile up
+      // across 93 keys turns late queries into GC benchmarks (observed
+      // as a stochastic 7s -> 55s q_ml_cv in full runs)
+      spark.catalog.clearCache()
       // ms precision: keeps the JSON line short enough to survive the
       // driver's bounded log-tail capture (r2's full-precision line was
       // ~3.6 KB and its head — including "metric" — was truncated away,

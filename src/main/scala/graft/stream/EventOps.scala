@@ -77,11 +77,43 @@ object EventOps {
   def qStreamDedup(s: SparkSession, dir: String): DataFrame =
     dedupTransform(Tables.events(s, dir)).orderBy("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding 10 minutes. In streaming mode both
+    * inputs carry a watermark and the time-range condition bounds the
+    * join state (rows older than watermark − 10 min are evicted) — the
+    * canonical Structured Streaming join shape. Batch mode plans the
+    * identical condition as an equi-join on user_id with a range
+    * residual. */
+  def joinTransform(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("ts").as("c_ts"),
+      col("user_id").as("c_user"), col("value").as("c_value"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("ts").as("p_ts"), col("user_id").as("p_user"))
+    p.join(c, col("c_user") === col("p_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+  }
+
+  /** q_stream_join — batch form: per purchase, count + value of the
+    * user's clicks in the 10 minutes before it (purchases with no such
+    * click are absent — inner join). */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    joinTransform(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        round(sum("c_value"), 2).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -131,5 +163,14 @@ object EventOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id
         |        ORDER BY ts) AS rn FROM events)
         |WHERE rn = 1
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+        |  ROUND(SUM(c.value), 2) AS click_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+        |GROUP BY 1
+        |ORDER BY purchase_id""".stripMargin)
 }

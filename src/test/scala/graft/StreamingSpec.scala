@@ -141,6 +141,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("stream-stream interval join == batch join, out-of-order input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 2.0),
+      Ev(3, ts(8), 1, "purchase", 10.0), // joins clicks 1 & 2
+      Ev(4, ts(3), 2, "purchase", 20.0), // no clicks → absent (inner)
+      Ev(5, ts(30), 1, "click", 3.0),    // after purchase 3 → no match
+      Ev(6, ts(35), 1, "purchase", 30.0)) // joins click 5 only (10m window)
+    val mem = MemoryStream[Ev]
+    val df = mem.toDF()
+    val joined = stream.EventOps.joinTransform(
+      df.filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes"),
+      df.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes"))
+      .select("purchase_id", "c_value")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    // deliver out of order across batches; then advance the watermark
+    mem.addData(events(2), events(0))
+    q.processAllAvailable()
+    mem.addData(events(1), events(3), events(4), events(5))
+    q.processAllAvailable()
+    mem.addData(Ev(7, ts(500), 2, "click", 0.5)) // close everything
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = stream.EventOps.joinTransform(
+      events.toDF().filter(col("event_type") === "click"),
+      events.toDF().filter(col("event_type") === "purchase"))
+      .select("purchase_id", "c_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == batch)
+    assert(batch == Set((3L, 1.0), (3L, 2.0), (6L, 3.0)))
+  }
+
   test("late rows beyond the watermark are dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
