@@ -27,6 +27,19 @@ object Bench {
     // warm-up must never abort the run before the JSON line is emitted
     try Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // JIT the L-BFGS/breeze optimizer path: the first LR fit in a JVM
+    // otherwise pays 5–20 s of tiered compilation, landing on whichever
+    // ML key runs first (q_ml_cv, alphabetically)
+    try {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(256)
+        .select((col("id") % 2).cast("double").as("label"),
+          org.apache.spark.ml.functions.array_to_vector(
+            array(col("id").cast("double"), (col("id") * 2).cast("double")))
+            .as("features"))
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(10).fit(warm)
+    } catch { case _: Throwable => () }
     // Optional key filter (args) for local iteration; the driver always
     // invokes with no args → full run.
     val only = args.toSet

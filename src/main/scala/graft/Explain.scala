@@ -11,7 +11,9 @@ object Explain {
     val keys = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_agg_hash", "q_join_broadcast", "q_join_inner", "q_filter_pred",
       "q_topk_per_group", "q_limit_topk", "q_dedup_exact", "q_sim_topk",
-      "q_text_tfidf", "q_stream_tumbling")
+      "q_text_tfidf", "q_stream_tumbling",
+      "q_agg_salted", "q_join_skew_salted", "q_join_bucketed",
+      "q_scan_partitioned", "q_stream_join")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -106,6 +106,10 @@ object Pipelines {
     // to a handful of partitions and fit the grid points concurrently —
     // this is a small-data tuning loop, not the 100 TB scan path.
     val data = embFeatures(s, dir).coalesce(4).cache()
+    // materialize BEFORE fit: with parallelism(2) the concurrent fold
+    // fits otherwise race the lazy cache build (observed as stochastic
+    // 7 s → 27–55 s full-bench runs)
+    data.count()
     val lr = new LogisticRegression().setMaxIter(30)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.01, 0.1)).build()

@@ -109,10 +109,28 @@ object Analysis {
         countDistinct(col("h")).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** q_text_tokens — token counting under two tokenizers (the pipeline's
+    * cost estimator): whitespace words vs a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alphanumeric marks — the
+    * word-boundary pre-split every BPE vocabulary applies before merges).
+    * The pattern keeps to the Java∩RE2 regex intersection (char classes
+    * and alternation only, SURVEY §7.4.4). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"))
+      .withColumn("bpe_per_word",
+        floor(col("n_bpe") / col("n_ws") * 1e6) / 1e6)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_tokens" -> (qTextTokens _))
 
   val oracle: Map[String, String] = {
     val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
@@ -161,6 +179,16 @@ object Analysis {
            |    0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0))
            |    * 1e6) / 1e6 AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe,
+          |  floor(len(regexp_extract_all(text,
+          |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) * 1.0 /
+          |    len(string_split(text, ' ')) * 1e6) / 1e6 AS bpe_per_word
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
       "q_text_fingerprint" ->
         """SELECT doc_id,
           |  MIN(h) AS fp_min, MAX(h) AS fp_max,

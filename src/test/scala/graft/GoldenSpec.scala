@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 93,
-      s"expected 77 SURVEY keys + 16 training-data/scale extensions, " +
+    assert(SparkEntry.queries.size == 94,
+      s"expected 77 SURVEY keys + 17 training-data/scale extensions, " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 83,
-      s"expected 83 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 84,
+      s"expected 84 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
