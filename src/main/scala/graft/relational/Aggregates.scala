@@ -104,6 +104,24 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** q_agg_approx_percentile — approximate percentiles via Spark's
+    * quantile sketch (added round 3): the 100 TB twin of
+    * q_agg_percentile, exactly as q_agg_approx_distinct is of
+    * q_agg_distinct — a mergeable bounded-size sketch per partition
+    * instead of a per-group sort. No oracle (sketch internals are
+    * engine-specific); the scalatest suite asserts relative error vs the
+    * exact percentiles. */
+  def qAggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pcts"), 1), 2).as("p25"),
+        round(element_at(col("pcts"), 2), 2).as("p50"),
+        round(element_at(col("pcts"), 3), 2).as("p75"))
+      .orderBy("l_returnflag")
+
   /** q_agg_percentile — exact interpolated percentiles + median per
     * returnflag. 2dp inputs at quarter interpolation points sit on a 4dp
     * grid, so round(4) is exact on both engines. */
@@ -170,6 +188,7 @@ object Aggregates {
     "q_agg_cube" -> (qAggCube _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_approx_percentile" -> (qAggApproxPercentile _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),

@@ -21,6 +21,22 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx percentiles within 1% of exact per group") {
+    val exact = relational.Aggregates.qAggPercentile(spark, sf001)
+      .select("l_returnflag", "p25", "p50", "p75").collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = relational.Aggregates.qAggApproxPercentile(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, es) =>
+      es.zip(approx(k)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e <= 0.01, s"group $k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("LSH neighbors reach recall >= 0.8 vs exact cosine top-5") {
     val exact = llm.Similarity.qSimTopk(spark, sf001)
       .select("qid", "cid").collect()
