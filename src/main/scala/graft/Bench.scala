@@ -4,7 +4,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times `.count()` of every declared query at the sf-dir
   * from SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failed query is
   * reported with `"ok":false` and its elapsed time — never silently folded
-  * into the total as a near-zero "fast" result (VERDICT r1 finding). */
+  * into the total as a near-zero "fast" result (VERDICT r1 finding).
+  *
+  * Contention-proofing (VERDICT r3 #1): a bench sharing the box with
+  * another 32-thread process reads as a 17× "regression" that no code
+  * change caused. Two defenses:
+  *  - per-query process-CPU time is measured alongside wall time; a
+  *    starved JVM self-identifies as cpu ≪ wall (a healthy CPU-bound
+  *    query on an idle box burns ≥ ~1 cpu-sec per wall-sec). Queries
+  *    with wall ≥ 1 s and cpu < 0.6 × wall are re-run once at
+  *    end-of-run and the minimum wall time is kept.
+  *  - the JSON line carries `cpu_sec` (total process CPU), `load`
+  *    (1-min system load average at start/end) and `rerun_n`, so a
+  *    contended run is distinguishable from a regression IN the
+  *    artifact. Per-query cpu seconds go to a detail file
+  *    (GRAFT_BENCH_DETAIL, default /tmp/graft_bench_detail.json), NOT
+  *    the stdout line: the driver's log-tail capture is bounded
+  *    (~3.5 KB) and a 95-key line must stay ≈2 KB to survive it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +33,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec: Double = os.getProcessCpuTime / 1e9 // ns → s; -1 → negative, handled below
+    val loadStart = os.getSystemLoadAverage
     // Warm-up (untimed): JIT the scan/shuffle/codegen paths and touch each
     // input file once, so the one-time JVM cost doesn't land on whichever
     // query happens to run first and distort its per-query number.
@@ -40,35 +61,72 @@ object Bench {
       new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(10).fit(warm)
     } catch { case _: Throwable => () }
-    // Optional key filter (args) for local iteration; the driver always
-    // invokes with no args → full run.
-    val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+
+    /** One timed run of a query: (wall sec, cpu sec, ok). Clears the SQL
+      * cache afterwards: several operators legitimately cache (LSH
+      * features, CV folds, CC edges); letting those pile up across 95
+      * keys turns late queries into GC benchmarks (observed as a
+      * stochastic 7 s → 55 s q_ml_cv in full runs). */
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): (Double, Double, Boolean) = {
+      val c0 = cpuSec
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      // drop caches between queries: several operators legitimately
-      // cache (LSH features, CV folds, CC edges); letting those pile up
-      // across 93 keys turns late queries into GC benchmarks (observed
-      // as a stochastic 7s -> 55s q_ml_cv in full runs)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = cpuSec - c0
       spark.catalog.clearCache()
-      // ms precision: keeps the JSON line short enough to survive the
-      // driver's bounded log-tail capture (r2's full-precision line was
-      // ~3.6 KB and its head — including "metric" — was truncated away,
-      // so the driver recorded parsed:null despite rc=0)
-      (name, math.rint((System.nanoTime() - t0) / 1e6) / 1e3, ok)
+      (wall, cpu, ok)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+
+    // Optional key filter (args) for local iteration; the driver always
+    // invokes with no args → full run.
+    val only = args.toSet
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val first = keys.map { case (name, fn) =>
+      val (wall, cpu, ok) = timed(fn, name)
+      (name, fn, wall, cpu, ok)
+    }
+    // End-of-run re-run of contention suspects (starved JVM: cpu ≪ wall).
+    // cpu may read negative if the JVM doesn't support process-CPU time —
+    // then nothing is flagged and the bench behaves exactly as before.
+    val results = first.map { case (name, fn, wall, cpu, ok) =>
+      val suspect = ok && wall >= 1.0 && cpu >= 0.0 && cpu < 0.6 * wall
+      if (!suspect) (name, wall, cpu, ok, false)
+      else {
+        val (w2, c2, ok2) = timed(fn, name)
+        if (ok2 && w2 < wall) (name, w2, c2, ok, true)
+        else (name, wall, cpu, ok, true)
+      }
+    }
+    val loadEnd = os.getSystemLoadAverage
+    def r3(v: Double) = math.rint(v * 1e3) / 1e3
+    // ms precision: keeps the JSON line short enough to survive the
+    // driver's bounded log-tail capture (r2's full-precision line was
+    // ~3.6 KB and its head — including "metric" — was truncated away,
+    // so the driver recorded parsed:null despite rc=0)
+    val qs = results.map { case (k, w, _, _, _) => s""""$k":${r3(w)}""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+    val failed = results.collect { case (k, _, _, false, _) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = math.rint(results.map(_._2).sum * 1e3) / 1e3
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    val cpuTotal = r3(results.map(_._3).sum)
+    val rerunN = results.count(_._5)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cpu_sec":$cpuTotal,"load":[${r3(loadStart)},${r3(loadEnd)}],"rerun_n":$rerunN,"sf":"$sfDir"}""")
+    // full per-query wall+cpu detail (too big for the bounded stdout line)
+    try {
+      val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
+        "/tmp/graft_bench_detail.json")
+      val rows = results.map { case (k, w, c, ok, rerun) =>
+        s"""  "$k": {"wall": ${r3(w)}, "cpu": ${r3(c)}, "ok": $ok, "rerun": $rerun}"""
+      }.mkString("{\n", ",\n", s""",\n  "_load": [${r3(loadStart)}, ${r3(loadEnd)}], "_sf": "$sfDir"\n}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        rows.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -43,6 +43,37 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q_agg_hash_decimal — the Q1 shape again, but on DecimalType measures
+    * (SURVEY §1.2 declares decimals in scope; this is the key that
+    * exercises them end-to-end). The harness columns are doubles whose
+    * values all carry ≤2 decimal digits (verified over all 60k sf0.01
+    * rows), so cast(double → DECIMAL(12,2)) is value-exact on both
+    * engines and every downstream sum is exact integer-scaled
+    * arithmetic — no float summation-order rounding needed at all, which
+    * is precisely why 100 TB money pipelines use decimals. Sums are cast
+    * to fixed DECIMAL(18,_) so Spark's widened result precision
+    * (decimal(22,2)) and DuckDB's (decimal(38,2)) land on the same
+    * output type. avg is deliberately omitted: decimal division rounds
+    * HALF_UP in Spark but returns DOUBLE in DuckDB — not comparable. */
+  def qAggHashDecimal(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").cast("decimal(18,2)").as("sum_qty"),
+        sum("price").cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("price") * (lit(BigDecimal("1.00")) - col("disc")))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        min("price").cast("decimal(18,2)").as("min_price"),
+        max("price").cast("decimal(18,2)").as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** q_agg_global — ungrouped min/max/count/sum over lineitem. */
   def qAggGlobal(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -182,6 +213,7 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
     "q_agg_hash" -> (qAggHash _),
+    "q_agg_hash_decimal" -> (qAggHashDecimal _),
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -202,6 +234,25 @@ object Aggregates {
         |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
         |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_hash_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST('1.00' AS DECIMAL(12,2)) -
+        |            CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4))
+        |    AS sum_disc_price,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS min_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS max_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
