@@ -128,6 +128,71 @@ object DedupVariants {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_dedup_embed_bucketed — the 100 TB path for q_dedup_embed: the same
+    * cosine ≥ 0.3 pair semantics, but candidates come from an IVF coarse
+    * quantizer instead of the all-pairs join (VERDICT r3 "weak" flag).
+    *
+    * Shape: a seeded KMeans (k=8) buckets the corpus; each vector is
+    * multi-assigned to its 3 nearest centroids so a pair straddling a
+    * bucket boundary still co-occurs in at least one bucket; candidate
+    * pairs are generated per bucket (id_a < id_b, distinct), and the
+    * exact cosine filter — literally q_dedup_embed's final predicate —
+    * runs only on candidates. Cost: centroids broadcast (k·dim doubles),
+    * pair space Σ_b |bucket_b|²/2 ≈ (p²/k)·n²/2 instead of n²/2, and
+    * every stage is a keyed shuffle — no driver collect, no cross join.
+    * q_dedup_embed remains the exact calibration twin; ApproxSpec asserts
+    * recall ≥ 0.95 against it at sf0.01 (precision is 1.0 by
+    * construction — the final filter is exact). No oracle (bucketing is
+    * model-dependent). */
+  def qDedupEmbedBucketed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.NativeFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val feat = e.withColumn("features", array_to_vector(col("emb")))
+    val km = new KMeans().setK(8).setSeed(42L).setFeaturesCol("features")
+      .setPredictionCol("b0")
+    val model = km.fit(feat)
+    val cents = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("bucket", "cemb")
+    // multi-probe assignment: 3 nearest centroids per vector (euclidean)
+    val assigned = e.select("vec_id", "emb")
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("emb"), col("cemb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("bucket").asc)))
+      .filter(col("rn") <= 3)
+      .select("bucket", "vec_id")
+    // candidate ids per bucket, deduped BEFORE the (expensive) exact
+    // filter so a pair sharing several buckets pays one dot product
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos_sim", round(
+        call_function("array_dot", col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
   /** q_dedup_cluster — duplicate clusters: connected components over the
     * exact n-gram near-dup pairs, labeling every clustered doc with the
     * min doc_id of its component (the canonical survivor) + component
@@ -180,6 +245,7 @@ object DedupVariants {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
     "q_dedup_cluster" -> (qDedupCluster _))
 
   val oracle: Map[String, String] = Map(

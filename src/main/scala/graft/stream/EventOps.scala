@@ -63,6 +63,24 @@ object EventOps {
         count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Streaming sessionization: the REAL `session_window` operator (30 min
+    * gap), the stream-mode twin of sessionTransform — state is bounded by
+    * the watermark and sessions are emitted when it passes their end.
+    * Semantics note vs the lag+cumsum form: session_window keeps a session
+    * open while the next event starts strictly BEFORE last_ts + gap, while
+    * the batch form breaks on ts − prev > gap — the two differ only for
+    * gaps of exactly 30 min (StreamingSpec avoids that boundary; real
+    * event-time data never sits on it exactly). `session_window.start`
+    * equals the session's min(ts), so closed sessions compare 1:1 with
+    * the batch output on (user, start, count, sum). */
+  def sessionWindowTransform(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** q_stream_session — batch sessionization per user (30min gap). */
   def qStreamSession(s: SparkSession, dir: String): DataFrame =
     sessionTransform(Tables.events(s, dir))

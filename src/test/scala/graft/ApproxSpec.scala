@@ -87,6 +87,23 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
+    val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = llm.DedupVariants.qDedupEmbedBucketed(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the final filter is the exact cosine predicate, so every returned
+    // pair must also be in the exact twin (precision = 1.0)...
+    assert(bucketed.subsetOf(exact),
+      s"false positives: ${(bucketed -- exact).take(5)}")
+    // ...and multi-probe assignment (3 nearest of 8 centroids) must keep
+    // recall high even for boundary-straddling pairs
+    val recall = (exact & bucketed).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
   test("ngram-Jaccard dedup finds the same pairs as MinHash-LSH here") {
     val exact = llm.DedupVariants.qDedupNgram(spark, sf001)
       .select("id_a", "id_b").collect()

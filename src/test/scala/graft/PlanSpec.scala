@@ -95,6 +95,110 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(aggSalted == aggPlain)
   }
 
+  /** Set confs, run the body, restore prior values even on failure. */
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val prior = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("CBO reorders a 3-table join by size once tables have stats") {
+    // SURVEY §7.5's deferred CBO surface: with ANALYZE'd row counts and
+    // spark.sql.cbo.joinReorder on, the optimizer joins the selective
+    // dimension first instead of following the syntactic order. AQE
+    // handles runtime re-planning; this is the complementary compile-time
+    // path a 100 TB user enables for multi-join queries.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      .write.option("path", s"$dir/li").saveAsTable("cbo_li")
+    Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      .write.option("path", s"$dir/ord").saveAsTable("cbo_ord")
+    Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")
+      .write.option("path", s"$dir/cust").saveAsTable("cbo_cust")
+    try {
+      Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      // stats actually flow into the plan (rowCount is only propagated
+      // into Statistics when CBO is on)
+      val rc = withConfs("spark.sql.cbo.enabled" -> "true") {
+        spark.table("cbo_li").queryExecution.optimizedPlan.stats.rowCount
+      }
+      assert(rc.exists(_.toLong > 0L), s"expected ANALYZE row count, got $rc")
+      // syntactically join the big fact pair FIRST, tiny filtered dim last
+      def query() = spark.sql(
+        """SELECT count(*) AS n
+          |FROM cbo_li
+          |JOIN cbo_ord ON l_orderkey = o_orderkey
+          |JOIN cbo_cust ON o_custkey = c_custkey
+          |WHERE c_custkey < 5""".stripMargin)
+      def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+      def idx(leaves: Seq[String], t: String): Int =
+        leaves.indexWhere(_.contains(t))
+      val off = withConfs("spark.sql.cbo.enabled" -> "false") {
+        leafOrder(query())
+      }
+      assert(idx(off, "cbo_cust") > idx(off, "cbo_li"),
+        s"without CBO the syntactic order should hold: $off")
+      val on = withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+        leafOrder(query())
+      }
+      assert(idx(on, "cbo_cust") < idx(on, "cbo_li"),
+        s"CBO should join the 4-row dim before the fact table: $on")
+      // and reordering preserved the result
+      assert(query().collect().head.getLong(0) ==
+        withConfs("spark.sql.cbo.enabled" -> "false") {
+          query().collect().head.getLong(0) })
+    } finally {
+      Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t") }
+    }
+  }
+
+  test("AQE splits a skewed shuffle partition (skewJoin rewrite)") {
+    // Complement of the manual-salting keys (q_join_skew_salted): when
+    // skew only shows at runtime, AQE's OptimizeSkewedJoin splits the
+    // oversized partition into subpartitions and replicates the matching
+    // build rows — no query rewrite needed. Manual salting remains the
+    // tool when the engine can't see the skew (e.g. a skewed agg key) or
+    // AQE is unavailable; this test documents that the AQE path works.
+    import spark.implicits._
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "30KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // hot key: 99% of the left side lands in one shuffle partition. The
+      // payload column rides along (consumed by the post-join sum) so the
+      // hot partition's shuffle bytes aren't compressed away below the
+      // skew threshold — a partition of nothing but k=0 is ~free in lz4.
+      val left = spark.range(100000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id"))
+          .as("k"), pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
+      val right = spark.range(100).select(col("id").as("k"))
+      val joined = left.join(right, "k")
+        .select(count(lit(1)).as("n"), sum("v").as("sv"))
+      val n = joined.collect().head.getLong(0)
+      // only the hot key 0 matches the 0..99 build side: the 99 000
+      // remainder rows plus id=0 itself
+      assert(n == 99001L, s"join produced $n rows")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in:\n$finalPlan")
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned layout") {
     // SURVEY §7.5's deferred demo: write orders partitioned by year, join
     // against a filtered dim — the fact scan must carry a partition filter

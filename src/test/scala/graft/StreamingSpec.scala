@@ -217,6 +217,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("session_window operator: stream (watermark, out-of-order) == " +
+      "batch lag+cumsum sessionization on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "view", 2.0),
+      Ev(3, ts(55), 1, "click", 3.0), // 45min gap → new session
+      Ev(4, ts(60), 1, "view", 4.0),
+      Ev(5, ts(2), 2, "click", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = stream.EventOps.sessionWindowTransform(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    // out-of-order delivery across micro-batches
+    mem.addData(events(1), events(0), events(4))
+    q.processAllAvailable()
+    mem.addData(events(2), events(3))
+    q.processAllAvailable()
+    // advance the watermark far past every session end → all close
+    mem.addData(Ev(6, ts(1000), 3, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sw_out")
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    // the closing event's own session (user 3) is still open — the
+    // batch side is computed over the original 5 events only
+    val batch = stream.EventOps.sessionTransform(events.toDF())
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.size == 3) // user 1 × 2 sessions, user 2 × 1
+  }
+
   test("transformWithState (Spark 4): running per-user counter with " +
       "ValueState on the RocksDB store") {
     import spark.implicits._
