@@ -75,9 +75,14 @@ object Dedup {
       .filter(size(col("tokens")) > 0)
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    // cached: the self-join consumes this plan twice, and the shingle
-    // construction (interpreted higher-order lambda) is the expensive part
-    val featured = tf.transform(docs).select("doc_id", "features").cache()
+    // materialized ONCE via eager localCheckpoint (not cache): the
+    // self-join consumes this plan twice and the shingle construction
+    // (interpreted higher-order lambda) is the expensive part. The
+    // returned join still references this plan, so an unpersist-on-exit
+    // is impossible — a checkpoint gives the same reuse while leaving the
+    // SQL cache empty per Q's cache-ownership contract (graft/package.scala)
+    val featured = tf.transform(docs).select("doc_id", "features")
+      .localCheckpoint(true)
     // 4 tables: for pairs at Jaccard ≥ 0.9 the per-table miss rate is
     // ≤ 0.1, so P(missed by all 4) ≤ 1e-4 — and the seeded outcome is
     // fixed; the test asserts parity with the exact n-gram pairs. Halves

@@ -234,6 +234,11 @@ object DedupVariants {
       rounds += 1
     }
     import org.apache.spark.sql.expressions.Window
+    // the propagation loop is eager (one count per round) and the final
+    // labels are localCheckpointed — the pair/edge caches are no longer
+    // referenced (Q cache-ownership contract, graft/package.scala)
+    edges.unpersist()
+    pairs.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",

@@ -83,7 +83,11 @@ object Pipelines {
       embFeatures(s, dir).randomSplit(Array(0.8, 0.2), seed)
     val model = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
       .fit(train)
-    val pred = model.transform(test).select("label", "prediction").cache()
+    // eager localCheckpoint, not cache: consumed by two evaluator passes
+    // AND the returned groupBy — Q's cache-ownership contract forbids
+    // leaving an entry in the SQL cache after the result is consumed
+    val pred = model.transform(test).select("label", "prediction")
+      .localCheckpoint(true)
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy").evaluate(pred)
     val f1 = new MulticlassClassificationEvaluator()
@@ -124,6 +128,9 @@ object Pipelines {
     val rows = grid.zip(fitted.avgMetrics).map { case (pm, m) =>
       (pm.get(lr.regParam).get, math.rint(m * 1e4) / 1e4)
     }.toSeq
+    // fit is eager and the returned grid DF is driver-built: the cached
+    // features are no longer referenced (Q cache-ownership contract)
+    data.unpersist()
     rows.toDF("reg_param", "avg_f1").orderBy("reg_param")
   }
 

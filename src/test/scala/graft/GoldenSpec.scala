@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 95,
-      s"expected 77 SURVEY keys + 18 training-data/scale extensions, " +
+    assert(SparkEntry.queries.size == 97,
+      s"expected 77 SURVEY keys + 20 training-data/scale extensions, " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 84,
-      s"expected 84 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 85,
+      s"expected 85 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -199,6 +199,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cache hygiene: query fns leave the SQL cache empty once consumed") {
+    // Q's cache-ownership contract (graft/package.scala): the four
+    // operators that legitimately materialize an intermediate must not
+    // leak it into the session's SQL cache — 95 keys share one session
+    // under Verify/Bench, and leaked entries pile into a GC benchmark.
+    spark.catalog.clearCache()
+    val fns: Seq[(String, graft.Q)] = Seq(
+      "q_dedup_near" -> (llm.Dedup.qDedupNear _),
+      "q_dedup_cluster" -> (llm.DedupVariants.qDedupCluster _),
+      "q_ml_eval" -> (ml.Pipelines.qMlEval _),
+      "q_ml_cv" -> (ml.Pipelines.qMlCv _))
+    fns.foreach { case (name, fn) =>
+      fn(spark, sf0001).count()
+      assert(
+        org.apache.spark.sql.graftprobe.CacheProbe.sqlCacheEmpty(spark),
+        s"$name left a plan in the SQL cache")
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned layout") {
     // SURVEY §7.5's deferred demo: write orders partitioned by year, join
     // against a filtered dim — the fact scan must carry a partition filter
