@@ -75,14 +75,14 @@ object Dedup {
       .filter(size(col("tokens")) > 0)
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    // materialized ONCE via eager localCheckpoint (not cache): the
-    // self-join consumes this plan twice and the shingle construction
-    // (interpreted higher-order lambda) is the expensive part. The
-    // returned join still references this plan, so an unpersist-on-exit
-    // is impossible — a checkpoint gives the same reuse while leaving the
-    // SQL cache empty per Q's cache-ownership contract (graft/package.scala)
-    val featured = tf.transform(docs).select("doc_id", "features")
-      .localCheckpoint(true)
+    // cache() here is LOAD-BEARING for the plan, not just for reuse: the
+    // InMemoryRelation's size statistics let approxSimilarityJoin's
+    // exploded bucket join broadcast; swapping in localCheckpoint (tried
+    // round 4) erases the stats (LogicalRDD defaults to "huge") and the
+    // join degrades to a sort-merge over interpreted vector-key ordering
+    // — 6 s → 230 s at sf0.1. Q's cache-ownership contract is met below
+    // by materializing the result eagerly and unpersisting on exit.
+    val featured = tf.transform(docs).select("doc_id", "features").cache()
     // 4 tables: for pairs at Jaccard ≥ 0.9 the per-table miss rate is
     // ≤ 0.1, so P(missed by all 4) ≤ 1e-4 — and the seeded outcome is
     // fixed; the test asserts parity with the exact n-gram pairs. Halves
@@ -90,13 +90,18 @@ object Dedup {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
+    val pairs = model
+      .approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
       .filter(col("id_a") < col("id_b"))
-      .orderBy("id_a", "id_b")
+      // eager: the tiny pair set is materialized while `featured` is still
+      // cached; the cache is then released (Q cache-ownership contract)
+      .localCheckpoint(true)
+    featured.unpersist()
+    pairs.orderBy("id_a", "id_b")
   }
 
   val queries: Map[String, Q] = Map(
