@@ -24,6 +24,7 @@ object SparkEntry {
     (text.Analysis.queries, text.Analysis.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
     (llm.DedupVariants.queries, llm.DedupVariants.oracle),
+    (llm.Curation.queries, llm.Curation.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (ml.Pipelines.queries, ml.Pipelines.oracle),

@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-curation operators for training-data preparation (SURVEY §2.13):
+  * stratified sampling (data mixing), token-budget sequence packing, and
+  * repetition-based quality filtering (the Gopher-rule family that survives
+  * this corpus' no-newline synthetic text — line-based rules would be
+  * vacuous here).
+  *
+  * Scale notes (100 TB posture):
+  *  - q_sample_stratified is a pure pushdown-friendly filter — per-stratum
+  *    rates compile to one scan predicate, no shuffle, no per-stratum pass.
+  *  - q_pack_sequences packs within (lang, shard) hash shards, NOT per
+  *    language: a per-lang ordered cumulative sum is a single-reducer
+  *    bottleneck at corpus scale, while per-shard packing is embarrassingly
+  *    parallel and loses at most one under-filled bin per shard. The shard
+  *    count is the parallelism knob (4 here for a readable fixture; O(cores)
+  *    at scale).
+  *  - q_quality_repetition shuffles token-level rows only as keyed partial
+  *    aggregates (doc_id, bigram) — map-side combine bounds the shuffle by
+  *    per-doc distinct bigrams; the final per-doc join is key-unique on
+  *    doc_id (no skew).
+  */
+object Curation {
+
+  /** Bigram array over a pre-split token array. The lambda must index the
+    * ALREADY-SPLIT array — higher-order functions are interpreted (no
+    * codegen / subexpression elimination), so `split(...)` inside the
+    * lambda re-tokenizes the whole document per element (the 60× blow-up
+    * documented in text/Analysis.scala). */
+  private def bigramExpr = expr(
+    """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+      |  (t, i) -> concat(t, ' ', toks[i + 1]))""".stripMargin)
+
+  /** q_sample_stratified — per-stratum deterministic sampling (training-mix
+    * rebalancing): downsample the majority language to 1/4 by key-modulo,
+    * keep 1/2 of everything else. Key-modulo, not seeded sample(): the
+    * rate is exact per stratum, reproducible across engines, and the whole
+    * operator is one sargable scan predicate (SURVEY §2.2 q_sample_det
+    * rationale, applied per stratum). */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(
+        (col("lang") === "en" && col("doc_id") % 4 === 0) ||
+        (col("lang") =!= "en" && col("doc_id") % 2 === 0))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** q_pack_sequences — contiguous-fill sequence packing: within each
+    * (lang, shard = doc_id % 4) shard, docs in doc_id order are assigned to
+    * the bin holding the running token count before them (budget 2048
+    * tokens; a doc may overflow its bin by design — greedy packing never
+    * splits a document). Emits per-bin stats, the packing manifest a
+    * training loader would consume. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(
+      col("lang"),
+      (col("doc_id") % 4).as("shard"),
+      col("doc_id"),
+      size(split(col("text"), " ")).as("tok"))
+    val cum = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("bin",
+        floor((sum("tok").over(cum).cast("double") - col("tok")) / 2048.0))
+      .groupBy("lang", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "bin")
+  }
+
+  /** q_quality_repetition — Gopher-style repetition signals per doc:
+    * duplicate-token ratio (1 − distinct/total) and top-bigram fraction
+    * (most frequent bigram / all bigrams), plus the composite flag. Ratios
+    * floor-truncated at 1e-6 on both engines (SURVEY §7.4.9 — round() is a
+    * half-way-split trap for rational k/n). Thresholds 0.55 / 0.05 sit at
+    * the corpus medians so the flag genuinely partitions the fixture. */
+  def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = toks.select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val bgStats = toks
+      .select(col("doc_id"), explode(bigramExpr).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bg"))
+    base.join(bgStats, "doc_id")
+      .withColumn("dup_ratio",
+        floor((col("n_tokens") - col("n_distinct")) * lit(1e6)
+          / col("n_tokens")) / lit(1e6))
+      .withColumn("top_bigram_ratio",
+        floor(col("top_c") * lit(1e6) / col("n_bg")) / lit(1e6))
+      .withColumn("flagged",
+        col("dup_ratio") > 0.55 || col("top_bigram_ratio") > 0.05)
+      .select("doc_id", "n_tokens", "dup_ratio", "top_bigram_ratio",
+        "flagged")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_quality_repetition" -> (qQualityRepetition _))
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (lang = 'en' AND doc_id % 4 = 0)
+        |   OR (lang <> 'en' AND doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id % 4 AS shard, doc_id,
+        |    len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, doc_id, tok,
+        |    CAST(FLOOR((CAST(SUM(tok) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) - tok)
+        |      / 2048.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT lang, shard, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3
+        |ORDER BY lang, shard, bin""".stripMargin,
+    "q_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS INT) AS n_distinct FROM toks),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bgs AS (
+        |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bgc
+        |  GROUP BY 1)
+        |SELECT b.doc_id, n_tokens,
+        |  FLOOR((n_tokens - n_distinct) * 1e6 / n_tokens) / 1e6
+        |    AS dup_ratio,
+        |  FLOOR(top_c * 1e6 / n_bg) / 1e6 AS top_bigram_ratio,
+        |  (FLOOR((n_tokens - n_distinct) * 1e6 / n_tokens) / 1e6 > 0.55
+        |   OR FLOOR(top_c * 1e6 / n_bg) / 1e6 > 0.05) AS flagged
+        |FROM base b JOIN bgs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -172,6 +172,23 @@ object Scalars {
         array_join(sort_array(map_keys(col("m"))), ",").as("types_csv"))
       .orderBy("user_id")
 
+  /** q_bit_funcs — bitwise scalar family on the integer keys: AND/OR/XOR,
+    * shifts, popcount, complement. All codegen'd built-ins; the family
+    * backs hash-partitioning and bitmap/bloom-filter idioms at scale.
+    * Types follow Spark coercion: BIGINT ops stay BIGINT, INT ops stay
+    * INT (oracle casts DuckDB's TINYINT bit_count up to INT). */
+  def qBitFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("l_linenumber").bitwiseOR(lit(8)).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber")).as("bxor"),
+        shiftleft(col("l_linenumber"), 3).as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        bit_count(col("l_orderkey")).as("bcnt"),
+        bitwise_not(col("l_linenumber")).as("bnot"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
     "q_str_funcs" -> (qStrFuncs _),
     "q_str_regex" -> (qStrRegex _),
@@ -182,7 +199,8 @@ object Scalars {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_explode" -> (qExplode _),
     "q_json_funcs" -> (qJsonFuncs _),
-    "q_map_funcs" -> (qMapFuncs _))
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_bit_funcs" -> (qBitFuncs _))
 
   val oracle: Map[String, String] = Map(
     "q_str_funcs" ->
@@ -289,5 +307,16 @@ object Scalars {
         |    AS types_csv
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q_bit_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS band,
+        |  l_linenumber | 8 AS bor,
+        |  xor(l_orderkey, l_linenumber) AS bxor,
+        |  l_linenumber << 3 AS shl,
+        |  l_orderkey >> 2 AS shr,
+        |  CAST(bit_count(l_orderkey) AS INT) AS bcnt,
+        |  ~l_linenumber AS bnot
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -58,6 +58,18 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** q_scan_orc — supplier → ORC → read back (the second self-describing
+    * columnar format; like parquet it keeps vectorized reads, predicate
+    * pushdown, and the int32/int64 physical types — asserted by the oracle
+    * hashing against the parquet original). */
+  def qScanOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.supplier(s, dir).coalesce(1).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** q_scan_text — region names → raw text lines → spark.read.text. */
   def qScanText(s: SparkSession, dir: String): DataFrame = {
     val path = scratch(s"text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
@@ -70,6 +82,7 @@ object Sources {
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_csv" -> (qScanCsv _),
     "q_scan_json" -> (qScanJson _),
+    "q_scan_orc" -> (qScanOrc _),
     "q_scan_text" -> (qScanText _))
 
   val oracle: Map[String, String] = Map(
@@ -82,6 +95,9 @@ object Sources {
     "q_scan_json" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_scan_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
     "q_scan_text" ->
       "SELECT r_name AS value FROM region ORDER BY value")
 }

@@ -126,12 +126,34 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** q_merge_upsert — changelog latest-wins compaction (the batch half of
+    * a CDC/upsert pipeline): per (user_id, event_type) entity, keep the
+    * newest version (ts desc, event_id desc tie-break) and report how many
+    * versions it superseded. One shuffle on the entity key, then
+    * partition-local window scans — the log-compaction shape that at
+    * 100 TB runs per partition of a date-partitioned changelog. The
+    * streaming twin is the latest-state stateful op
+    * (transformWithState/flatMapGroupsWithState, StreamingSpec). */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val entity = Window.partitionBy("user_id", "event_type")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(
+        entity.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_versions", count(lit(1)).over(entity))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+        col("value").as("last_value"), col("n_versions"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
-    "q_stream_join" -> (qStreamJoin _))
+    "q_stream_join" -> (qStreamJoin _),
+    "q_merge_upsert" -> (qMergeUpsert _))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -190,5 +212,19 @@ object EventOps {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
         |GROUP BY 1
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+    "q_merge_upsert" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value, n_versions
+        |-- ORDER BY the µs-truncated cast, not raw ns ts: Spark sees µs
+        |-- (Tables.events), so a µs-level tie must break on event_id in
+        |-- BOTH engines (the q_join_asof lesson, SURVEY §7.4)
+        |FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type)
+        |      AS n_versions
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
 }
