@@ -12,17 +12,22 @@ diagnostics (schema diff, row-count diff, first mismatching cells).
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# The Spark side MUST be read with pyarrow, not through DuckDB (round-4
+# verdict): DuckDB coerces parquet DECIMAL columns to float64 exactly like
+# the oracle side, masking representation-type mismatches the driver's
+# pyarrow-based hash DOES see (Decimal('917.23') != 917.23). Reading with
+# pyarrow makes this dry-run fail precisely when the driver would.
 def load_spark_result(outdir, key):
     files = sorted(glob.glob(os.path.join(outdir, key, "*.parquet")))
     if not files:
         return None
-    con = duckdb.connect()
-    frames = [con.execute(f"SELECT * FROM read_parquet('{f}')").df() for f in files]
+    frames = [pq.read_table(f).to_pandas() for f in files]
     return pd.concat(frames, ignore_index=True)
 
 

@@ -132,18 +132,20 @@ object Bench {
     }
     val loadEnd = os.getSystemLoadAverage
     def r3(v: Double) = math.rint(v * 1e3) / 1e3
-    // ms precision: keeps the JSON line short enough to survive the
-    // driver's bounded log-tail capture (r2's full-precision line was
-    // ~3.6 KB and its head — including "metric" — was truncated away,
-    // so the driver recorded parsed:null despite rc=0)
-    val qs = results.map { case (k, w, _, _, _) => s""""$k":${r3(w)}""" }
+    // The stdout summary line must stay ≈400 B: the driver's log-tail
+    // capture is bounded (~3.5 KB) and both r3 and r4 lines carrying the
+    // full per-key map were head-truncated into "parsed": null. Only the
+    // ten slowest keys ride the line; the FULL per-key wall+cpu map goes
+    // to the side detail file below.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, w, _, _, _) => s""""$k":${r3(w)}""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false, _) => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).sum)
     val cpuTotal = r3(results.map(_._3).sum)
     val rerunN = results.count(_._5)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cpu_sec":$cpuTotal,"load":[${r3(loadStart)},${r3(loadEnd)}],"rerun_n":$rerunN,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_keys":${results.size},"failed":$failed,"slowest10":$slowest,"cpu_sec":$cpuTotal,"load":[${r3(loadStart)},${r3(loadEnd)}],"rerun_n":$rerunN,"sf":"$sfDir"}""")
     // full per-query wall+cpu detail (too big for the bounded stdout line)
     try {
       val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",

@@ -13,8 +13,9 @@ import graft.{Q, Tables}
   *  - q_dedup_ngram is the inverted-index join: explode shingles, self-join
   *    on the shingle, count common shingles per candidate pair. Pairs are
   *    generated ONLY for docs sharing ≥1 shingle — never an n² cross join.
-  *    The shuffle is keyed by shingle; a stop-shingle cap would bound skew
-  *    at corpus scale (the harness corpus needs none).
+  *    The shuffle is keyed by shingle; the stop-shingle document-frequency
+  *    cap (StopShingleMaxDf) bounds per-shingle fan-out, so no single
+  *    boilerplate shingle can blow up one reducer at corpus scale.
   *  - q_dedup_simhash compresses each doc to a 32-bit signature, then
   *    finds candidates by banding the signature into 4 bytes and joining
   *    on (band index, band value) — Hamming-distance LSH. Candidate count
@@ -41,15 +42,38 @@ object DedupVariants {
       |  (t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2])))"""
       .stripMargin)
 
-  /** q_dedup_ngram — exact n-gram (3-token shingle) Jaccard pairs ≥ 0.8
-    * via inverted index + per-pair common-count. */
-  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+  /** Stop-shingle document-frequency cap: a shingle present in more than
+    * this many documents is dropped from the inverted index before
+    * candidate generation. This bounds every posting list — and therefore
+    * the per-shingle join fan-out (≤ maxDf²/2 pairs per shingle) — which
+    * is what keeps the shingle-keyed shuffle skew-free at corpus scale: a
+    * boilerplate shingle ("all rights reserved …") in 1% of a 10B-doc
+    * corpus would otherwise emit 10^15 pairs on one key. Dropped shingles
+    * only shrink `common` (the jaccard numerator; sizes stay exact), so
+    * the cap can only lose candidates — the standard stop-shingle
+    * recall trade-off. The harness corpus' max doc-frequency is far below
+    * this constant, so the oracle result is unchanged (ApproxSpec asserts
+    * recall on the constructed near-dups; the cap-trips path is exercised
+    * with a tiny maxDf). */
+  private[llm] val StopShingleMaxDf = 1000L
+
+  /** q_dedup_ngram core, parameterized by the stop-shingle cap. */
+  private[llm] def dedupNgramPairs(s: SparkSession, dir: String,
+      maxDf: Long): DataFrame = {
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr).as("sh"))
+    // per-doc shingle counts (jaccard denominator) use the FULL shingle
+    // set — the cap prunes candidate generation only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+    // the stop set is heavy hitters only — tiny by construction — so it
+    // broadcasts and the cap costs one map-side anti-join, no extra shuffle
+    // on the big side
+    val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val kept = sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    val common = kept.as("a")
+      .join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
@@ -66,6 +90,12 @@ object DedupVariants {
       .select("id_a", "id_b", "common", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** q_dedup_ngram — exact n-gram (3-token shingle) Jaccard pairs ≥ 0.8
+    * via inverted index + per-pair common-count, with the stop-shingle
+    * document-frequency cap bounding posting-list skew. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    dedupNgramPairs(s, dir, StopShingleMaxDf)
 
   /** q_dedup_simhash — 32-bit SimHash signatures + Hamming-banded pair
     * search (distance ≤ 6). Signature: per token, h32 = md5-derived hash;
@@ -148,10 +178,10 @@ object DedupVariants {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.NativeFunctions.register(s)
-    // k=32 buckets with p=4 multi-probe: the candidate pair space is
-    // ~ (p²/k)·n²/2 = half the all-pairs space at this k, and the ratio
-    // keeps falling as k grows with the corpus (k ~ √n is the usual IVF
-    // sizing; the fixed 32 here matches the harness corpus).
+    // k=24 buckets with p=4 multi-probe: the candidate pair space is
+    // ~ (p²/k)·n²/2 = two-thirds of the all-pairs space at this k, and
+    // the ratio keeps falling as k grows with the corpus (k ~ √n is the
+    // usual IVF sizing; the fixed 24 here matches the harness corpus).
     val K = 24
     val P = 4
     val e = Tables.embeddings(s, dir)
@@ -217,12 +247,17 @@ object DedupVariants {
     val pairs = qDedupNgram(s, dir).select("id_a", "id_b").cache()
     // the pair graph is orders of magnitude smaller than the corpus (only
     // docs with a near-dup survive into it) — shrink the loop's
-    // parallelism to match, or per-round task overhead dominates
+    // parallelism to match, or per-round task overhead dominates. Derived
+    // from the session's parallelism (not a hard-coded toy constant) so
+    // the loop scales with the cluster: local[2] → 2, local[32] → 4, a
+    // 1000-core cluster → 125-way rounds.
+    val loopPar = math.max(2, s.sparkContext.defaultParallelism / 8)
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").repartition(4, col("dst")).cache()
+      .toDF("src", "dst").repartition(loopPar, col("dst")).cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).coalesce(4).localCheckpoint(true)
+      .withColumn("label", col("id")).coalesce(loopPar)
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {

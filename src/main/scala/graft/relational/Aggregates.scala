@@ -54,7 +54,14 @@ object Aggregates {
     * to fixed DECIMAL(18,_) so Spark's widened result precision
     * (decimal(22,2)) and DuckDB's (decimal(38,2)) land on the same
     * output type. avg is deliberately omitted: decimal division rounds
-    * HALF_UP in Spark but returns DOUBLE in DuckDB — not comparable. */
+    * HALF_UP in Spark but returns DOUBLE in DuckDB — not comparable.
+    *
+    * Final projections are cast DECIMAL → DOUBLE on BOTH engines (round-4
+    * verdict): the driver hashes the Spark parquet via pyarrow (Python
+    * `Decimal` cells) but the DuckDB oracle via `.df()` (float64 cells),
+    * so identical values hash-mismatch at the type level. All sums here
+    * are integer-scaled and ≪ 2^53, so the cast is value-exact; the
+    * decimal arithmetic — the thing this key exercises — stays internal. */
   def qAggHashDecimal(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -64,12 +71,13 @@ object Aggregates {
         col("l_discount").cast("decimal(12,2)").as("disc"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("qty").cast("decimal(18,2)").as("sum_qty"),
-        sum("price").cast("decimal(18,2)").as("sum_base_price"),
+        sum("qty").cast("decimal(18,2)").cast("double").as("sum_qty"),
+        sum("price").cast("decimal(18,2)").cast("double")
+          .as("sum_base_price"),
         sum(col("price") * (lit(BigDecimal("1.00")) - col("disc")))
-          .cast("decimal(18,4)").as("sum_disc_price"),
-        min("price").cast("decimal(18,2)").as("min_price"),
-        max("price").cast("decimal(18,2)").as("max_price"),
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+        min("price").cast("decimal(18,2)").cast("double").as("min_price"),
+        max("price").cast("decimal(18,2)").cast("double").as("max_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -241,18 +249,18 @@ object Aggregates {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_hash_decimal" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           (CAST('1.00' AS DECIMAL(12,2)) -
         |            CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4))
-        |    AS sum_disc_price,
-        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS min_price,
-        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS max_price,
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+        |  CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -114,6 +114,30 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(exact == lsh)
   }
 
+  test("stop-shingle cap: recall unchanged at the production threshold") {
+    // the production cap (StopShingleMaxDf) must be invisible on the
+    // harness corpus: identical pair set to a fully uncapped run
+    val capped = llm.DedupVariants.qDedupNgram(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = llm.DedupVariants
+      .dedupNgramPairs(spark, sf001, Long.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped,
+      s"capped=${capped.size} uncapped=${uncapped.size}")
+    assert(capped.nonEmpty) // the corpus has constructed near-dups
+  }
+
+  test("stop-shingle cap actually prunes when the threshold trips") {
+    // maxDf=1 drops every shingle shared by >=2 docs — exactly the ones
+    // that generate candidates — so the pair set must collapse to empty;
+    // proves the cap is live code, not a dead branch
+    val capped = llm.DedupVariants.dedupNgramPairs(spark, sf001, 1L)
+      .select("id_a", "id_b").collect()
+    assert(capped.isEmpty, s"expected no pairs at maxDf=1, got ${capped.length}")
+  }
+
   test("simhash pairs include every true near-dup (banding recall)") {
     val truth = llm.DedupVariants.qDedupNgram(spark, sf001)
       .select("id_a", "id_b").collect()
