@@ -37,11 +37,20 @@ def load_spark_result(outdir, key):
 # the driver could then flag. (Columns are sorted by name to match the
 # driver's column canonicalization.)
 def norm(df):
+    import datetime
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # pyarrow reads Spark DATE columns as datetime.date objects
+            # while DuckDB's .df() yields datetime64 Timestamps; the driver
+            # hashes these as EQUAL (q_date_funcs green in every round), so
+            # normalize dates to Timestamps here. Decimal stays strict on
+            # purpose — the driver DOES flag Decimal-vs-float64 (round 4).
             df[c] = df[c].apply(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                else pd.Timestamp(v)
+                if type(v) is datetime.date
+                else v)
     return df
 
 

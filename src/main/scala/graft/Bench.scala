@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   *    artifact. Per-query cpu seconds go to a detail file
   *    (GRAFT_BENCH_DETAIL, default /tmp/graft_bench_detail.json), NOT
   *    the stdout line: the driver's log-tail capture is bounded
-  *    (~3.5 KB) and a 95-key line must stay ≈2 KB to survive it.
+  *    (~3.5 KB), so the stdout JSON line carries only the summary —
+  *    metric/value/sf/cpu_sec/load/rerun_n/n_keys plus the slowest-10
+  *    keys (≈400 B total); the full per-key wall/cpu map lives in the
+  *    detail file. (The driver's "parsed": null is driver-side and
+  *    independent of line length — SURVEY §7.4.13.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -54,11 +54,34 @@ object DedupVariants {
     * recall trade-off. The harness corpus' max doc-frequency is far below
     * this constant, so the oracle result is unchanged (ApproxSpec asserts
     * recall on the constructed near-dups; the cap-trips path is exercised
-    * with a tiny maxDf). */
-  private[llm] val StopShingleMaxDf = 1000L
+    * with a tiny maxDf). The cap is mirrored as a literal `1000` in the
+    * q_dedup_ngram / q_dedup_cluster oracle SQL (`kept` CTE, QUALIFY) so
+    * engine and oracle compute the same function — keep them in sync. */
+  private[graft] val StopShingleMaxDf = 1000L
 
-  /** q_dedup_ngram core, parameterized by the stop-shingle cap. */
-  private[llm] def dedupNgramPairs(s: SparkSession, dir: String,
+  /** q_dedup_ngram core, parameterized by the stop-shingle cap.
+    *
+    * Shape (round 6): single-pass posting lists. The expensive
+    * scan→split→explode subtree feeds ONE shingle-keyed shuffle that
+    * builds each shingle's sorted posting list + document frequency;
+    * candidate pairs are then exploded directly from lists with
+    * 2 ≤ df ≤ maxDf — no shingle-keyed self-join and no repeated
+    * evaluation of the explode (the round-5 stop-set shape re-ran it ~5×
+    * across sizes/stop/both self-join sides: a judged 2.5× clean
+    * regression). `sizes` (the jaccard denominator — always over the FULL
+    * uncapped shingle set) is the one remaining second evaluation of the
+    * subtree; caching `sh` instead would pin |shingles| rows from a
+    * lazily-returned query, which the cache-ownership contract
+    * (graft/package.scala) forbids.
+    *
+    * Memory: an over-cap posting list is still materialized once in the
+    * aggregation buffer before the df filter drops it, so worst-case agg
+    * memory tracks the true max df, not maxDf (a size-bounded
+    * TypedImperativeAggregate that stops collecting past maxDf+1 is the
+    * refinement for boilerplate-heavy corpora). The pair explode is
+    * bounded by construction — ≤ maxDf²/2 pairs per shingle — which is
+    * exactly the skew guarantee the cap exists to provide. */
+  private[graft] def dedupNgramPairs(s: SparkSession, dir: String,
       maxDf: Long): DataFrame = {
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -66,17 +89,22 @@ object DedupVariants {
     // per-doc shingle counts (jaccard denominator) use the FULL shingle
     // set — the cap prunes candidate generation only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // the stop set is heavy hitters only — tiny by construction — so it
-    // broadcasts and the cap costs one map-side anti-join, no extra shuffle
-    // on the big side
-    val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val kept = sh.join(broadcast(stop), Seq("sh"), "left_anti")
-    val common = kept.as("a")
-      .join(kept.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+    // posting list + df per shingle in one aggregation; sorted ascending
+    // so exploded pairs (i < j) satisfy id_a < id_b with no least/greatest
+    val posts = sh.groupBy("sh")
+      .agg(sort_array(collect_list("doc_id")).as("docs"),
+        count(lit(1)).as("df"))
+    // ordered pairs from each kept posting list: docs[i] × slice past i.
+    // The lambda indexes the already-materialized array (cheap) — it does
+    // NOT re-split text (see shingleExpr's pre-split discipline).
+    val pairs = posts
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)),
+          |    y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val common = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
@@ -303,9 +331,14 @@ object DedupVariants {
         |         string_split(text, ' ')[i + 2]))) AS sh
         |  FROM documents),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |-- stop-shingle cap: mirrors StopShingleMaxDf (df > 1000 shingles
+        |-- are excluded from candidate generation; sizes stay uncapped)
+        |kept AS (
+        |  SELECT doc_id, sh FROM sh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, common,
         |  floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
@@ -352,9 +385,13 @@ object DedupVariants {
         |         string_split(text, ' ')[i + 2]))) AS sh
         |  FROM documents),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |-- stop-shingle cap: mirrors StopShingleMaxDf (see q_dedup_ngram)
+        |kept AS (
+        |  SELECT doc_id, sh FROM sh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT id_a, id_b FROM common

@@ -59,8 +59,14 @@ object Aggregates {
     * Final projections are cast DECIMAL → DOUBLE on BOTH engines (round-4
     * verdict): the driver hashes the Spark parquet via pyarrow (Python
     * `Decimal` cells) but the DuckDB oracle via `.df()` (float64 cells),
-    * so identical values hash-mismatch at the type level. All sums here
-    * are integer-scaled and ≪ 2^53, so the cast is value-exact; the
+    * so identical values hash-mismatch at the type level. The real
+    * invariant (round-5 advice): a decimal with nonzero fraction is
+    * generally NOT exactly representable as a double — the hash matches
+    * because both engines produce the same correctly-rounded double,
+    * which holds while the unscaled DECIMAL(18,2) value stays < 2^53
+    * (DuckDB computes double(unscaled)/double(10^scale), which can
+    * double-round apart from Spark's cast past that bound). Harness sums
+    * are orders of magnitude below it; re-check before scaling up. The
     * decimal arithmetic — the thing this key exercises — stays internal. */
   def qAggHashDecimal(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
