@@ -53,11 +53,11 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** q_mm_decode — per-partition batched decode returning a fixed-width
-    * feature vector per payload. THE DECODER IS A DETERMINISTIC STUB
-    * (first 8 payload bytes scaled to [0,1]) — swap `stubDecode` for a
-    * real codec; the mapPartitions batching, schema, and ordering are the
-    * production shape. No oracle (typed lambda); scalatest asserts
-    * determinism and shape. */
+    * `array<float>` feature vector per payload. THE DECODER IS A
+    * DETERMINISTIC STUB (first 8 payload bytes scaled to [0,1]) — swap
+    * `stubDecode` for a real codec; the mapPartitions batching, schema,
+    * and ordering are the production shape. No oracle (typed lambda);
+    * scalatest asserts determinism and shape. */
   def qMmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def stubDecode(bytes: Array[Byte]): Array[Float] = {
@@ -72,14 +72,13 @@ object Multimodal {
       .mapPartitions { it =>
         // partition-local batch loop: one decoder init per partition
         it.map { case (id, bytes) =>
-          // features emitted as a fixed-format CSV string, not array<float>:
-          // the driver's row compare sorts values and cannot order raw array
-          // cells (round-2 finding: its pandas sort dies on ndarray columns)
-          val features = stubDecode(bytes)
-            .map(v => String.format(java.util.Locale.ROOT, "%.6f",
-              Double.box(v.toDouble)))
-            .mkString(",")
-          (id, bytes.length, features)
+          // features are a real array<float> (round-6 schema revision,
+          // SURVEY §2.13): the earlier CSV-string hedge guarded against a
+          // driver compare that couldn't sort ndarray cells, but this key
+          // is no_oracle (typed lambda) and q_array_funcs proves array
+          // columns round-trip the driver's hash anyway — downstream
+          // consumers (ANN, q_dedup_embed) want the typed column
+          (id, bytes.length, stubDecode(bytes))
         }
       }
       .toDF("doc_id", "n_bytes", "features")

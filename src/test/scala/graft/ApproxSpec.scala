@@ -150,13 +150,16 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("multimodal decode stub is deterministic with fixed width") {
+    // features are array<float> since round 6 (SURVEY §2.13 revision)
     val a = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
     val b = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
     assert(a.length == b.length && a.nonEmpty)
     assert(a.zip(b).forall { case (x, y) =>
-      x.getLong(0) == y.getLong(0) && x.getString(2) == y.getString(2)
+      x.getLong(0) == y.getLong(0) &&
+        x.getSeq[Float](2) == y.getSeq[Float](2)
     })
-    assert(a.forall(_.getString(2).split(",").length == 8))
+    assert(a.forall(_.getSeq[Float](2).length == 8))
+    assert(a.forall(_.getSeq[Float](2).forall(v => v >= 0f && v <= 1f)))
   }
 
   test("knn predictions agree with a driver-side recomputation") {
