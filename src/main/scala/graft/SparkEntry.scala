@@ -25,6 +25,7 @@ object SparkEntry {
     (llm.Dedup.queries, llm.Dedup.oracle),
     (llm.DedupVariants.queries, llm.DedupVariants.oracle),
     (llm.Curation.queries, llm.Curation.oracle),
+    (llm.Governance.queries, llm.Governance.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (ml.Pipelines.queries, ml.Pipelines.oracle),

@@ -1,0 +1,221 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Data-governance operators for training-data pipelines (SURVEY §2.13,
+  * round 6): benchmark decontamination, PII redaction, temperature-based
+  * language rebalancing, and deterministic shard assignment — the four
+  * curation steps a 100 TB pretraining pipeline runs between dedup and
+  * packing that the engine did not yet cover.
+  *
+  * Scale notes (100 TB posture):
+  *  - q_decontam_ngram joins the corpus' exploded 8-gram stream against a
+  *    BROADCAST eval-gram set: benchmark suites are ≪ the corpus (KBs-MBs
+  *    of distinct grams vs TBs of text), so the contamination check is one
+  *    map-side hash probe per gram — the training-side explode is
+  *    evaluated ONCE (single left-join + doc-keyed aggregate; no
+  *    gram-keyed shuffle at all, unlike the dedup inverted index which
+  *    must shuffle because both sides are large). The eval side here is
+  *    carved from `documents` by id; in production it is its own tiny
+  *    benchmark table.
+  *  - q_text_redact is a pure projection (regex codegen'd per row, no
+  *    shuffle); output carries an md5 of the redacted text, not the text,
+  *    so the result stays narrow.
+  *  - q_sample_temperature needs one tiny aggregate (per-language counts —
+  *    5 rows here, O(langs) anywhere) broadcast back; acceptance is a
+  *    deterministic per-row hash test, so the sample is reproducible
+  *    across runs/engines and the whole operator is scan + broadcast
+  *    probe, no corpus shuffle.
+  *  - q_shard_assign is one keyed partial aggregate over n_shards keys —
+  *    the manifest a training loader consumes for a deterministic global
+  *    shuffle. Shards come from the md5-derived h32 (engine-portable),
+  *    not Spark's hash() (SURVEY §7.4.12).
+  *
+  * Determinism: uniform deviates u ∈ [0,1) derive from the shared md5
+  * idiom h32(doc_id)/2^32 (§7.4.12); acceptance thresholds use pow(), an
+  * irrational-valued function safely comparable across engines (§7.4.9) —
+  * verified: the closest |u − a| gap on the harness corpus is ~9e-5,
+  * astronomically wider than any pow() last-ulp divergence.
+  */
+object Governance {
+
+  /** Distinct 8-token grams over a pre-split `toks` array. The lambda
+    * slices the ALREADY-SPLIT array (cheap array copy) — never re-split
+    * text inside a higher-order lambda (see Analysis.bigramExpr). W=8:
+    * long enough that the 31-word synthetic vocabulary cannot collide by
+    * chance (the observed overlaps are the constructed near-dups), short
+    * enough that every harness doc (min 10 tokens) emits grams. */
+  private def gram8Expr = expr(
+    """array_distinct(transform(
+      |  slice(toks, 1, greatest(size(toks) - 7, 0)),
+      |  (t, i) -> concat_ws(' ', slice(toks, i + 1, 8))))""".stripMargin)
+
+  /** Engine-portable h32 of a column (SURVEY §7.4.12 md5 idiom). */
+  private def h32(colName: String) =
+    expr(s"cast(conv(substring(md5(cast($colName as string)), 1, 8)," +
+      " 16, 10) as bigint)")
+
+  /** Engine-portable uniform deviate in [0,1) from a bigint key column. */
+  private def u01(colName: String) = h32(colName) / lit(4294967296.0)
+
+  /** q_decontam_ngram — benchmark decontamination: flag training docs
+    * sharing any 8-token gram with the held-out eval slice (doc_id % 10
+    * = 0 stands in for a benchmark suite). Emits per-contaminated-doc
+    * overlap counts + floor-truncated hit ratio — the report a pipeline
+    * uses to drop (or audit) leaked documents before training. */
+  def qDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(gram8Expr).as("g"))
+    val ev = g.filter(col("doc_id") % 10 === 0)
+      .select("g").distinct().withColumn("hit", lit(1))
+    // single pass over the training-side explode: left join against the
+    // broadcast eval set marks hits, one doc-keyed aggregate counts both
+    // totals and hits (count(col) skips nulls)
+    g.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("hit_ratio",
+        floor(col("n_hit") * lit(1e6) / col("n_grams")) / lit(1e6))
+      .select("doc_id", "n_hit", "n_grams", "hit_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** q_text_redact — PII redaction: scrub emails and phone-shaped numbers,
+    * report per-doc match counts and the md5 of the scrubbed text. The
+    * harness corpus is synthetic (no real PII), so deterministic fake PII
+    * is appended per doc — the regex machinery, counts, and replacement
+    * are the production operator; patterns stay in the Java∩RE2 common
+    * subset (SURVEY §7.4.4). */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(s, dir)
+      .withColumn("pii_text", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_sample_temperature — multilingual temperature rebalancing (α = 0.7):
+    * keep language l with probability a_l = (n_min/n_l)^(1−α), the
+    * downsample-only acceptance that realizes p_l ∝ (n_l/N)^α without
+    * upsampling — the standard mixing step before multilingual training.
+    * Acceptance is the deterministic per-doc hash test u(doc_id) < a_l,
+    * so the sample is exact-reproducible on any engine/cluster. */
+  def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    // n_min via a 1-partition window over the O(langs)-row aggregate — NOT
+    // a crossJoin(broadcast(lc.agg(min))), which would re-scan the corpus
+    // for a second language-count aggregation
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("a", pow(
+        min("n").over(Window.partitionBy(lit(1))).cast("double") / col("n"),
+        0.3))
+      .select("lang", "a")
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), "lang")
+      .filter(u01("doc_id") < col("a"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("a") * lit(1e6)) / lit(1e6)).as("accept_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** q_shard_assign — deterministic training-shard manifest: every doc
+    * hashes to one of 16 shards via the engine-portable h32; emits
+    * per-shard doc/token totals and id bounds (what a loader consumes to
+    * plan a deterministic global shuffle). */
+  def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("tok"),
+        (h32("doc_id") % 16).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard")
+
+  val queries: Map[String, Q] = Map(
+    "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_text_redact" -> (qTextRedact _),
+    "q_sample_temperature" -> (qSampleTemperature _),
+    "q_shard_assign" -> (qShardAssign _))
+
+  val oracle: Map[String, String] = Map(
+    "q_decontam_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 6),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))))
+        |    AS g
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+        |agg AS (
+        |  SELECT tr.doc_id, COUNT(*) AS n_grams,
+        |    COUNT(ev.g) AS n_hit
+        |  FROM tr LEFT JOIN ev ON tr.g = ev.g
+        |  GROUP BY tr.doc_id)
+        |SELECT doc_id, n_hit, n_grams,
+        |  FLOOR(n_hit * 1e6 / n_grams) / 1e6 AS hit_ratio
+        |FROM agg WHERE n_hit > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(pii_text,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM pii ORDER BY doc_id""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents
+        |  GROUP BY lang),
+        |mn AS (SELECT MIN(n) AS n_min FROM lc),
+        |rates AS (SELECT lang,
+        |  POW(CAST(n_min AS DOUBLE) / n, 0.3) AS a FROM lc, mn),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT u.doc_id, u.lang, FLOOR(r.a * 1e6) / 1e6 AS accept_rate
+        |FROM u JOIN rates r USING (lang)
+        |WHERE u.u < r.a
+        |ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
+}

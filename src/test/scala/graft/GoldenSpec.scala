@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 103,
-      s"expected 79 SURVEY keys + 24 training-data/scale extensions, " +
+    assert(SparkEntry.queries.size == 107,
+      s"expected 79 SURVEY keys + 28 training-data/scale extensions, " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 91,
-      s"expected 91 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 95,
+      s"expected 95 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
