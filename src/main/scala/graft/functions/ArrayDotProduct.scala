@@ -76,9 +76,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 /** Registration for graft's native expressions: makes `array_dot(a, b)`
-  * resolvable in SQL/expr strings on the given session (idempotent). */
+  * and `collect_bounded(id, bound)` resolvable in SQL/expr strings on the
+  * given session (idempotent). */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot",
       { exprs: Seq[Expression] =>
@@ -86,4 +87,13 @@ object NativeFunctions {
         ArrayDotProduct(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_bounded",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          "collect_bounded takes exactly 2 arguments")
+        BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
+      },
+      "built-in")
+  }
 }

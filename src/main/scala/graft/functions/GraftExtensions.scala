@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(exprs.head, exprs(1))
       }))
+    extensions.injectFunction((
+      FunctionIdentifier("collect_bounded"),
+      new ExpressionInfo(classOf[BoundedCollect].getName, "collect_bounded"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          "collect_bounded takes exactly 2 arguments")
+        BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
+      }))
   }
 }

@@ -74,15 +74,18 @@ object DedupVariants {
     * lazily-returned query, which the cache-ownership contract
     * (graft/package.scala) forbids.
     *
-    * Memory: an over-cap posting list is still materialized once in the
-    * aggregation buffer before the df filter drops it, so worst-case agg
-    * memory tracks the true max df, not maxDf (a size-bounded
-    * TypedImperativeAggregate that stops collecting past maxDf+1 is the
-    * refinement for boilerplate-heavy corpora). The pair explode is
-    * bounded by construction — ≤ maxDf²/2 pairs per shingle — which is
-    * exactly the skew guarantee the cap exists to provide. */
+    * Memory: the posting list is built with `collect_bounded(doc_id,
+    * maxDf+1)` (functions/BoundedCollect.scala) — a TypedImperativeAggregate
+    * whose buffer stops appending at maxDf+1 elements, so worst-case agg
+    * memory is maxDf+1 longs per shingle BY CONSTRUCTION even when the true
+    * df is 10^8 (boilerplate at corpus scale); `df` comes from the exact
+    * count(1) alongside it, and kept lists (df ≤ maxDf < bound) are
+    * provably complete. The pair explode is likewise bounded —
+    * ≤ maxDf²/2 pairs per shingle — which is exactly the skew guarantee
+    * the cap exists to provide. */
   private[graft] def dedupNgramPairs(s: SparkSession, dir: String,
       maxDf: Long): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr).as("sh"))
@@ -90,9 +93,15 @@ object DedupVariants {
     // set — the cap prunes candidate generation only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting list + df per shingle in one aggregation; sorted ascending
-    // so exploded pairs (i < j) satisfy id_a < id_b with no least/greatest
+    // so exploded pairs (i < j) satisfy id_a < id_b with no least/greatest.
+    // The list aggregate's buffer is capped at maxDf+1 ids; exact df from
+    // count(1) drives the keep/drop decision, so the cap never alters a
+    // kept list — it only stops feeding buffers the filter will discard.
+    // bound = maxDf+1 clamped into Int range (callers may pass
+    // Long.MaxValue to mean "uncapped"; buffer sizes are JVM-array Ints)
+    val bound = math.min(maxDf, Int.MaxValue - 1L) + 1
     val posts = sh.groupBy("sh")
-      .agg(sort_array(collect_list("doc_id")).as("docs"),
+      .agg(expr(s"sort_array(collect_bounded(doc_id, $bound))").as("docs"),
         count(lit(1)).as("df"))
     // ordered pairs from each kept posting list: docs[i] × slice past i.
     // The lambda indexes the already-materialized array (cheap) — it does

@@ -33,6 +33,49 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(1))
   }
 
+  test("collect_bounded == collect_list whenever the group is under the " +
+    "bound, regardless of partitioning") {
+    graft.functions.NativeFunctions.register(spark)
+    // lineitem keyed by l_orderkey: many groups, sizes 1..7, spread over
+    // 8 partitions so both update() and merge() paths run
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("bigint")
+        .as("v"))
+      .repartition(8)
+    val both = li.groupBy("k")
+      .agg(expr("sort_array(collect_bounded(v, 100))").as("bounded"),
+        sort_array(collect_list("v")).as("unbounded"),
+        count(lit(1)).as("df"))
+    assert(both.filter(col("df") >= 100).isEmpty) // precondition
+    assert(both.filter(col("bounded") =!= col("unbounded")).isEmpty)
+  }
+
+  test("collect_bounded caps every over-bound buffer at exactly `bound` " +
+    "elements and count(1) still reports the true df") {
+    graft.functions.NativeFunctions.register(spark)
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("k"),
+        col("l_linenumber").cast("bigint").as("v"))
+      .repartition(8)
+    val r = li.groupBy("k")
+      .agg(expr("collect_bounded(v, 2)").as("capped"),
+        count(lit(1)).as("df"))
+    // groups over the bound hold exactly `bound` ids; under it, all of them
+    assert(r.filter(col("df") > 2 && size(col("capped")) =!= 2).isEmpty)
+    assert(r.filter(col("df") <= 2 && size(col("capped")) =!= col("df"))
+      .isEmpty)
+    assert(r.filter(col("df") > 2).count() > 0) // the cap path actually ran
+  }
+
+  test("collect_bounded rejects non-bigint input at analysis time") {
+    graft.functions.NativeFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT collect_bounded(x, 10) FROM VALUES ('a') t(x)")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("GraftExtensions installs array_dot via SparkSessionExtensions") {
     // Force a genuinely new SparkSession (same SparkContext) so the
     // builder applies the extension instead of returning the fixture
@@ -49,6 +92,10 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       val ok = s2.sql("SELECT array_dot(array(1.0d, 3.0d), array(2.0d, 4.0d))")
         .collect().head.getDouble(0)
       assert(ok == 14.0)
+      val capped = s2.sql(
+        "SELECT collect_bounded(v, 2) FROM VALUES (1L), (2L), (3L) t(v)")
+        .collect().head.getSeq[Long](0)
+      assert(capped.length == 2)
     } finally {
       SparkSession.setDefaultSession(before)
       SparkSession.setActiveSession(before)
