@@ -72,11 +72,7 @@ object Multimodal {
       .mapPartitions { it =>
         // partition-local batch loop: one decoder init per partition
         it.map { case (id, bytes) =>
-          // features are a real array<float> (round-6 schema revision,
-          // SURVEY §2.13): the earlier CSV-string hedge guarded against a
-          // driver compare that couldn't sort ndarray cells, but this key
-          // is no_oracle (typed lambda) and q_array_funcs proves array
-          // columns round-trip the driver's hash anyway — downstream
+          // features are a real array<float> (SURVEY §2.13): downstream
           // consumers (ANN, q_dedup_embed) want the typed column
           (id, bytes.length, stubDecode(bytes))
         }
@@ -85,10 +81,20 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Verify-facing projection of [[qMmDecode]]: the driver's no-oracle
+    * check pandas-sorts every column, and ndarray cells are unhashable
+    * there (proven red in round 6 — the round-6 "q_array_funcs proves
+    * arrays survive" claim was wrong: that key emits only scalars DERIVED
+    * from arrays). Library callers use qMmDecode (typed array<float>);
+    * the registered key stringifies the vector deterministically. */
+  private def qMmDecodeVerify(s: SparkSession, dir: String): DataFrame =
+    qMmDecode(s, dir).withColumn("features",
+      expr("array_join(transform(features, x -> format_string('%.6f', x)), ',')"))
+
   val queries: Map[String, Q] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_sample" -> (qMmSample _),
-    "q_mm_decode" -> (qMmDecode _))
+    "q_mm_decode" -> (qMmDecodeVerify _))
 
   val oracle: Map[String, String] = Map(
     "q_mm_bytes" ->
