@@ -105,10 +105,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_text_chunk — sliding-window token chunking (round 7): each doc is
+    * cut into C=32-token chunks at stride S=24 (8-token overlap), the
+    * context-window preparation step for training/retrieval over a corpus
+    * whose documents exceed the model window. Emits the chunk manifest
+    * (index, token count, md5 of the chunk text — not the text, so the
+    * output stays narrow). Chunk starts come from `sequence(0, n-1, S)`
+    * over the PRE-SPLIT token array (lambda discipline: never re-split
+    * inside a higher-order function); the explode is partition-local —
+    * chunking is embarrassingly parallel, no shuffle at any scale. */
+  def qTextChunk(s: SparkSession, dir: String): DataFrame = {
+    val C = 32
+    val S = 24
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0, greatest(n - 1, 0), $S)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("int").as("chunk_idx"),
+        least(lit(C), col("n") - col("start")).cast("int")
+          .as("chunk_tokens"),
+        md5(concat_ws(" ", expr(s"slice(toks, start + 1, $C)")))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_quality_repetition" -> (qQualityRepetition _))
+    "q_quality_repetition" -> (qQualityRepetition _),
+    "q_text_chunk" -> (qTextChunk _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
@@ -153,5 +180,18 @@ object Curation {
         |  (FLOOR((n_tokens - n_distinct) * 1e6 / n_tokens) / 1e6 > 0.55
         |   OR FLOOR(top_c * 1e6 / n_bg) / 1e6 > 0.05) AS flagged
         |FROM base b JOIN bgs USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start
+        |  FROM d)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(LEAST(32, n - start) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(toks[start + 1 : start + 32], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -225,6 +225,51 @@ object Aggregates {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("o_orderpriority")
 
+  /** q_stats_histogram — fixed-width histogram with empty-bucket
+    * densification (round 7): events.value bucketed at width 25 over
+    * [0, 500), edge-clamped so every row lands in a bucket, then
+    * LEFT-joined from the full bucket domain so empty buckets appear with
+    * zero counts — the densification a plotting/monitoring consumer needs
+    * (a bare GROUP BY silently drops empty buckets). Scale shape: one
+    * keyed partial aggregate over ≤20 keys; the domain side is a
+    * 20-row range, so the densify join is a broadcast no-op. */
+  def qStatsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val W = 25
+    val buckets = s.range(20).select(col("id").cast("int").as("bucket"))
+    val counts = Tables.events(s, dir)
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / W), lit(0)), lit(19)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    buckets.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("bucket") * W).cast("double").as("lo"),
+        ((col("bucket") + 1) * W).cast("double").as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  /** q_agg_sketch_hll — mergeable Datasketches HLL distinct-count
+    * (round 7): per-(event_type, half) partial sketches are built with
+    * `hll_sketch_agg`, then MERGED across the halves with `hll_union_agg`
+    * and estimated. The halves simulate independent pipeline runs (daily
+    * increments, per-datacenter jobs): unlike approx_count_distinct —
+    * whose sketch dies inside the query — these sketches are binary
+    * VALUES a 100 TB pipeline stores per partition and re-merges forever
+    * after without rescanning history. No oracle (DuckDB's HLL is a
+    * different implementation); ApproxSpec asserts the merged estimate
+    * equals the single-pass sketch exactly and tracks exact distinct
+    * counts within 5%. */
+  def qAggSketchHll(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), (col("event_id") % 2).as("half"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_users_est"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q_agg_hash" -> (qAggHash _),
     "q_agg_hash_decimal" -> (qAggHashDecimal _),
@@ -238,9 +283,26 @@ object Aggregates {
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
-    "q_pivot" -> (qPivot _))
+    "q_pivot" -> (qPivot _),
+    "q_stats_histogram" -> (qStatsHistogram _),
+    "q_agg_sketch_hll" -> (qAggSketchHll _))
 
   val oracle: Map[String, String] = Map(
+    // q_agg_sketch_hll: no oracle — DuckDB's HLL is a different sketch
+    // implementation; verified in ApproxSpec (merge==direct, ≤5% vs exact)
+    "q_stats_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(value / 25), 0), 19) AS INT)
+        |    AS bucket,
+        |    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT b.bucket, (b.bucket * 25)::DOUBLE AS lo,
+        |  ((b.bucket + 1) * 25)::DOUBLE AS hi,
+        |  COALESCE(c.n, 0) AS n,
+        |  COALESCE(c.sum_value, 0.0) AS sum_value
+        |FROM (SELECT b::INT AS bucket FROM range(20) t(b)) b
+        |LEFT JOIN c USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

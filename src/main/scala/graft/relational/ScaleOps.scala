@@ -148,11 +148,71 @@ object ScaleOps {
       .orderBy("o_year", "o_month")
   }
 
+  /** q_join_range_binned — range join via grid-cell binning (round 7):
+    * events are matched to varying-width value bands (lo = b², hi =
+    * (b+1)², b < 23 — quadratic so widths genuinely vary) NOT with the
+    * theta-join Spark would plan for `value >= lo AND value < hi` (a
+    * nested-loop that re-scans every band per row), but by overlaying a
+    * fixed grid: each band explodes to the G-wide cells it overlaps, each
+    * event maps to exactly ONE cell, and the match becomes an EQUI-join
+    * on cell + a residual exact range filter. The equi-join hash-shuffles
+    * (or broadcasts, as here — 23 bands ≈ 90 cells) instead of
+    * nested-looping, which is the rewrite that survives when BOTH sides
+    * are large at 100 TB. One output row per match by construction: an
+    * event's single cell meets each band at most once — no dedup pass.
+    * Oracle recomputes the plain range join. */
+  def qJoinRangeBinned(s: SparkSession, dir: String): DataFrame = {
+    val G = 16 // grid cell width; ~band width scale so ≤4 cells per band
+    val bands = s.range(23).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * col("id")).cast("double").as("lo"),
+      ((col("id") + 1) * (col("id") + 1)).cast("double").as("hi"))
+    // cells overlapping [lo, hi): floor(lo/G) .. (hi-1) div G (hi integral)
+    val bandCells = bands.withColumn("cell",
+      explode(sequence(
+        floor(col("lo") / G).cast("int"),
+        ((col("hi").cast("long") - 1) / G).cast("int"))))
+    Tables.events(s, dir).select(col("event_id"), col("value"))
+      .withColumn("cell", floor(col("value") / G).cast("int"))
+      .join(broadcast(bandCells), Seq("cell"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  /** q_filter_bloom — bloom-filter runtime pre-filter for a semi-join
+    * (round 7): build a compact bloom filter over the build-side keys
+    * (one distributed aggregate; ~120 KB at fpp 0.01 for 1e5 keys), ship
+    * it to every probe-side scan task, and drop non-matching rows BEFORE
+    * they shuffle — the explicit form of Catalyst's InjectRuntimeFilter,
+    * exposed as an operator so the pipeline can apply it across stages
+    * (e.g. filter today's 100 TB scan by yesterday's key manifest). The
+    * residual exact semi-join removes the bloom's false positives, so the
+    * result is EXACTLY the plain semi-join the oracle recomputes; the
+    * bloom only shrinks the data that reaches it. */
+  def qFilterBloom(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val bf = keys.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val might = udf((k: Long) => bf.mightContain(k))
+    val o = Tables.orders(s, dir).filter(might(col("o_custkey")))
+    o.join(broadcast(keys), o("o_custkey") === keys("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_salted" -> (qAggSalted _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
-    "q_scan_partitioned" -> (qScanPartitioned _))
+    "q_scan_partitioned" -> (qScanPartitioned _),
+    "q_join_range_binned" -> (qJoinRangeBinned _),
+    "q_filter_bloom" -> (qFilterBloom _))
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" ->
@@ -183,5 +243,23 @@ object ScaleOps {
         |FROM orders
         |WHERE year(o_orderdate) IN (1995, 1996)
         |GROUP BY 1, 2
-        |ORDER BY o_year, o_month""".stripMargin)
+        |ORDER BY o_year, o_month""".stripMargin,
+    "q_join_range_binned" ->
+      """WITH bands AS (
+        |  SELECT b::INT AS band_id, (b * b)::DOUBLE AS lo,
+        |    ((b + 1) * (b + 1))::DOUBLE AS hi
+        |  FROM range(23) t(b))
+        |SELECT band_id, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
+    "q_filter_bloom" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

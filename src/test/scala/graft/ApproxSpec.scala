@@ -177,4 +177,28 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expected)
   }
+
+  test("hll sketch: merged halves equal the single-pass sketch, " +
+    "within 5% of exact") {
+    val merged = relational.Aggregates.qAggSketchHll(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-pass sketch over the un-split data at the same lgConfigK
+    val direct = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"union-of-partials must equal the single-pass sketch: " +
+        s"$merged vs $direct")
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (k, d) =>
+      assert(math.abs(merged(k) - d).toDouble / d <= 0.05,
+        s"group $k: est=${merged(k)} exact=$d")
+    }
+  }
 }

@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 107,
-      s"expected 79 SURVEY keys + 28 training-data/scale extensions, " +
-        s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 95,
-      s"expected 95 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 113,
+      s"expected the SURVEY §2 113-key inventory (77 original + 36 " +
+        s"extensions), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 100,
+      s"expected 100 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

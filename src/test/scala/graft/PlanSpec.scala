@@ -242,4 +242,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val years = joined.collect().map(_.getInt(0)).sorted
     assert(years.forall(y => y >= 1995 && y <= 1996))
   }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    // q_join_range_binned's whole point: the grid-cell rewrite turns the
+    // interval predicate into a hashable equi-key; a theta-join here
+    // would plan as BroadcastNestedLoopJoin and re-scan every band per row
+    val plan = planOf(relational.ScaleOps.qJoinRangeBinned(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("HashJoin"),
+      s"expected a hash equi-join on cell in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("bloom pre-filter sits in the probe scan stage, before the join") {
+    val df = relational.ScaleOps.qFilterBloom(spark, sf0001)
+    val plan = planOf(df)
+    // the mightContain UDF must be a Filter below the semi-join (scan
+    // side), not above it — otherwise it prunes nothing
+    val joinIdx = plan.indexOf("Join")
+    val udfIdx = plan.indexOf("UDF")
+    assert(joinIdx >= 0 && udfIdx >= 0, s"missing join or udf in:\n$plan")
+    assert(udfIdx > joinIdx,
+      "bloom filter should appear below (after, in explain order) the join")
+  }
 }
