@@ -19,6 +19,7 @@ object SparkEntry {
     (relational.Windows.queries, relational.Windows.oracle),
     (relational.Scalars.queries, relational.Scalars.oracle),
     (relational.ScaleOps.queries, relational.ScaleOps.oracle),
+    (relational.Stats.queries, relational.Stats.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (text.Analysis.queries, text.Analysis.oracle),
@@ -26,6 +27,7 @@ object SparkEntry {
     (llm.DedupVariants.queries, llm.DedupVariants.oracle),
     (llm.Curation.queries, llm.Curation.oracle),
     (llm.Governance.queries, llm.Governance.oracle),
+    (llm.Retrieval.queries, llm.Retrieval.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (ml.Pipelines.queries, ml.Pipelines.oracle),

@@ -323,14 +323,44 @@ object DedupVariants {
       .orderBy("doc_id")
   }
 
+  /** q_dedup_prefix — prefix-fingerprint dedup (round 7): hash the first
+    * 16 tokens of each doc and group on the hash — the cheap first-pass
+    * dedup production pipelines run BEFORE MinHash (boilerplate headers,
+    * mirrored articles, and truncation variants share prefixes long before
+    * they share full-text hashes; exact dedup misses them, near-dup is
+    * 100× the cost). Emits the duplicate-group manifest (keeper = min
+    * doc_id, group size). Scale shape: one keyed aggregate on a 32-byte
+    * key — map-side combine bounds the shuffle by distinct prefixes; no
+    * pairs, no explode, no self-join at any scale. */
+  def qDedupPrefix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .as("prefix_md5"))
+      .groupBy("prefix_md5")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("keeper")
+
   val queries: Map[String, Q] = Map(
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
-    "q_dedup_cluster" -> (qDedupCluster _))
+    "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_prefix" -> (qDedupPrefix _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+        |      AS prefix_md5
+        |  FROM documents)
+        |SELECT prefix_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+        |FROM p GROUP BY prefix_md5
+        |HAVING COUNT(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     "q_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

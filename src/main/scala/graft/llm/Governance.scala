@@ -176,14 +176,49 @@ object Governance {
       .orderBy("source")
   }
 
+  /** q_split_hash — deterministic train/val/test split (round 7): each doc
+    * lands in a split by its engine-portable hash bucket (h32 % 100 →
+    * 90/5/5), so membership is a pure function of doc_id — stable under
+    * re-runs, re-shards, engine swaps, and corpus growth (new docs never
+    * move old ones, unlike any rank- or sample-based split). Emits the
+    * per-(split, lang) manifest a pipeline audits for stratification
+    * drift. Scale shape: one scan, one O(splits × langs)-key aggregate. */
+  def qSplitHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("tok"),
+        (h32("doc_id") % 100).as("b"))
+      .withColumn("split",
+        when(col("b") < 90, "train").when(col("b") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("split", "lang")
+
   val queries: Map[String, Q] = Map(
     "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_split_hash" -> (qSplitHash _),
     "q_text_redact" -> (qTextRedact _),
     "q_sample_temperature" -> (qSampleTemperature _),
     "q_shard_assign" -> (qShardAssign _),
     "q_mix_entropy" -> (qMixEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "q_split_hash" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
     "q_decontam_ngram" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -155,7 +155,34 @@ object Joins {
       .orderBy("probe_id")
   }
 
+  /** q_join_star — the canonical shipping-priority star query (TPC-H Q3
+    * shape, round 7): filtered customer segment ⋈ orders ⋈ lineitem,
+    * top-10 open orders by outstanding revenue. Declared fully
+    * declaratively: all three filters push to the parquet scans, Catalyst
+    * reorders the joins by estimated size, and AQE swaps in broadcast
+    * sides at runtime where a filtered dim collapses — at 100 TB both
+    * joins become shuffled hash/SMJ on (custkey, orderkey) with nothing
+    * to hand-tune; the revenue grid is 2dp × 2dp, so round(4) is exact on
+    * both engines (q_agg_hash precedent). */
+  def qJoinStar(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_star" -> (qJoinStar _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -169,6 +196,18 @@ object Joins {
     "q_join_interval" -> (qJoinInterval _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_star" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     // tie-explicit window form rather than DuckDB's native ASOF JOIN:
     // ASOF leaves the choice among equal-timestamp purchases unspecified,
     // while this mirrors the Spark query's (ts, side, event_id) order

@@ -1,0 +1,118 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Statistical-monitoring operators (SURVEY §2.4 extensions, round 7):
+  * per-key z-score anomaly detection, equal-frequency quantile binning,
+  * and the bivariate aggregate family (corr/covar) — the data-quality
+  * dashboard queries a pipeline runs over every ingest increment.
+  *
+  * Scale notes (100 TB posture):
+  *  - q_anomaly_zscore: per-type moments are an O(types)-row keyed
+  *    aggregate broadcast back onto a second scan — the big side is never
+  *    shuffled (a window over event_type would shuffle the full table to
+  *    compute the same five numbers). Two scans of a columnar source beat
+  *    one corpus shuffle at any scale.
+  *  - q_quantile_bins: decile cutoffs come from one exact-percentile
+  *    aggregate (the at-scale variant swaps in approx_percentile — same
+  *    shape, sketch-mergeable), broadcast as a 9-element array; bin
+  *    assignment is a per-row array probe, so the only corpus shuffle is
+  *    the final ≤10-key aggregate. NO ntile: a global ntile window is a
+  *    single-partition sort of the whole table — the binning must come
+  *    from cutoffs, not ranks, to survive scale.
+  *  - q_agg_corr: corr/covar are algebraic aggregates (sum/sum²/sum·)
+  *    with map-side partial merge — one shuffle of O(groups) partials.
+  */
+object Stats {
+
+  /** q_anomaly_zscore — per-event-type z-score outliers: flag events more
+    * than 3 sample standard deviations above their type's mean (the
+    * events.value distribution is exponential-shaped, so z > 3 is a real
+    * tail, ~0.2% of rows). z is irrational (sd is a sqrt), so the 1e-6
+    * floor truncation is ulp-safe (SURVEY §7.4.9). */
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(col("z") > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(col("z") * lit(1e6)) / lit(1e6)).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** q_quantile_bins — equal-frequency decile binning of events.value:
+    * exact decile cutoffs (one percentile aggregate), then each row probes
+    * the broadcast 9-cutoff array (`bin = 1 + #cutoffs below value`) and a
+    * ≤10-key aggregate reports per-bin population and bounds. min/max are
+    * raw data values (order-insensitive, bit-identical across engines);
+    * only the mean needs the floor discipline. */
+  def qQuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cuts = ev.agg(percentile(col("value"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("cuts"))
+    ev.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (size(expr("filter(cuts, c -> value > c)")) + 1).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("lo"),
+        max("value").as("hi"),
+        (floor(avg("value") * lit(1e6)) / lit(1e6)).as("mean_value"))
+      .orderBy("bin")
+  }
+
+  /** q_agg_corr — bivariate aggregate family per group: Pearson
+    * correlation and sample/population covariance of (quantity, price) by
+    * return flag. All three are algebraic (one pass, partial-mergeable);
+    * outputs rounded at 4 dp like the q_agg_stats moments — the values are
+    * messy sums of products, nowhere near a half-way split. */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4)
+          .as("covar_samp_qp"),
+        round(covar_pop("l_discount", "l_tax"), 4).as("covar_pop_dt"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_quantile_bins" -> (qQuantileBins _),
+    "q_agg_corr" -> (qAggCorr _))
+
+  val oracle: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  FLOOR((value - mu) / sd * 1e6) / 1e6 AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE (value - mu) / sd > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_quantile_bins" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM events),
+        |b AS (
+        |  SELECT CAST(len(list_filter(cuts, c -> value > c)) + 1 AS INT)
+        |    AS bin, value
+        |  FROM events, cuts)
+        |SELECT bin, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+        |  FLOOR(AVG(value) * 1e6) / 1e6 AS mean_value
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+        |    AS covar_samp_qp,
+        |  ROUND(covar_pop(l_discount, l_tax), 4) AS covar_pop_dt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}

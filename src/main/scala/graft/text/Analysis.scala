@@ -126,11 +126,33 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** q_text_vocab — corpus vocabulary build (round 7): token frequencies,
+    * min-count floor 5, top-100 by (count desc, token asc) with dense
+    * lexicon ranks — the seed table for tokenizer training and OOV
+    * monitoring. Scale shape: one keyed partial aggregate (map-side
+    * combine bounds the shuffle by per-partition distinct tokens) and a
+    * TakeOrderedAndProject top-k — the rank window runs AFTER the limit,
+    * over ≤100 rows, so the no-partition window is bounded by
+    * construction, never corpus-sized. */
+  def qTextVocab(s: SparkSession, dir: String): DataFrame = {
+    val counts = withToks(Tables.documents(s, dir))
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(desc("n"), col("token"))
+      .limit(100)
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(desc("n"), col("token"))))
+      .select("rank", "token", "n")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_text_tokens" -> (qTextTokens _))
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_vocab" -> (qTextVocab _))
 
   val oracle: Map[String, String] = {
     val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
@@ -203,6 +225,19 @@ object Analysis {
           |                 string_split(text, ' ')[i + 1])) AS sh
           |        FROM documents))
           |GROUP BY doc_id
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin,
+      "q_text_vocab" ->
+        """WITH c AS (
+          |  SELECT token, COUNT(*) AS n
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+          |        FROM documents)
+          |  GROUP BY token HAVING COUNT(*) >= 5),
+          |r AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+          |    AS INT) AS rank, token, n
+          |  FROM c)
+          |SELECT rank, token, n FROM r
+          |WHERE rank <= 100
+          |ORDER BY rank""".stripMargin)
   }
 }

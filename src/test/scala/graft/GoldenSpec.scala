@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 113,
-      s"expected the SURVEY §2 113-key inventory (77 original + 36 " +
+    assert(SparkEntry.queries.size == 121,
+      s"expected the SURVEY §2 121-key inventory (77 original + 44 " +
         s"extensions), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 100,
-      s"expected 100 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 108,
+      s"expected 108 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
@@ -58,5 +58,37 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     val a = relational.Core.qSampleDet(spark, sf0001).collect()
     val b = relational.Core.qSampleDet(spark, sf0001).collect()
     assert(a.sameElements(b))
+  }
+
+  test("q_split_hash realizes ~90/5/5 fractions and partitions the corpus") {
+    val rows = llm.Governance.qSplitHash(spark, sf0001).collect()
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // hash-bucket split: binomial tolerance around 90/5/5 at n=500
+    assert(bySplit("train") / total > 0.85 && bySplit("train") / total < 0.95)
+    assert(bySplit("val") / total < 0.10 && bySplit("test") / total < 0.10)
+  }
+
+  test("q_text_vocab ranks are contiguous and count-ordered") {
+    val rows = text.Analysis.qTextVocab(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.forall(_ >= 5))
+  }
+
+  test("q_quantile_bins is equal-frequency within rounding (deciles)") {
+    val rows = relational.Stats.qQuantileBins(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getLong(1))
+    // exact percentile cutoffs: bins differ by at most the tie mass
+    assert(ns.max - ns.min <= ns.sum / 10 / 2,
+      s"bins should be near-uniform, got ${ns.mkString(",")}")
+    // bins tile the value range: hi(b) <= lo(b+1)
+    val bounds = rows.map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(bounds.zip(bounds.tail).forall { case ((_, hi), (lo2, _)) =>
+      hi <= lo2 })
   }
 }

@@ -254,6 +254,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       !plan.contains("CartesianProduct"))
   }
 
+  test("z-score anomaly scan broadcasts the per-type moments (no big-side " +
+      "shuffle, no window)") {
+    val plan = planOf(relational.Stats.qAnomalyZscore(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the O(types) stats broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "the events side must not shuffle for the stats join")
+  }
+
+  test("quantile binning probes broadcast cutoffs — no ntile window, no " +
+      "global sort of the input") {
+    val plan = planOf(relational.Stats.qQuantileBins(spark, sf0001))
+    assert(!plan.contains("Window"),
+      s"binning must come from cutoffs, not ntile ranks:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the only join is the 1-row cutoff broadcast:\n$plan")
+  }
+
+  test("bm25 ranks via distributed top-k with broadcast term/corpus stats") {
+    val plan = planOf(llm.Retrieval.qRankBm25(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a partial top-k, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"df/corpus sides are O(terms)/1-row — must broadcast:\n$plan")
+  }
+
+  test("star join pushes all three dimension filters into the scans") {
+    val plan = planOf(relational.Joins.qJoinStar(spark, sf0001))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer segment filter must reach the scan:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate") &&
+      plan.contains("GreaterThan(l_shipdate"),
+      s"date filters must reach the orders/lineitem scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("bloom pre-filter sits in the probe scan stage, before the join") {
     val df = relational.ScaleOps.qFilterBloom(spark, sf0001)
     val plan = planOf(df)
