@@ -131,13 +131,43 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q_sample_pergroup — deterministic per-group inspection sample
+    * (round 7): exactly 5 docs per source, chosen by the engine-portable
+    * md5 hash order (h32(doc_id), doc_id tie-break) — the "show me a few
+    * random-but-reproducible docs from every source" query a curation
+    * review runs after each ingest, with membership stable across
+    * engines/runs (a seeded sample() is neither). Scale shape: one
+    * shuffle on the group key, partition-local rank, k tiny — per-group
+    * top-k never concentrates on one reducer beyond a group's own rows. */
+  def qSamplePergroup(s: SparkSession, dir: String): DataFrame = {
+    val h = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
+        " as bigint)")
+    val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_pergroup" -> (qSamplePergroup _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_text_chunk" -> (qTextChunk _))
 
   val oracle: Map[String, String] = Map(
+    "q_sample_pergroup" ->
+      """SELECT doc_id, source, lang, n_chars, rk FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT, doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (lang = 'en' AND doc_id % 4 = 0)

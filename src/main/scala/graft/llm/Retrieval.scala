@@ -39,13 +39,19 @@ object Retrieval {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val termLit = array(terms.map(lit): _*)
-    // one corpus scan: keep only query-term tokens before exploding
+    // ONE corpus scan: keep only query-term tokens before exploding, then
+    // pin the (matching docs × terms)-sized tf table with an eager
+    // localCheckpoint — it feeds both the df aggregate and the final
+    // scoring join, and without the checkpoint the corpus explode subtree
+    // would be re-evaluated per consumer (the q_dedup_ngram round-5
+    // regression pattern; Q cache-ownership contract allows checkpoint)
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(array_intersect(col("toks"), termLit)).as("t"),
         col("toks"))
       .select(col("doc_id"), col("dl"), col("t"),
         size(expr("filter(toks, x -> x = t)")).as("tf"))
+      .localCheckpoint(true)
     val corpus = docs.agg(count(lit(1)).as("n_docs"),
       avg("dl").as("avgdl"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))

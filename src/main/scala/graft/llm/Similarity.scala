@@ -168,7 +168,32 @@ object Similarity {
         round(avg("d4"), 6).as("avg_d4"))
       .orderBy("label")
 
+  /** q_embed_outliers — embedding-hygiene scrub (round 7): flag vectors
+    * whose L2 norm is a corpus-level outlier (|z| > 2) or degenerate
+    * (zero norm) — the sanity filter an ANN/dedup pipeline runs before
+    * indexing, since a handful of broken embeddings (failed encoder
+    * batches, zero pads) poison every cosine neighborhood they touch.
+    * Scale shape: per-row norm (codegen-friendly projection), a 1-row
+    * moments aggregate broadcast back, and a scan-side filter — the
+    * q_anomaly_zscore pattern on the vector table; nothing shuffles but
+    * the 1-row stats. Norm and z are irrational (sqrt), so the 1e-6
+    * floor is ulp-safe (SURVEY §7.4.9). */
+  def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        l2norm(asDouble(col("embedding"))).as("nrm"))
+    val st = v.agg(avg("nrm").as("mu"), stddev_samp("nrm").as("sd"))
+    v.crossJoin(broadcast(st))
+      .withColumn("z", (col("nrm") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 2.0 || col("nrm") === 0.0)
+      .select(col("vec_id"), col("label"),
+        (floor(col("nrm") * lit(1e6)) / lit(1e6)).as("nrm"),
+        (floor(col("z") * lit(1e6)) / lit(1e6)).as("z"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -176,6 +201,19 @@ object Similarity {
     "q_embed_stats" -> (qEmbedStats _))
 
   val oracle: Map[String, String] = Map(
+    "q_embed_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT AVG(nrm) AS mu, stddev_samp(nrm) AS sd FROM v)
+        |SELECT vec_id, label,
+        |  FLOOR(nrm * 1e6) / 1e6 AS nrm,
+        |  FLOOR((nrm - mu) / sd * 1e6) / 1e6 AS z
+        |FROM v, st
+        |WHERE abs((nrm - mu) / sd) > 2.0 OR nrm = 0.0
+        |ORDER BY vec_id""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

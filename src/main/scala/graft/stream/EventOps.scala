@@ -147,7 +147,30 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** q_scd2_intervals — slowly-changing-dimension type-2 build (round 7):
+    * every event version of an entity becomes a validity interval
+    * [valid_from = its ts, valid_to = next version's ts), open-ended (and
+    * flagged current) for the latest — the history table a warehouse
+    * derives from a CDC changelog, and the interval twin of
+    * q_merge_upsert's latest-wins compaction. Same shape at scale: one
+    * shuffle on the entity key, then partition-local window scans.
+    * Ordering (and the oracle's) uses the µs-truncated ts with event_id
+    * tie-break — the q_merge_upsert ns-vs-µs lesson (SURVEY §7.4.11). */
+  def qScd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val entity = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("version", row_number().over(entity))
+      .withColumn("valid_to", lead(col("ts"), 1).over(entity))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("version"), col("ts").as("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "event_type", "version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scd2_intervals" -> (qScd2Intervals _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -156,6 +179,19 @@ object EventOps {
     "q_merge_upsert" -> (qMergeUpsert _))
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """SELECT user_id, event_type, event_id, version,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  -- lead over the µs-truncated cast: Spark sees µs (Tables.events)
+        |  lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+        |FROM (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS version
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
