@@ -80,10 +80,79 @@ object Stats {
         round(covar_pop("l_discount", "l_tax"), 4).as("covar_pop_dt"))
       .orderBy("l_returnflag")
 
+  /** q_agg_regr — linear-regression aggregate family per group: slope,
+    * intercept, R², n of price ~ quantity by return flag — the one-pass
+    * algebraic regression (sums of x, y, xy, x²) that at scale replaces a
+    * collect-and-fit; rounded 4 dp like the other moment aggregates. */
+  def qAggRegr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_funnel_steps — strict-order conversion funnel over the event
+    * stream: per user, first view, then first click AFTER that view, then
+    * first purchase AFTER that click; emits per-stage user counts and the
+    * total stage-transition delay. Delays are summed as EXACT epoch
+    * microseconds (bigint) — never averaged doubles, so the oracle compare
+    * has no float-order surface at all. Scale shape: three user-keyed
+    * aggregates chained by user-keyed joins — each stage's input shrinks
+    * to the users who survived the previous stage; everything shuffles on
+    * the same key (one partitioning reused), nothing broadcasts but the
+    * final 3-row union. */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1k"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t2").as("t2k"))
+    val s1 = v.agg(lit("1_view").as("stage"),
+      count(lit(1)).as("n_users"), lit(null).cast("long").as("delay_us"))
+    val s2 = c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users"),
+      sum(unix_micros(col("t2")) - unix_micros(col("t1k"))).as("delay_us"))
+    val s3 = p.agg(lit("3_purchase").as("stage"),
+      count(lit(1)).as("n_users"),
+      sum(unix_micros(col("t3")) - unix_micros(col("t2k"))).as("delay_us"))
+    s1.unionByName(s2).unionByName(s3).orderBy("stage")
+  }
+
+  /** q_retention_cohort — cohort retention matrix: users grouped by
+    * first-activity day (cohort), counted distinct in each later day
+    * offset — the engagement report every event pipeline ships. Day
+    * granularity means every value is an exact count on an exact date
+    * grid (no float surface). Scale shape: one user-keyed agg for
+    * cohorts, one user-keyed join back (same partitioning), one
+    * (cohort, offset)-keyed distinct count. */
+  def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_quantile_bins" -> (qQuantileBins _),
-    "q_agg_corr" -> (qAggCorr _))
+    "q_agg_corr" -> (qAggCorr _),
+    "q_agg_regr" -> (qAggRegr _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_retention_cohort" -> (qRetentionCohort _))
 
   val oracle: Map[String, String] = Map(
     "q_anomaly_zscore" ->
@@ -114,5 +183,46 @@ object Stats {
         |    AS covar_samp_qp,
         |  ROUND(covar_pop(l_discount, l_tax), 4) AS covar_pop_dt
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+        |    AS intercept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1) AS t1k
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2) AS t2k
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+        |  NULL::BIGINT AS delay_us FROM v
+        |UNION ALL
+        |SELECT '2_click', COUNT(*),
+        |  SUM(epoch_us(t2) - epoch_us(t1k))::BIGINT FROM c
+        |UNION ALL
+        |SELECT '3_purchase', COUNT(*),
+        |  SUM(epoch_us(t3) - epoch_us(t2k))::BIGINT FROM p
+        |ORDER BY stage""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin)
 }

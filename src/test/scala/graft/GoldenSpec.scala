@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 124,
-      s"expected the SURVEY §2 124-key inventory (77 original + 47 " +
+    assert(SparkEntry.queries.size == 127,
+      s"expected the SURVEY §2 127-key inventory (77 original + 50 " +
         s"extensions), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 111,
-      s"expected 111 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 114,
+      s"expected 114 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
