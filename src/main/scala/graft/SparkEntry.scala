@@ -20,6 +20,8 @@ object SparkEntry {
     (relational.Scalars.queries, relational.Scalars.oracle),
     (relational.ScaleOps.queries, relational.ScaleOps.oracle),
     (relational.Stats.queries, relational.Stats.oracle),
+    (relational.Extended.queries, relational.Extended.oracle),
+    (relational.TimeSeries.queries, relational.TimeSeries.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (text.Analysis.queries, text.Analysis.oracle),

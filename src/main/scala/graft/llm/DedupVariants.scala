@@ -342,8 +342,69 @@ object DedupVariants {
       .filter(col("n_docs") >= 2)
       .orderBy("keeper")
 
+  /** q_dedup_minhash — deterministic MinHash-LSH near-dup pairs, the
+    * oracle-checkable twin of q_dedup_near (whose MLlib banding DuckDB
+    * cannot reproduce). Signature: 8 independent min-hashes per doc,
+    * h_i = MIN over shingles of md5("i:" ++ shingle) — md5 hex strings
+    * are byte-identical and compare lexicographically the same in both
+    * engines, so the signature (and therefore the LSH candidate set) is
+    * a pure deterministic function of the text. Banding: 4 bands × 2
+    * rows → P(candidate) = 1-(1-j²)⁴ (≈ 0.98 at j = 0.8); the exact
+    * Jaccard filter then makes precision 1.0 — both engines compute the
+    * SAME candidates, so the comparison is exact even where LSH recall
+    * is not.
+    *
+    * Scale shape: the signature build is ONE doc-keyed aggregate with 8
+    * algebraic MINs — no seed explode, map-side combined, shuffle volume
+    * O(docs × 8 hashes). Bands explode to 4 rows/doc; the band join's
+    * fan-out is bounded by bucket occupancy exactly like q_dedup_simhash;
+    * the exact-Jaccard stage touches only candidate pairs. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // one materialization: sizes, signatures, and both sides of the
+    // common-shingle join all consume `sh` — without this the
+    // scan→split→explode subtree re-evaluates 4× (the round-5 q_dedup_ngram
+    // regression pattern). Eager checkpoint: outside the SQL cache, so the
+    // Q cache-ownership contract holds with no unpersist bookkeeping.
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleExpr).as("sh"))
+      .localCheckpoint(true)
+    val sig = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+      (1 to 7).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 to 3).map(b => struct(lit(b).as("b"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
+      .as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // the equality is pushed into the join condition by Catalyst, so
+      // (id_b, sh) both become hash-join keys — no post-join blow-up
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        floor(col("common") / (col("na") + col("nb") - col("common")) * 1e6)
+          / 1e6)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "common", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
@@ -351,6 +412,46 @@ object DedupVariants {
     "q_dedup_prefix" -> (qDedupPrefix _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS sh
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
+        |    MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
+        |    MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
+        |    MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS b, h0 || h1 AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT id_a, id_b, COUNT(*) AS common
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = id_a
+        |  JOIN sh sb ON sb.doc_id = id_b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
+        |    AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_prefix" ->
       """WITH p AS (
         |  SELECT doc_id,

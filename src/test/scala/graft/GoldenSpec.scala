@@ -31,11 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 127,
-      s"expected the SURVEY §2 127-key inventory (77 original + 50 " +
+    assert(SparkEntry.queries.size == 137,
+      s"expected the SURVEY §2 137-key inventory (77 original + 60 " +
         s"extensions), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 114,
-      s"expected 114 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 124,
+      s"expected 124 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
@@ -77,6 +77,51 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     val counts = rows.map(_.getLong(2))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     assert(counts.forall(_ >= 5))
+  }
+
+  test("q_dedup_minhash finds the n-gram Jaccard pairs (LSH recall) and " +
+      "nothing else (exact-filter precision)") {
+    val exact = llm.DedupVariants.qDedupNgram(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = llm.DedupVariants.qDedupMinhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (the final filter IS the exact
+    // Jaccard); recall bounded by banding: 1-(1-j²)⁴ ≈ 1 at j ≈ 0.99
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty &&
+      lsh.size.toDouble / exact.size >= 0.9,
+      s"LSH recall ${lsh.size}/${exact.size} below 0.9")
+  }
+
+  test("q_unpivot emits exactly 4 long rows per lineitem row") {
+    val n = Tables.lineitem(spark, sf0001).count()
+    assert(relational.Extended.qUnpivot(spark, sf0001).count() == 4 * n)
+  }
+
+  test("q_gap_islands islands are maximal consecutive-day runs") {
+    val rows = relational.TimeSeries.qGapIslands(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDate(2), r.getLong(3)))
+    // consecutive: span == day count
+    assert(rows.forall { case (_, s0, s1, nd) =>
+      (s1.toLocalDate.toEpochDay - s0.toLocalDate.toEpochDay) + 1 == nd })
+    // maximal: islands of one user never touch or overlap
+    rows.groupBy(_._1).values.foreach { is =>
+      val sorted = is.sortBy(_._2.toLocalDate.toEpochDay)
+      assert(sorted.zip(sorted.tail).forall { case ((_, _, e, _), (_, s, _, _)) =>
+        s.toLocalDate.toEpochDay > e.toLocalDate.toEpochDay + 1 })
+    }
+  }
+
+  test("q_ts_resample densifies to the full hour×type grid and conserves " +
+      "event counts") {
+    val ev = Tables.events(spark, sf0001)
+    val nTypes = ev.select("event_type").distinct().count()
+    val rows = relational.TimeSeries.qTsResample(spark, sf0001).collect()
+    assert(rows.length % nTypes == 0)
+    assert(rows.map(_.getLong(2)).sum == ev.count(),
+      "bucket counts must sum to the event count")
+    // LOCF: filled value never null, 0 before first observation
+    assert(rows.forall(!_.isNullAt(3)))
   }
 
   test("q_quantile_bins is equal-frequency within rounding (deciles)") {

@@ -301,4 +301,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(udfIdx > joinIdx,
       "bloom filter should appear below (after, in explain order) the join")
   }
+
+  test("lateral top-k subquery decorrelates to a window rank, not " +
+      "per-row re-execution") {
+    val plan = planOf(relational.Extended.qJoinLateral(spark, sf0001))
+    assert(plan.contains("Window"),
+      s"expected the decorrelated rank window in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"lateral must not plan as an outer-row-driven loop:\n$plan")
+  }
+
+  test("null-safe join stays a hash equi-join (null is a key value)") {
+    val plan = planOf(relational.Extended.qJoinNullSafe(spark, sf0001))
+    assert(plan.contains("HashJoin"),
+      s"<=> must compile to a hashable key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("unpivot is a per-row Expand — no shuffle to melt") {
+    val df = relational.Extended.qUnpivot(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    // exactly one exchange: the final ORDER BY's range partition — the
+    // melt itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"melt must not shuffle, got $exchanges in:\n$plan")
+  }
+
+  test("ts_resample aggregates the corpus before touching the grid (the " +
+      "LOCF window runs over O(calendar) rows)") {
+    val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))
+    // the events-side aggregate must be partial+final (map-side combine)
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected a partial aggregate below the grid join in:\n$plan")
+    // the window partitions by type — never a global single-partition sort
+    assert(!plan.contains("SinglePartition$"),
+      s"LOCF window must partition by event_type:\n$plan")
+  }
 }
