@@ -35,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "collect_bounded takes exactly 2 arguments")
         BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
       }))
+    // whole-operator custom plan (graft.plans.AsOfJoin): planner strategy
+    // + probe-side predicate pushdown rule
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    extensions.injectOptimizerRule(_ =>
+      graft.plans.PushFilterThroughAsOfJoin)
   }
 }

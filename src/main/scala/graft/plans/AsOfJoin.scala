@@ -1,0 +1,224 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Ascending, Attribute, BindReferences, Expression,
+  GenericInternalRow, JoinedRow, PredicateHelper, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native as-of join — the whole-operator custom-plan path (SURVEY §2.12
+  * ladder step (c)): a first-class Catalyst operator instead of the
+  * union+window encoding used by q_join_asof.
+  *
+  * For each probe row, the single build row with the same key and the
+  * greatest build time ≤ probe time (ties on build time broken by the
+  * trailing tie-break sort columns — the LAST row in (time, tieBreak...)
+  * order wins, matching the union+window form's `last(...)` semantics).
+  * Probe rows with no qualifying build row keep nulls: left-join shape.
+  *
+  * Why a custom operator beats the union+window encoding at scale:
+  *  - the window form shuffles probe+build UNIONED (one wide schema, both
+  *    corpora through one exchange) and then buffers each key partition
+  *    through a WindowExec carrying every probe AND build row; the native
+  *    form shuffles each side in its own (narrow) schema and the merge is
+  *    a pure streaming zip — O(1) state (one retained build row), no
+  *    window buffer, no post-filter to drop the build-side rows.
+  *  - EnsureRequirements co-partitions and co-sorts both sides exactly
+  *    like a SortMergeJoin, so the operator composes with AQE, reuses
+  *    exchanges, and never degrades to a range cross join.
+  *
+  * The four pieces, smallest-possible but complete:
+  *  - [[AsOfJoinPlan]]    — logical node (output, references, dedup-safe)
+  *  - [[PushFilterThroughAsOfJoin]] — optimizer `Rule[LogicalPlan]`:
+  *    probe-only predicates migrate below the operator (then
+  *    FileSourceStrategy carries them into the parquet scan), so a filter
+  *    written AFTER the as-of join still prunes BEFORE the shuffle
+  *  - [[AsOfJoinStrategy]] — `SparkStrategy` lowering logical → physical
+  *  - [[AsOfJoinExec]]    — physical partition-sorted streaming merge
+  *
+  * Registered at runtime via `spark.experimental` (public API) by
+  * [[AsOf.register]]; `GraftExtensions` installs the same pieces for the
+  * builder/config path.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression])
+  extends BinaryNode {
+
+  // probe columns keep their nullability; every build column is nullable
+  // in the output (unmatched probe rows emit nulls)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Probe-side predicate pushdown through the as-of join: conjuncts that
+  * reference only probe columns move below the operator. Build-side
+  * predicates must NOT move — dropping a build row can change which row
+  * is "latest" for probe rows that still match, so only the probe side is
+  * safe (same reasoning as left-outer join pushdown). */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
+    with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key, SMJ-style. The pinned partition
+  // count keeps the two exchanges aligned under AQE (coalescing must not
+  // pick different counts per side — zipPartitions needs equal counts).
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftKey),
+      requiredNumPartitions = Some(conf.numShufflePartitions)),
+    ClusteredDistribution(Seq(rightKey),
+      requiredNumPartitions = Some(conf.numShufflePartitions)))
+
+  // probe: (key, time); build: (key, time, tieBreak...) so "last consumed
+  // match" == greatest (time, tieBreak) ≤ probe time
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(sortAsc(leftKey), sortAsc(leftTime)),
+    (Seq(sortAsc(rightKey), sortAsc(rightTime)) ++
+      rightTieBreak.map(sortAsc)))
+
+  private def sortAsc(e: Expression): SortOrder =
+    SortOrder(e, Ascending, Ascending.defaultNullOrdering, Seq.empty)
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(sortAsc(leftKey), sortAsc(leftTime))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyEval = BindReferences.bindReference(leftKey, lOut)
+      val lTimeEval = BindReferences.bindReference(leftTime, lOut)
+      val rKeyEval = BindReferences.bindReference(rightKey, rOut)
+      val rTimeEval = BindReferences.bindReference(rightTime, rOut)
+      val project = UnsafeProjection.create(allOut, allOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // O(1) merge state: the latest build row consumed for the current
+      // key (rows from the sorter reuse buffers — copy on retain)
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+      lIter.map { l =>
+        val lk = lKeyEval.eval(l)
+        val lt = lTimeEval.eval(l)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val rk = rKeyEval.eval(rBuf.head)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0 || (c == 0 &&
+              timeOrd.compare(rTimeEval.eval(rBuf.head), lt) <= 0)) {
+            val r = rBuf.next()
+            if (c == 0) { matchRow = r.copy(); matchKey = lk }
+            else { matchRow = null; matchKey = null }
+          } else advance = false
+        }
+        val matched = matchRow != null && matchKey != null &&
+          keyOrd.compare(matchKey, lk) == 0
+        project(joined(l, if (matched) matchRow else nullRight))
+      }
+    }
+  }
+}
+
+/** Public surface of the native as-of join. */
+object AsOf {
+  /** Idempotently install the strategy + optimizer rule into a session
+    * via the public `experimental` hooks (the imperative twin of the
+    * `GraftExtensions` builder path). */
+  def register(s: SparkSession): Unit = {
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations
+        .contains(PushFilterThroughAsOfJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
+
+  /** probe ⟕asof build: per probe row, the build row with equal `key`
+    * and the greatest `buildTime` ≤ `probeTime` (build-time ties broken
+    * by `tieBreak`, last wins). Output = probe columns ++ build columns
+    * (nullable); callers pre-rename so the names are disjoint. */
+  def asof(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, probeTime: String, buildTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = probe.sparkSession
+    register(spark)
+    val lPlan = probe.queryExecution.analyzed
+    // self-join safety: probe and build usually derive from the same
+    // table, so the build side's attribute ids collide with the probe's
+    // — re-alias every build column through fresh exprIds (the analyzer
+    // dedups built-in Joins this way; a custom node does it itself)
+    val rPlan = Project(
+      build.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      build.queryExecution.analyzed)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, probeKey), attr(rPlan, buildKey),
+      attr(lPlan, probeTime), attr(rPlan, buildTime),
+      tieBreak.map(attr(rPlan, _))))
+  }
+}

@@ -155,6 +155,29 @@ object Joins {
       .orderBy("probe_id")
   }
 
+  /** q_join_asof_native — the SAME as-of semantics as q_join_asof, but
+    * through graft's whole-operator custom plan (graft.plans.AsOfJoin:
+    * logical node + pushdown Rule + SparkStrategy + partition-sorted
+    * streaming-merge SparkPlan) instead of the union+window encoding.
+    * Oracle identical to q_join_asof — the two keys must hash-match each
+    * other forever, which is the strongest cross-check the harness can
+    * express for a custom operator. See AsOfJoin.scala for why the native
+    * shape wins at scale (narrow per-side shuffles, O(1) merge state, no
+    * window buffer). */
+  def qJoinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("m_id"), col("value").as("m_value"))
+    graft.plans.AsOf.asof(clicks, purchases,
+      probeKey = "user_id", buildKey = "b_user",
+      probeTime = "ts", buildTime = "b_ts", tieBreak = Seq("m_id"))
+      .select("probe_id", "user_id", "ts", "m_id", "m_value")
+      .orderBy("probe_id")
+  }
+
   /** q_join_star — the canonical shipping-priority star query (TPC-H Q3
     * shape, round 7): filtered customer segment ⋈ orders ⋈ lineitem,
     * top-10 open orders by outstanding revenue. Declared fully
@@ -184,6 +207,7 @@ object Joins {
   val queries: Map[String, Q] = Map(
     "q_join_star" -> (qJoinStar _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_native" -> (qJoinAsofNative _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_left" -> (qJoinLeft _),
@@ -214,6 +238,27 @@ object Joins {
     // exactly (max event_id wins a tie) — so the compare is not
     // data-dependent on (user_id, ts) purchase uniqueness (ADVICE r2)
     "q_join_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, NULL::BIGINT AS probe_id,
+        |    event_id AS p_id, value AS p_value, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_id AS probe_id,
+        |    NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value, 1 AS side
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER w AS m_id,
+        |    last_value(p_value IGNORE NULLS) OVER w AS m_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT probe_id, user_id, ts, m_id, m_value
+        |FROM m WHERE side = 1
+        |ORDER BY probe_id""".stripMargin,
+    // the native custom-operator twin must produce byte-identical output
+    // to the window form — same oracle, strongest possible cross-check
+    "q_join_asof_native" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, NULL::BIGINT AS probe_id,
         |    event_id AS p_id, value AS p_value, 0 AS side

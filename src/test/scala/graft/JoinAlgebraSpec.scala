@@ -85,4 +85,14 @@ class JoinAlgebraSpec extends AnyFunSuite with SparkFixture {
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(got == expected)
   }
+
+  test("native as-of join == union+window as-of join, row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val native = rows(relational.Joins.qJoinAsofNative(spark, sf0001))
+    val window = rows(relational.Joins.qJoinAsof(spark, sf0001))
+    assert(native.nonEmpty && native == window)
+  }
 }

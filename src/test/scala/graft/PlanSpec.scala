@@ -330,6 +330,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 1, s"melt must not shuffle, got $exchanges in:\n$plan")
   }
 
+  test("native as-of join plans as the custom exec with co-partitioned, " +
+      "co-sorted children — no window, no union") {
+    val plan = planOf(relational.Joins.qJoinAsofNative(spark, sf0001))
+    // SparkPlan.nodeName strips the Exec suffix: the node prints "AsOfJoin"
+    assert(plan.contains("AsOfJoin"),
+      s"expected the custom operator in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"the native form must not fall back to the union+window encoding:\n$plan")
+    // EnsureRequirements gave it SMJ-shape children: a hash exchange and
+    // a sort per side
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).length >= 2,
+      s"both sides must cluster on the key:\n$plan")
+  }
+
+  test("PushFilterThroughAsOfJoin moves a post-join probe predicate below " +
+      "the operator and into the parquet scan") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("m_id"), col("value").as("m_value"))
+    val joined = plans.AsOf.asof(clicks, purchases,
+      "user_id", "b_user", "ts", "b_ts", Seq("m_id"))
+      .filter(col("probe_id") % 2 === 0) // written AFTER the as-of join
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the probe-only conjunct must sit BELOW AsOfJoinPlan after the rule
+    val joinIdx = optimized.indexOf("AsOfJoinPlan")
+    val filtIdx = optimized.indexOf("% 2")
+    assert(joinIdx >= 0, s"missing custom node in:\n$optimized")
+    assert(filtIdx > joinIdx,
+      s"probe filter must be below (after, in tree order) the join:\n$optimized")
+    // and the scan-stage pushdown carries it the rest of the way (through
+    // the probe_id alias, onto event_id): the filter prunes BEFORE the
+    // key shuffle
+    val physical = planOf(joined)
+    val exchIdx = physical.indexOf("Exchange hashpartitioning(user_id")
+    val physFiltIdx = physical.indexOf("% 2")
+    assert(exchIdx >= 0 && physFiltIdx > exchIdx,
+      s"probe filter must run before the probe-side exchange:\n$physical")
+  }
+
   test("ts_resample aggregates the corpus before touching the grid (the " +
       "LOCF window runs over O(calendar) rows)") {
     val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))
