@@ -161,7 +161,37 @@ object Extended {
       .withColumn("k_bucket", expr("k_val % 7"))
       .orderBy("event_id")
 
+  /** q_crosstab — DataFrameStatFunctions contingency table: status ×
+    * priority counts as a wide matrix. crosstab's column ORDER is
+    * data-arrival-dependent, so columns are re-selected sorted and spaces
+    * sanitized for the parquet sink; the driver compare sorts columns by
+    * name anyway. Scale shape: one pair-keyed aggregate (O(distinct
+    * pairs) partials, map-side combined) pivoted on the driver over
+    * ≤ |statuses| × |priorities| cells. */
+  def qCrosstab(s: SparkSession, dir: String): DataFrame = {
+    val ct = Tables.orders(s, dir)
+      .stat.crosstab("o_orderstatus", "o_orderpriority")
+    val cols = ct.columns.sorted
+      .map(c => col(s"`$c`").as(c.replace(" ", "_")))
+    ct.select(cols.toIndexedSeq: _*)
+      .orderBy("o_orderstatus_o_orderpriority")
+  }
+
+  /** q_agg_mode — deterministic mode: the most frequent priority per
+    * status, ties broken by the LOWEST value (`mode(e, true)` — Spark 4's
+    * deterministic variant; the plain single-arg form is
+    * tie-nondeterministic and therefore unverifiable). One algebraic
+    * aggregate carrying a counts map per group — O(groups × distinct
+    * values) state, no second shuffle. */
+  def qAggMode(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("mode(o_orderpriority, true)").as("modal_priority"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "q_crosstab" -> (qCrosstab _),
+    "q_agg_mode" -> (qAggMode _),
     "q_unpivot" -> (qUnpivot _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_null_funcs" -> (qNullFuncs _),
@@ -171,6 +201,28 @@ object Extended {
     "q_variant_funcs" -> (qVariantFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q_crosstab" ->
+      """SELECT o_orderstatus AS "o_orderstatus_o_orderpriority",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS "1-URGENT",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+        |    AS "3-MEDIUM",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |    AS "4-NOT_SPECIFIED",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS modal_priority
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY cnt DESC, o_orderpriority ASC) = 1
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

@@ -70,6 +70,41 @@ object Sources {
       .orderBy("s_suppkey")
   }
 
+  /** q_scan_binary — the `binaryFile` source: the multimodal ingest edge
+    * (an image/audio landing bucket read as whole-file rows). Fixture:
+    * each document's synthesized payload (its UTF-8 text — the same
+    * payload rule as multimodal/Multimodal.scala) is written task-side as
+    * its own file; the read back emits per-file metadata + content hash,
+    * and the oracle recomputes both from the source table — verifying the
+    * file round-trip byte-exactly. At scale the write half doesn't exist
+    * (the files ARE the input); the read is one row per file with the
+    * content column pruned away unless referenced. */
+  def qScanBinary(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"bin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      root.listFiles().foreach(_.delete()) // clean slate, idempotent reruns
+    }
+    root.mkdirs()
+    // task-side fixture write: no driver collect, one file per doc
+    Tables.documents(s, dir).select("doc_id", "text")
+      .foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+    s.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("payload_sha256"))
+      .orderBy("doc_id")
+  }
+
   /** q_scan_text — region names → raw text lines → spark.read.text. */
   def qScanText(s: SparkSession, dir: String): DataFrame = {
     val path = scratch(s"text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
@@ -83,7 +118,8 @@ object Sources {
     "q_scan_csv" -> (qScanCsv _),
     "q_scan_json" -> (qScanJson _),
     "q_scan_orc" -> (qScanOrc _),
-    "q_scan_text" -> (qScanText _))
+    "q_scan_text" -> (qScanText _),
+    "q_scan_binary" -> (qScanBinary _))
 
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
@@ -99,5 +135,9 @@ object Sources {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
     "q_scan_text" ->
-      "SELECT r_name AS value FROM region ORDER BY value")
+      "SELECT r_name AS value FROM region ORDER BY value",
+    "q_scan_binary" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS payload_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
