@@ -3,9 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Ascending, Attribute, BindReferences, Expression,
-  GenericInternalRow, JoinedRow, PredicateHelper, SortOrder,
-  UnsafeProjection}
+  Alias, And, Ascending, Attribute, Expression, GenericInternalRow,
+  JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{
   BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -138,42 +137,111 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Fixed-width types whose internal representation reads as a long —
+    * the no-allocation merge fast path (covers the id/timestamp keys an
+    * as-of join is actually built on). */
+  private def longGetter(dt: org.apache.spark.sql.types.DataType)
+      : Option[(InternalRow, Int) => Long] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some((r, i) => r.getLong(i))
+      case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
+      case ShortType => Some((r, i) => r.getShort(i).toLong)
+      case ByteType => Some((r, i) => r.getByte(i).toLong)
+      case _ => None
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val keyGet = longGetter(leftKey.dataType)
+    val timeGet = longGetter(leftTime.dataType)
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyEval = BindReferences.bindReference(leftKey, lOut)
-      val lTimeEval = BindReferences.bindReference(leftTime, lOut)
-      val rKeyEval = BindReferences.bindReference(rightKey, rOut)
-      val rTimeEval = BindReferences.bindReference(rightTime, rOut)
+      // codegen'd (key, time) extraction — ONE projection per row; the
+      // first cut interpreted-eval'ed the pending right head once per
+      // probe-row comparison, which made the merge the bottleneck
+      val lProj = UnsafeProjection.create(Seq(leftKey, leftTime), lOut)
+      val rProj = UnsafeProjection.create(Seq(rightKey, rightTime), rOut)
       val project = UnsafeProjection.create(allOut, allOut)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
-      val rBuf = rIter.buffered
-      // O(1) merge state: the latest build row consumed for the current
-      // key (rows from the sorter reuse buffers — copy on retain)
-      var matchRow: InternalRow = null
-      var matchKey: Any = null
-      lIter.map { l =>
-        val lk = lKeyEval.eval(l)
-        val lt = lTimeEval.eval(l)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rk = rKeyEval.eval(rBuf.head)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 &&
-              timeOrd.compare(rTimeEval.eval(rBuf.head), lt) <= 0)) {
-            val r = rBuf.next()
-            if (c == 0) { matchRow = r.copy(); matchKey = lk }
-            else { matchRow = null; matchKey = null }
-          } else advance = false
+
+      if (keyGet.isDefined && timeGet.isDefined) {
+        // primitive path: key/time ride in local longs — zero allocation
+        // per comparison, one row copy per retained build row
+        val kG = keyGet.get
+        val tG = timeGet.get
+        var pendRow: InternalRow = null // right head, not yet consumed
+        var pendKey = 0L
+        var pendTime = 0L
+        def loadPend(): Boolean = {
+          if (pendRow == null && rIter.hasNext) {
+            pendRow = rIter.next()
+            val kt = rProj(pendRow)
+            pendKey = kG(kt, 0)
+            pendTime = tG(kt, 1)
+          }
+          pendRow != null
         }
-        val matched = matchRow != null && matchKey != null &&
-          keyOrd.compare(matchKey, lk) == 0
-        project(joined(l, if (matched) matchRow else nullRight))
+        var matchRow: InternalRow = null
+        var matchKey = 0L
+        lIter.map { l =>
+          val lkt = lProj(l)
+          val lk = kG(lkt, 0)
+          val lt = tG(lkt, 1)
+          var advance = true
+          while (advance && loadPend()) {
+            if (pendKey < lk || (pendKey == lk && pendTime <= lt)) {
+              if (pendKey == lk) { matchRow = pendRow.copy(); matchKey = lk }
+              else matchRow = null
+              pendRow = null
+            } else advance = false
+          }
+          val matched = matchRow != null && matchKey == lk
+          project(joined(l, if (matched) matchRow else nullRight))
+        }
+      } else {
+        // generic path: boxed values + interpreted orderings; the 2-col
+        // extraction rows are copied because retained values (pending
+        // head, current match key) must outlive the projection buffer
+        var pendRow: InternalRow = null
+        var pendKey: Any = null
+        var pendTime: Any = null
+        def loadPend(): Boolean = {
+          if (pendRow == null && rIter.hasNext) {
+            pendRow = rIter.next()
+            val kt = rProj(pendRow).copy()
+            pendKey = kt.get(0, keyDt)
+            pendTime = kt.get(1, timeDt)
+          }
+          pendRow != null
+        }
+        var matchRow: InternalRow = null
+        var matchKey: Any = null
+        lIter.map { l =>
+          val lkt = lProj(l).copy()
+          val lk = lkt.get(0, keyDt)
+          val lt = lkt.get(1, timeDt)
+          var advance = true
+          while (advance && loadPend()) {
+            val c = keyOrd.compare(pendKey, lk)
+            if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) <= 0)) {
+              if (c == 0) { matchRow = pendRow.copy(); matchKey = pendKey }
+              else matchRow = null
+              pendRow = null
+            } else advance = false
+          }
+          val matched = matchRow != null &&
+            keyOrd.compare(matchKey, lk) == 0
+          project(joined(l, if (matched) matchRow else nullRight))
+        }
       }
     }
   }
