@@ -196,7 +196,66 @@ object Governance {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("split", "lang")
 
+  /** q_decontam_embed — embedding-space benchmark decontamination: the
+    * semantic complement of q_decontam_ngram (paraphrased leaks share no
+    * 8-gram but sit close in embedding space). Training vectors flagged
+    * when cosine ≥ 0.3 to ANY held-out eval vector (vec_id%10=0 stands in
+    * for the benchmark suite), with hit count + max similarity per
+    * offender. Scale shape: the eval set is benchmark-sized — BROADCAST —
+    * so the corpus side is one scan with a per-row probe (same posture as
+    * q_anomaly_zscore); the codegen'd array_dot keeps the n_train×n_eval
+    * probe loop tight; at larger eval sets the IVF bucketing of
+    * q_dedup_embed_bucketed slots in front unchanged. */
+  def qDecontamEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    import org.apache.spark.sql.functions.{aggregate => hof_aggregate}
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(hof_aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val eval = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("e_id"), col("emb").as("e_emb"),
+        col("nrm").as("e_nrm"))
+    e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(eval))
+      .withColumn("cos", round(
+        call_function("array_dot", col("emb"), col("e_emb")) /
+          (col("nrm") * col("e_nrm")), 6))
+      .filter(col("cos") >= 0.3)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q_quality_unigram_lp — unigram language-model quality proxy (the
+    * CCNet-style LM filter without the external LM): per doc, the mean
+    * token surprisal −ln p(t) under the corpus's own unigram
+    * distribution; outliers are gibberish (high) or degenerate repetition
+    * (low). Two keyed aggregates: vocabulary counts (map-side combined,
+    * shuffle bounded by distinct tokens) and the per-doc mean after a
+    * token-keyed join; the token table is checkpointed once for its two
+    * consumers. Surprisal is irrational (ln) → 1e-6 floor is ulp-safe
+    * (SURVEY §7.4.9). */
+  def qQualityUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint(true)
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_corpus"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log(col("n_corpus")) - log(col("c"))).as("surprisal"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg("surprisal") * 1e6) / 1e6).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_decontam_embed" -> (qDecontamEmbed _),
+    "q_quality_unigram_lp" -> (qQualityUnigramLp _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_split_hash" -> (qSplitHash _),
     "q_text_redact" -> (qTextRedact _),
@@ -205,6 +264,28 @@ object Governance {
     "q_mix_entropy" -> (qMixEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "q_decontam_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0)
+        |SELECT tr.vec_id AS vec_id, COUNT(*) AS n_eval_hits,
+        |  MAX(ROUND(list_cosine_similarity(tr.emb, ev.emb), 6)) AS max_cos
+        |FROM tr JOIN ev
+        |  ON ROUND(list_cosine_similarity(tr.emb, ev.emb), 6) >= 0.3
+        |GROUP BY tr.vec_id
+        |ORDER BY vec_id""".stripMargin,
+    "q_quality_unigram_lp" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |total AS (SELECT COUNT(*) AS n_corpus FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  floor(AVG(ln(n_corpus) - ln(c)) * 1e6) / 1e6 AS mean_surprisal
+        |FROM tok JOIN vocab USING (tok) CROSS JOIN total
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_split_hash" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

@@ -56,7 +56,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression])
+    rightTieBreak: Seq[Expression],
+    forward: Boolean = false)
   extends BinaryNode {
 
   // probe columns keep their nullability; every build column is nullable
@@ -91,8 +92,9 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb,
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -104,7 +106,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression])
+    rightTieBreak: Seq[Expression],
+    forward: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -190,22 +193,43 @@ case class AsOfJoinExec(
           }
           pendRow != null
         }
-        var matchRow: InternalRow = null
-        var matchKey = 0L
-        lIter.map { l =>
-          val lkt = lProj(l)
-          val lk = kG(lkt, 0)
-          val lt = tG(lkt, 1)
-          var advance = true
-          while (advance && loadPend()) {
-            if (pendKey < lk || (pendKey == lk && pendTime <= lt)) {
-              if (pendKey == lk) { matchRow = pendRow.copy(); matchKey = lk }
-              else matchRow = null
-              pendRow = null
-            } else advance = false
+        if (forward) {
+          // forward: the match is the FIRST unconsumed build row with
+          // time ≥ probe time — i.e. the pending head itself (ties on
+          // time resolve to the min tie-break, which sorts first). Rows
+          // strictly before the probe time can never match a later
+          // (ascending) probe, so they are discarded; nothing is retained.
+          lIter.map { l =>
+            val lkt = lProj(l)
+            val lk = kG(lkt, 0)
+            val lt = tG(lkt, 1)
+            var advance = true
+            while (advance && loadPend()) {
+              if (pendKey < lk || (pendKey == lk && pendTime < lt))
+                pendRow = null
+              else advance = false
+            }
+            val matched = pendRow != null && pendKey == lk
+            project(joined(l, if (matched) pendRow else nullRight))
           }
-          val matched = matchRow != null && matchKey == lk
-          project(joined(l, if (matched) matchRow else nullRight))
+        } else {
+          var matchRow: InternalRow = null
+          var matchKey = 0L
+          lIter.map { l =>
+            val lkt = lProj(l)
+            val lk = kG(lkt, 0)
+            val lt = tG(lkt, 1)
+            var advance = true
+            while (advance && loadPend()) {
+              if (pendKey < lk || (pendKey == lk && pendTime <= lt)) {
+                if (pendKey == lk) { matchRow = pendRow.copy(); matchKey = lk }
+                else matchRow = null
+                pendRow = null
+              } else advance = false
+            }
+            val matched = matchRow != null && matchKey == lk
+            project(joined(l, if (matched) matchRow else nullRight))
+          }
         }
       } else {
         // generic path: boxed values + interpreted orderings; the 2-col
@@ -223,24 +247,42 @@ case class AsOfJoinExec(
           }
           pendRow != null
         }
-        var matchRow: InternalRow = null
-        var matchKey: Any = null
-        lIter.map { l =>
-          val lkt = lProj(l).copy()
-          val lk = lkt.get(0, keyDt)
-          val lt = lkt.get(1, timeDt)
-          var advance = true
-          while (advance && loadPend()) {
-            val c = keyOrd.compare(pendKey, lk)
-            if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) <= 0)) {
-              if (c == 0) { matchRow = pendRow.copy(); matchKey = pendKey }
-              else matchRow = null
-              pendRow = null
-            } else advance = false
+        if (forward) {
+          lIter.map { l =>
+            val lkt = lProj(l).copy()
+            val lk = lkt.get(0, keyDt)
+            val lt = lkt.get(1, timeDt)
+            var advance = true
+            while (advance && loadPend()) {
+              val c = keyOrd.compare(pendKey, lk)
+              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) < 0))
+                pendRow = null
+              else advance = false
+            }
+            val matched = pendRow != null &&
+              keyOrd.compare(pendKey, lk) == 0
+            project(joined(l, if (matched) pendRow else nullRight))
           }
-          val matched = matchRow != null &&
-            keyOrd.compare(matchKey, lk) == 0
-          project(joined(l, if (matched) matchRow else nullRight))
+        } else {
+          var matchRow: InternalRow = null
+          var matchKey: Any = null
+          lIter.map { l =>
+            val lkt = lProj(l).copy()
+            val lk = lkt.get(0, keyDt)
+            val lt = lkt.get(1, timeDt)
+            var advance = true
+            while (advance && loadPend()) {
+              val c = keyOrd.compare(pendKey, lk)
+              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) <= 0)) {
+                if (c == 0) { matchRow = pendRow.copy(); matchKey = pendKey }
+                else matchRow = null
+                pendRow = null
+              } else advance = false
+            }
+            val matched = matchRow != null &&
+              keyOrd.compare(matchKey, lk) == 0
+            project(joined(l, if (matched) matchRow else nullRight))
+          }
         }
       }
     }
@@ -263,12 +305,14 @@ object AsOf {
   }
 
   /** probe ⟕asof build: per probe row, the build row with equal `key`
-    * and the greatest `buildTime` ≤ `probeTime` (build-time ties broken
-    * by `tieBreak`, last wins). Output = probe columns ++ build columns
-    * (nullable); callers pre-rename so the names are disjoint. */
+    * and — backward (default) — the greatest `buildTime` ≤ `probeTime`
+    * (build-time ties broken by `tieBreak`, LAST wins), or — forward —
+    * the smallest `buildTime` ≥ `probeTime` (ties: FIRST/min tie-break).
+    * Output = probe columns ++ build columns (nullable); callers
+    * pre-rename so the names are disjoint. */
   def asof(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, probeTime: String, buildTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil, forward: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     register(spark)
     val lPlan = probe.queryExecution.analyzed
@@ -287,6 +331,6 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, probeKey), attr(rPlan, buildKey),
       attr(lPlan, probeTime), attr(rPlan, buildTime),
-      tieBreak.map(attr(rPlan, _))))
+      tieBreak.map(attr(rPlan, _)), forward))
   }
 }

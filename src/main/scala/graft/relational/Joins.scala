@@ -178,6 +178,27 @@ object Joins {
       .orderBy("probe_id")
   }
 
+  /** q_join_asof_fwd — forward as-of through the same custom operator:
+    * for each click, the NEXT purchase by the same user at ts ≥ click ts
+    * (ties: at equal ts the purchase matches; among equal-ts purchases
+    * the MIN event_id wins — the forward mirror of q_join_asof's rules).
+    * The "time to next conversion" query. Same plan shape; the merge
+    * retains nothing at all (the pending head IS the match). */
+  def qJoinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("m_id"), col("value").as("m_value"))
+    graft.plans.AsOf.asof(clicks, purchases,
+      probeKey = "user_id", buildKey = "b_user",
+      probeTime = "ts", buildTime = "b_ts", tieBreak = Seq("m_id"),
+      forward = true)
+      .select("probe_id", "user_id", "ts", "m_id", "m_value")
+      .orderBy("probe_id")
+  }
+
   /** q_join_star — the canonical shipping-priority star query (TPC-H Q3
     * shape, round 7): filtered customer segment ⋈ orders ⋈ lineitem,
     * top-10 open orders by outstanding revenue. Declared fully
@@ -208,6 +229,7 @@ object Joins {
     "q_join_star" -> (qJoinStar _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_native" -> (qJoinAsofNative _),
+    "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_left" -> (qJoinLeft _),
@@ -273,6 +295,29 @@ object Joins {
         |    last_value(p_value IGNORE NULLS) OVER w AS m_value
         |  FROM tagged
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT probe_id, user_id, ts, m_id, m_value
+        |FROM m WHERE side = 1
+        |ORDER BY probe_id""".stripMargin,
+    // forward mirror: scan DESC so "last non-null purchase so far" is the
+    // SMALLEST ts ≥ the click's; side ASC keeps equal-ts purchases before
+    // clicks (≥ matches), event_id DESC makes the min event_id win ties
+    "q_join_asof_fwd" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, NULL::BIGINT AS probe_id,
+        |    event_id AS p_id, value AS p_value, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_id AS probe_id,
+        |    NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value, 1 AS side
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER w AS m_id,
+        |    last_value(p_value IGNORE NULLS) OVER w AS m_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts DESC, side ASC, event_id DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT probe_id, user_id, ts, m_id, m_value
         |FROM m WHERE side = 1

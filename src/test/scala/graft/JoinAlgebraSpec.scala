@@ -95,4 +95,32 @@ class JoinAlgebraSpec extends AnyFunSuite with SparkFixture {
     val window = rows(relational.Joins.qJoinAsof(spark, sf0001))
     assert(native.nonEmpty && native == window)
   }
+
+  test("forward as-of == brute-force min-struct over the range join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("m_id"))
+    // independent oracle: range join + min(struct(ts, id)) per click
+    val expected = clicks
+      .join(purchases, col("user_id") === col("b_user") &&
+        col("b_ts") >= col("ts"), "left")
+      .groupBy("probe_id")
+      .agg(min(struct(col("b_ts"), col("m_id"))).as("m"))
+      .select(col("probe_id"), col("m.m_id").as("m_id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = relational.Joins.qJoinAsofFwd(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == expected)
+    assert(got.values.exists(_.isEmpty),
+      "fixture should include clicks with no later purchase")
+  }
 }
