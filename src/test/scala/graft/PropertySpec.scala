@@ -132,4 +132,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(union == inter + aOnly + bOnly)
     }
   }
+
+  test("native as-of join (both directions) == brute force on arbitrary " +
+      "key/time data, including ties, empty sides, and unmatched keys") {
+    import spark.implicits._
+    // few keys + tiny time domain → dense tie/boundary coverage; ids are
+    // unique (tie-break determinism needs a total order, like real data)
+    val sideGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L)
+        t <- Gen.choose(0L, 9L)
+      } yield (k, t))
+    } yield rows
+    val bothGen = for { p <- sideGen; b <- sideGen } yield (p, b)
+    samples(bothGen, n = 8).foreach { case (probe, build) =>
+      val p = probe.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("probe_id", "k", "t")
+      val b = build.zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, t) }
+        .toDF("m_id", "b_k", "b_t")
+      for (forward <- Seq(false, true)) {
+        val got = plans.AsOf.asof(p, b, "k", "b_k", "t", "b_t",
+          Seq("m_id"), forward).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        val expected = probe.zipWithIndex.map { case ((k, t), i) =>
+          val cand = build.zipWithIndex.filter { case ((bk, bt), _) =>
+            bk == k && (if (forward) bt >= t else bt <= t) }
+          val pick =
+            if (cand.isEmpty) None
+            else if (forward) // min (time, id)
+              Some(1000L + cand.minBy { case ((_, bt), j) => (bt, j) }._2)
+            else // max (time, id)
+              Some(1000L + cand.maxBy { case ((_, bt), j) => (bt, j) }._2)
+          i.toLong -> pick
+        }.toMap
+        assert(got == expected,
+          s"forward=$forward probe=$probe build=$build")
+      }
+    }
+  }
 }
