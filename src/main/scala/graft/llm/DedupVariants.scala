@@ -373,11 +373,15 @@ object DedupVariants {
       min(md5(concat(lit("0:"), col("sh")))).as("h0"),
       (1 to 7).map(i =>
         min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+    // 4 rows/doc, materialized once: both sides of the band self-join
+    // would otherwise re-run the signature aggregate (plan-audited — the
+    // sh checkpoint alone only saves the explode below it)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 to 3).map(b => struct(lit(b).as("b"),
         concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
       .as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+      .localCheckpoint(true)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
