@@ -145,7 +145,39 @@ object Pipelines {
       .orderBy("cluster")
   }
 
+  /** q_ml_word2vec — word-embedding training over the corpus (the
+    * reference-genre text-ML op alongside TF-IDF): skip-gram Word2Vec,
+    * seeded, single fit partition so the negative-sampling walk is
+    * deterministic; emits the learned vocabulary as scalar rows (word,
+    * vector norm, first two dims) — no vector/array columns, the driver's
+    * rows-only compare chokes on ndarray cells (round-6 q_mm_decode
+    * lesson). Scale: the fit is MLlib's distributed skip-gram
+    * (per-partition gradient aggregation); at corpus scale raise
+    * numPartitions and minCount together — the vocabulary broadcast is
+    * the memory bound, so min-count pruning IS the scale lever. */
+  def qMlWord2vec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val docs = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("words"))
+    val w2v = new Word2Vec().setInputCol("words").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(10).setMaxIter(1).setSeed(seed)
+      .setNumPartitions(1)
+    val model = w2v.fit(docs)
+    import org.apache.spark.ml.linalg.Vector
+    model.getVectors
+      .select(col("word"),
+        udf((v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+          .apply(col("vector")).as("nrm"),
+        udf((v: Vector) => v(0)).apply(col("vector")).as("d0"),
+        udf((v: Vector) => v(1)).apply(col("vector")).as("d1"))
+      .select(col("word"), (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
+        (floor(col("d0") * 1e6) / 1e6).as("d0"),
+        (floor(col("d1") * 1e6) / 1e6).as("d1"))
+      .orderBy("word")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_word2vec" -> (qMlWord2vec _),
     "q_ml_tfidf_nb" -> (qMlTfidfNb _),
     "q_ml_lr_vec" -> (qMlLrVec _),
     "q_ml_eval" -> (qMlEval _),

@@ -31,8 +31,8 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 144,
-      s"expected the SURVEY §2 144-key inventory (77 original + 67 " +
+    assert(SparkEntry.queries.size == 145,
+      s"expected the SURVEY §2 145-key inventory (77 original + 68 " +
         s"extensions), got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 131,
       s"expected 131 oracle-checked keys, got ${SparkEntry.oracleSql.size}")

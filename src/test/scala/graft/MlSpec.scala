@@ -73,4 +73,14 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     val b = ml.Pipelines.qMlLrVec(spark, sf001).collect()
     assert(a.sameElements(b))
   }
+
+  test("q_ml_word2vec learns a unit-scale vocabulary, deterministically") {
+    val a = ml.Pipelines.qMlWord2vec(spark, sf0001).collect()
+    assert(a.nonEmpty, "min-count 10 should keep the frequent tokens")
+    // vectors are finite and non-degenerate (training moved them off 0)
+    assert(a.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
+    // seeded, single-partition fit: run-to-run deterministic
+    val b = ml.Pipelines.qMlWord2vec(spark, sf0001).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
 }
