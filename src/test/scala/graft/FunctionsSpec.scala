@@ -96,6 +96,20 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
         "SELECT collect_bounded(v, 2) FROM VALUES (1L), (2L), (3L) t(v)")
         .collect().head.getSeq[Long](0)
       assert(capped.length == 2)
+      // the builder path must also install the as-of planner strategy:
+      // plan a raw AsOfJoinPlan WITHOUT AsOf.register's runtime hook —
+      // with no strategy the planner cannot lower the node and throws
+      val probe = s2.sql("SELECT * FROM VALUES (1L, 5L) p(k, t)")
+      val build = s2.sql("SELECT * FROM VALUES (1L, 3L, 9L) b(bk, bt, v)")
+      def a(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      val asof = org.apache.spark.sql.graft.PlanBridge.ofRows(s2,
+        plans.AsOfJoinPlan(
+          probe.queryExecution.analyzed, build.queryExecution.analyzed,
+          a(probe, "k"), a(build, "bk"), a(probe, "t"), a(build, "bt"),
+          Seq.empty))
+      val row = asof.collect().head
+      assert(row.getLong(4) == 9L, "as-of should match the t=3 build row")
     } finally {
       SparkSession.setDefaultSession(before)
       SparkSession.setActiveSession(before)
