@@ -189,7 +189,37 @@ object Extended {
       .agg(expr("mode(o_orderpriority, true)").as("modal_priority"))
       .orderBy("o_orderstatus")
 
+  /** q_explode_outer — OUTER generator semantics: docs keep a row (null
+    * token) when their filtered token array is empty ('qu' substring —
+    * 115/385 empty/non-empty mix at sf0.01), where plain explode silently
+    * drops them. The corner that loses rows in tokenize-then-join
+    * pipelines; same per-row Expand shape as q_unpivot, no shuffle. */
+  def qExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode_outer(expr(
+          "filter(split(text, ' '), t -> t like '%qu%')")).as("qu_tok"))
+      .orderBy(asc("doc_id"), asc_nulls_first("qu_tok"))
+
+  /** q_agg_topk_approx — Datasketches frequent-items top-k
+    * (`approx_top_k`): the heavy-hitters sketch as a query surface. On
+    * this column the tracked-item budget exceeds the cardinality, so the
+    * sketch is EXACT and the key is oracle-checkable (count margins
+    * verified tie-free at all three SFs); at corpus scale the same call
+    * degrades gracefully to approximate counts while the plan — one
+    * partial-mergeable sketch aggregate, no full groupBy+sort — is the
+    * point: top-k without ranking the whole key space. */
+  def qAggTopkApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"),
+        col("e.count").as("est_count"))
+      .orderBy(desc("est_count"), asc("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q_explode_outer" -> (qExplodeOuter _),
+    "q_agg_topk_approx" -> (qAggTopkApprox _),
     "q_crosstab" -> (qCrosstab _),
     "q_agg_mode" -> (qAggMode _),
     "q_unpivot" -> (qUnpivot _),
@@ -201,6 +231,22 @@ object Extended {
     "q_variant_funcs" -> (qVariantFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q_explode_outer" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t LIKE '%qu%')
+        |      AS arr
+        |  FROM documents)
+        |SELECT doc_id, qu_tok FROM (
+        |  SELECT doc_id, unnest(arr) AS qu_tok FROM l WHERE len(arr) > 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS qu_tok FROM l WHERE len(arr) = 0)
+        |ORDER BY doc_id, qu_tok NULLS FIRST""".stripMargin,
+    "q_agg_topk_approx" ->
+      """SELECT event_type, COUNT(*) AS est_count FROM events
+        |GROUP BY event_type
+        |ORDER BY est_count DESC, event_type
+        |LIMIT 3""".stripMargin,
     "q_crosstab" ->
       """SELECT o_orderstatus AS "o_orderstatus_o_orderpriority",
         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
