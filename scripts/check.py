@@ -10,6 +10,9 @@ sort columns by name, and compare values. Reports per-key PASS/FAIL with
 diagnostics (schema diff, row-count diff, first mismatching cells).
 """
 import sys, os, json, glob
+import datetime
+import math
+from decimal import Decimal
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
@@ -37,7 +40,6 @@ def load_spark_result(outdir, key):
 # the driver could then flag. (Columns are sorted by name to match the
 # driver's column canonicalization.)
 def norm(df):
-    import datetime
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
@@ -52,6 +54,58 @@ def norm(df):
                 if type(v) is datetime.date
                 else v)
     return df
+
+
+# Representation kind of a column, at the granularity the driver's
+# pyarrow-based hash distinguishes (round-7 postmortem): an int64 column
+# and a float64 column of equal values hash DIFFERENTLY, as do float64 vs
+# object-of-Decimal. Python's `==` (Decimal('4') == 4, 4.0 == 4) would
+# mask all of these, so kinds are compared before any value comparison.
+def col_kind(s):
+    k = s.dtype.kind  # i/u int, f float, b bool, M datetime, O object
+    if k in "iu":
+        return "int"
+    if k in "fbM":
+        return {"f": "float", "b": "bool", "M": "timestamp"}[k]
+    for v in s:
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, Decimal):
+            return "decimal"
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            return "timestamp"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, (str, bytes)):
+            return "str"
+        return "nested"
+    return "empty"  # all-null: no representation to clash on
+
+
+# Exact cell equality under the driver's hash semantics: NaN==NaN, but
+# Decimal never equals a plain number, and +0.0 never equals -0.0 (the
+# driver hashes the byte representation; IEEE -0.0 has the sign bit set —
+# the round-7 q_agg_corr failure). Recurses into arrays/structs (tuples).
+def cell_eq(x, y):
+    try:
+        if pd.isna(x) and pd.isna(y):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(x, Decimal) != isinstance(y, Decimal):
+        return False
+    if isinstance(x, tuple) and isinstance(y, tuple):
+        return len(x) == len(y) and all(cell_eq(a, b) for a, b in zip(x, y))
+    if isinstance(x, float) and isinstance(y, float) and x == 0.0 and y == 0.0:
+        return math.copysign(1.0, x) == math.copysign(1.0, y)
+    return x == y
 
 
 def main():
@@ -88,18 +142,23 @@ def main():
             print(f"FAIL {key}: rows spark={len(a)} duck={len(b)}")
             nfail += 1
             continue
+        # dtype-drift gate: int64 vs float64 (or float64 vs Decimal object)
+        # columns hash differently in the driver even when values compare
+        # equal in Python — fail before the value loop would mask it.
+        drift = [(c, col_kind(a[c]), col_kind(b[c])) for c in a.columns]
+        drift = [(c, ka, kb) for c, ka, kb in drift
+                 if ka != kb and "empty" not in (ka, kb)]
+        if drift:
+            print(f"FAIL {key}: column repr drift (spark vs duck): {drift}")
+            nfail += 1
+            continue
         mismatch = []
         for c in a.columns:
             av, bv = a[c].tolist(), b[c].tolist()
             for i, (x, y) in enumerate(zip(av, bv)):
                 # Exact equality on purpose (mimics the driver's value
                 # hash): queries must round floats onto a shared grid.
-                try:
-                    nn = pd.isna(x) and pd.isna(y)
-                except (TypeError, ValueError):
-                    nn = False
-                eq = nn or (x == y)
-                if not eq:
+                if not cell_eq(x, y):
                     mismatch.append((c, i, x, y))
                     if len(mismatch) >= 3:
                         break

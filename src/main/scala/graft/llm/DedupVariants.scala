@@ -300,13 +300,19 @@ object DedupVariants {
     while (!converged && rounds < 20) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      // LAZY localCheckpoint: the convergence count below is the action
+      // that both materializes/truncates the round's lineage AND reports
+      // the changed-label count — ONE job per round where the previous
+      // shape (eager checkpoint, then a separate count) ran two (round-7
+      // verdict's q_dedup_cluster regression item). A full count (not
+      // limit(1)) is deliberate: it computes every partition, so the
+      // checkpoint is complete before the next round reads it.
       val next = labels.select(col("id"), col("label").as("old"))
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
-        .localCheckpoint(true) // truncate lineage; also caches for reuse
-      converged =
-        next.filter(col("label") =!= col("old")).limit(1).count() == 0L
+        .localCheckpoint(false)
+      converged = next.filter(col("label") =!= col("old")).count() == 0L
       labels = next.select("id", "label")
       rounds += 1
     }

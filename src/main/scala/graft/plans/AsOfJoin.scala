@@ -184,12 +184,18 @@ case class AsOfJoinExec(
         var pendRow: InternalRow = null // right head, not yet consumed
         var pendKey = 0L
         var pendTime = 0L
+        // null semantics (upstream as-of EqualTo): a null key or time
+        // NEVER matches — null build rows are discarded here (otherwise
+        // getLong reads the null slot as 0 and falsely matches key 0),
+        // and null probe rows emit null-extended below. Nulls sort FIRST
+        // under the default ascending order, so skipping them before the
+        // merge keeps the key/time monotonicity the zip relies on.
         def loadPend(): Boolean = {
-          if (pendRow == null && rIter.hasNext) {
+          while (pendRow == null && rIter.hasNext) {
             pendRow = rIter.next()
             val kt = rProj(pendRow)
-            pendKey = kG(kt, 0)
-            pendTime = tG(kt, 1)
+            if (kt.isNullAt(0) || kt.isNullAt(1)) pendRow = null
+            else { pendKey = kG(kt, 0); pendTime = tG(kt, 1) }
           }
           pendRow != null
         }
@@ -201,34 +207,42 @@ case class AsOfJoinExec(
           // (ascending) probe, so they are discarded; nothing is retained.
           lIter.map { l =>
             val lkt = lProj(l)
-            val lk = kG(lkt, 0)
-            val lt = tG(lkt, 1)
-            var advance = true
-            while (advance && loadPend()) {
-              if (pendKey < lk || (pendKey == lk && pendTime < lt))
-                pendRow = null
-              else advance = false
+            if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+              project(joined(l, nullRight))
+            } else {
+              val lk = kG(lkt, 0)
+              val lt = tG(lkt, 1)
+              var advance = true
+              while (advance && loadPend()) {
+                if (pendKey < lk || (pendKey == lk && pendTime < lt))
+                  pendRow = null
+                else advance = false
+              }
+              val matched = pendRow != null && pendKey == lk
+              project(joined(l, if (matched) pendRow else nullRight))
             }
-            val matched = pendRow != null && pendKey == lk
-            project(joined(l, if (matched) pendRow else nullRight))
           }
         } else {
           var matchRow: InternalRow = null
           var matchKey = 0L
           lIter.map { l =>
             val lkt = lProj(l)
-            val lk = kG(lkt, 0)
-            val lt = tG(lkt, 1)
-            var advance = true
-            while (advance && loadPend()) {
-              if (pendKey < lk || (pendKey == lk && pendTime <= lt)) {
-                if (pendKey == lk) { matchRow = pendRow.copy(); matchKey = lk }
-                else matchRow = null
-                pendRow = null
-              } else advance = false
+            if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+              project(joined(l, nullRight))
+            } else {
+              val lk = kG(lkt, 0)
+              val lt = tG(lkt, 1)
+              var advance = true
+              while (advance && loadPend()) {
+                if (pendKey < lk || (pendKey == lk && pendTime <= lt)) {
+                  if (pendKey == lk) { matchRow = pendRow.copy(); matchKey = lk }
+                  else matchRow = null
+                  pendRow = null
+                } else advance = false
+              }
+              val matched = matchRow != null && matchKey == lk
+              project(joined(l, if (matched) matchRow else nullRight))
             }
-            val matched = matchRow != null && matchKey == lk
-            project(joined(l, if (matched) matchRow else nullRight))
           }
         }
       } else {
@@ -238,50 +252,65 @@ case class AsOfJoinExec(
         var pendRow: InternalRow = null
         var pendKey: Any = null
         var pendTime: Any = null
+        // same null semantics as the primitive path: null key/time build
+        // rows are dropped (the interpreted orderings NPE on boxed nulls
+        // for atomic types), null probe rows emit null-extended below
         def loadPend(): Boolean = {
-          if (pendRow == null && rIter.hasNext) {
+          while (pendRow == null && rIter.hasNext) {
             pendRow = rIter.next()
-            val kt = rProj(pendRow).copy()
-            pendKey = kt.get(0, keyDt)
-            pendTime = kt.get(1, timeDt)
+            val kt = rProj(pendRow)
+            if (kt.isNullAt(0) || kt.isNullAt(1)) pendRow = null
+            else {
+              val copied = kt.copy()
+              pendKey = copied.get(0, keyDt)
+              pendTime = copied.get(1, timeDt)
+            }
           }
           pendRow != null
         }
         if (forward) {
           lIter.map { l =>
             val lkt = lProj(l).copy()
-            val lk = lkt.get(0, keyDt)
-            val lt = lkt.get(1, timeDt)
-            var advance = true
-            while (advance && loadPend()) {
-              val c = keyOrd.compare(pendKey, lk)
-              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) < 0))
-                pendRow = null
-              else advance = false
+            if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+              project(joined(l, nullRight))
+            } else {
+              val lk = lkt.get(0, keyDt)
+              val lt = lkt.get(1, timeDt)
+              var advance = true
+              while (advance && loadPend()) {
+                val c = keyOrd.compare(pendKey, lk)
+                if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) < 0))
+                  pendRow = null
+                else advance = false
+              }
+              val matched = pendRow != null &&
+                keyOrd.compare(pendKey, lk) == 0
+              project(joined(l, if (matched) pendRow else nullRight))
             }
-            val matched = pendRow != null &&
-              keyOrd.compare(pendKey, lk) == 0
-            project(joined(l, if (matched) pendRow else nullRight))
           }
         } else {
           var matchRow: InternalRow = null
           var matchKey: Any = null
           lIter.map { l =>
             val lkt = lProj(l).copy()
-            val lk = lkt.get(0, keyDt)
-            val lt = lkt.get(1, timeDt)
-            var advance = true
-            while (advance && loadPend()) {
-              val c = keyOrd.compare(pendKey, lk)
-              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) <= 0)) {
-                if (c == 0) { matchRow = pendRow.copy(); matchKey = pendKey }
-                else matchRow = null
-                pendRow = null
-              } else advance = false
+            if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+              project(joined(l, nullRight))
+            } else {
+              val lk = lkt.get(0, keyDt)
+              val lt = lkt.get(1, timeDt)
+              var advance = true
+              while (advance && loadPend()) {
+                val c = keyOrd.compare(pendKey, lk)
+                if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lt) <= 0)) {
+                  if (c == 0) { matchRow = pendRow.copy(); matchKey = pendKey }
+                  else matchRow = null
+                  pendRow = null
+                } else advance = false
+              }
+              val matched = matchRow != null &&
+                keyOrd.compare(matchKey, lk) == 0
+              project(joined(l, if (matched) matchRow else nullRight))
             }
-            val matched = matchRow != null &&
-              keyOrd.compare(matchKey, lk) == 0
-            project(joined(l, if (matched) matchRow else nullRight))
           }
         }
       }
@@ -323,10 +352,19 @@ object AsOf {
     val rPlan = Project(
       build.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
       build.queryExecution.analyzed)
+    // resolve with the session's configured case sensitivity (like the
+    // analyzer would), and refuse ambiguity instead of silently binding
+    // to the first of several same-named attributes
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.size} attributes match " +
+            s"(${many.map(a => s"${a.name}#${a.exprId.id}").mkString(", ")})")
+      }
     PlanBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, probeKey), attr(rPlan, buildKey),

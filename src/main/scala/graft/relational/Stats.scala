@@ -68,16 +68,22 @@ object Stats {
   /** q_agg_corr — bivariate aggregate family per group: Pearson
     * correlation and sample/population covariance of (quantity, price) by
     * return flag. All three are algebraic (one pass, partial-mergeable);
-    * outputs rounded at 4 dp like the q_agg_stats moments — the values are
-    * messy sums of products, nowhere near a half-way split. */
+    * outputs rounded at 4 dp like the q_agg_stats moments. The `+ 0.0`
+    * after each round is the IEEE signed-zero normalization (−0.0 + 0.0 =
+    * +0.0): covar_pop(l_discount, l_tax) ≈ −1e-19, and after rounding one
+    * engine keeps the sign bit while the other doesn't — a byte-level hash
+    * mismatch on a value that prints as 0.0 (round-7 failure). Both this
+    * query and the oracle apply the same normalization. */
   def qAggCorr(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
-        round(covar_samp("l_quantity", "l_extendedprice"), 4)
+        (round(corr("l_quantity", "l_extendedprice"), 4) + lit(0.0))
+          .as("corr_qty_price"),
+        (round(covar_samp("l_quantity", "l_extendedprice"), 4) + lit(0.0))
           .as("covar_samp_qp"),
-        round(covar_pop("l_discount", "l_tax"), 4).as("covar_pop_dt"))
+        (round(covar_pop("l_discount", "l_tax"), 4) + lit(0.0))
+          .as("covar_pop_dt"))
       .orderBy("l_returnflag")
 
   /** q_agg_regr — linear-regression aggregate family per group: slope,
@@ -178,10 +184,11 @@ object Stats {
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_agg_corr" ->
       """SELECT l_returnflag,
-        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0
+        |    AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0
         |    AS covar_samp_qp,
-        |  ROUND(covar_pop(l_discount, l_tax), 4) AS covar_pop_dt
+        |  ROUND(covar_pop(l_discount, l_tax), 4) + 0.0 AS covar_pop_dt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_regr" ->

@@ -88,7 +88,7 @@ object TimeSeries {
         |      AS grp
         |  FROM days)
         |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
-        |  COUNT(*) AS n_days, SUM(n_events) AS n_events
+        |  COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS n_events
         |FROM grp
         |GROUP BY user_id, grp
         |ORDER BY user_id, island_start""".stripMargin,

@@ -80,23 +80,48 @@ object Sources {
     * (the files ARE the input); the read is one row per file with the
     * content column pruned away unless referenced. */
   def qScanBinary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
     val path = scratch(s"bin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      root.listFiles().foreach(_.delete()) // clean slate, idempotent reruns
+    // All fixture I/O goes through the Hadoop FileSystem resolved from the
+    // session's configuration — NOT java.io/java.nio: on a distributed
+    // cluster task-side java.nio writes land on each executor's LOCAL
+    // disk and the subsequent binaryFile read (driver-resolved) would see
+    // missing data; the qualified Hadoop path works on any shared FS.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hconf)
+    fs.delete(root, true) // clean slate, idempotent reruns
+    fs.mkdirs(root)
+    val qualified = fs.makeQualified(root).toString
+    // Configuration is not Serializable; ship it to tasks as a key-value
+    // map via broadcast (public API — no private[spark] helpers)
+    val confEntries = {
+      val it = hconf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
     }
-    root.mkdirs()
+    val bConf = s.sparkContext.broadcast(confEntries)
     // task-side fixture write: no driver collect, one file per doc
     Tables.documents(s, dir).select("doc_id", "text")
       .foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%08d.bin"),
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (it.hasNext) {
+            val c = new Configuration(false)
+            bConf.value.foreach { case (k, v) => c.set(k, v) }
+            val base = new HPath(qualified)
+            val tfs = base.getFileSystem(c)
+            it.foreach { r =>
+              val out = tfs.create(
+                new HPath(base, f"doc_${r.getLong(0)}%08d.bin"), true)
+              try out.write(r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
           }
       }
-    s.read.format("binaryFile").load(path)
+    s.read.format("binaryFile").load(qualified)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
           .as("doc_id"),
