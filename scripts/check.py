@@ -39,20 +39,32 @@ def load_spark_result(outdir, key):
 # total ORDER BY; sorting here would mask a missing/ambiguous ordering that
 # the driver could then flag. (Columns are sorted by name to match the
 # driver's column canonicalization.)
+def _norm_cell(v):
+    # Recursive (round-8 advice: depth-1 tuple() left inner lists/dicts
+    # as plain x == y, where [nan] == [nan] is False and -0.0/Decimal
+    # strictness was masked): ndarrays/lists → tuples all the way down,
+    # dict-valued structs → sorted (key, value) tuples.
+    if hasattr(v, "tolist"):  # ndarray (and numpy scalars)
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if type(v) is datetime.date:
+        # pyarrow reads Spark DATE columns as datetime.date objects
+        # while DuckDB's .df() yields datetime64 Timestamps; the driver
+        # hashes these as EQUAL (q_date_funcs green in every round), so
+        # normalize dates to Timestamps. Decimal stays strict on
+        # purpose — the driver DOES flag Decimal-vs-float64 (round 4).
+        return pd.Timestamp(v)
+    return v
+
+
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # pyarrow reads Spark DATE columns as datetime.date objects
-            # while DuckDB's .df() yields datetime64 Timestamps; the driver
-            # hashes these as EQUAL (q_date_funcs green in every round), so
-            # normalize dates to Timestamps here. Decimal stays strict on
-            # purpose — the driver DOES flag Decimal-vs-float64 (round 4).
-            df[c] = df[c].apply(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                else pd.Timestamp(v)
-                if type(v) is datetime.date
-                else v)
+            df[c] = df[c].apply(_norm_cell)
     return df
 
 
@@ -67,12 +79,8 @@ def col_kind(s):
         return "int"
     if k in "fbM":
         return {"f": "float", "b": "bool", "M": "timestamp"}[k]
-    for v in s:
-        try:
-            if pd.isna(v):
-                continue
-        except (TypeError, ValueError):
-            pass
+
+    def kind_of(v):
         if isinstance(v, Decimal):
             return "decimal"
         if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
@@ -86,7 +94,22 @@ def col_kind(s):
         if isinstance(v, (str, bytes)):
             return "str"
         return "nested"
-    return "empty"  # all-null: no representation to clash on
+
+    # Scan ALL values (round-8 advice: first-non-null-only let a column
+    # that is int in early rows and float/Decimal later slip past the
+    # drift gate, where Python's 4 == 4.0 then masked the repr diff the
+    # driver's hash would flag). Mixed columns report the full kind set.
+    kinds = set()
+    for v in s:
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        kinds.add(kind_of(v))
+    if not kinds:
+        return "empty"  # all-null: no representation to clash on
+    return "|".join(sorted(kinds))
 
 
 # Exact cell equality under the driver's hash semantics: NaN==NaN, but
@@ -101,8 +124,20 @@ def cell_eq(x, y):
         pass
     if isinstance(x, Decimal) != isinstance(y, Decimal):
         return False
-    if isinstance(x, tuple) and isinstance(y, tuple):
+    # lists/dicts can only reach here un-normalized (defensive — norm()
+    # converts both to tuples); recurse rather than fall through to ==
+    if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):
         return len(x) == len(y) and all(cell_eq(a, b) for a, b in zip(x, y))
+    if isinstance(x, dict) and isinstance(y, dict):
+        return x.keys() == y.keys() and all(
+            cell_eq(v, y[k]) for k, v in x.items())
+    # int-vs-float strictness inside nested values (round-8 advice),
+    # mirroring the Decimal check: 4 == 4.0 in Python but the driver
+    # hashes the representation. bool is excluded (bool ⊂ int in Python).
+    if not isinstance(x, bool) and not isinstance(y, bool):
+        if (type(x) is int) != (type(y) is int) and \
+                isinstance(x, (int, float)) and isinstance(y, (int, float)):
+            return False
     if isinstance(x, float) and isinstance(y, float) and x == 0.0 and y == 0.0:
         return math.copysign(1.0, x) == math.copysign(1.0, y)
     return x == y

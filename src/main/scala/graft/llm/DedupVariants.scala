@@ -348,6 +348,51 @@ object DedupVariants {
       .filter(col("n_docs") >= 2)
       .orderBy("keeper")
 
+  /** q_dedup_incremental — cross-run dedup: dedupe TODAY's slice of the
+    * corpus against a manifest built from the PRIOR corpus, without ever
+    * re-joining today against the prior full text. This is the shape a
+    * production pipeline actually runs — yesterday's crawl is already
+    * deduped and manifested; today's must only be checked against the
+    * manifest — composed from pieces that each exist as their own key:
+    * q_dedup_prefix's fingerprint manifest, q_filter_bloom's pre-filter,
+    * and an exact residual anti-join.
+    *
+    * Slices: prior = doc_id % 4 != 3, today = doc_id % 4 == 3 (a
+    * deterministic ~25% "new crawl"). Result = today's docs whose
+    * 16-token prefix fingerprint does not appear in the prior manifest
+    * (plain anti-join semantics — the oracle recomputes exactly that).
+    *
+    * Scale shape: the manifest is O(distinct prefixes) — a compact table
+    * a 100 TB pipeline persists between runs. The bloom built over it
+    * (~1.2 MB per 1e6 keys at fpp 1%) ships to every probe task and
+    * drops definite-new rows IN THE SCAN STAGE, before any exchange:
+    * bloom false negatives are impossible, so a non-match needs no join
+    * at all. Only the ~fpp + true-dup fraction reaches the exact
+    * anti-join that removes false positives — shuffle volume is a few
+    * percent of the crawl instead of all of it. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .as("prefix_md5"))
+    val manifest = docs.filter(col("doc_id") % 4 =!= 3)
+      .select("prefix_md5").distinct()
+    val today = docs.filter(col("doc_id") % 4 === 3)
+    // size the bloom by the manifest's expected cardinality (persisted
+    // alongside the manifest in a real pipeline; constant here)
+    val bf = manifest.stat.bloomFilter("prefix_md5", 100000L, 0.01)
+    val bbf = s.sparkContext.broadcast(bf)
+    val might = udf((k: String) => bbf.value.mightContain(k))
+    // bloom-negative → definitely not in the manifest: new, no join
+    val definitelyNew = today.filter(!might(col("prefix_md5")))
+    // bloom-positive → candidate duplicate: exact residual anti-join
+    // clears the false positives
+    val residualNew = today.filter(might(col("prefix_md5")))
+      .join(manifest, Seq("prefix_md5"), "left_anti")
+    definitelyNew.unionByName(residualNew.select("doc_id", "prefix_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_minhash — deterministic MinHash-LSH near-dup pairs, the
     * oracle-checkable twin of q_dedup_near (whose MLlib banding DuckDB
     * cannot reproduce). Signature: 8 independent min-hashes per doc,
@@ -419,7 +464,8 @@ object DedupVariants {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
     "q_dedup_cluster" -> (qDedupCluster _),
-    "q_dedup_prefix" -> (qDedupPrefix _))
+    "q_dedup_prefix" -> (qDedupPrefix _),
+    "q_dedup_incremental" -> (qDedupIncremental _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" ->
@@ -472,6 +518,18 @@ object DedupVariants {
         |FROM p GROUP BY prefix_md5
         |HAVING COUNT(*) >= 2
         |ORDER BY keeper""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+        |      AS prefix_md5
+        |  FROM documents)
+        |SELECT doc_id, prefix_md5
+        |FROM p
+        |WHERE doc_id % 4 = 3
+        |  AND prefix_md5 NOT IN
+        |    (SELECT prefix_md5 FROM p WHERE doc_id % 4 != 3)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

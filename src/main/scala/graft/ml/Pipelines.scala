@@ -163,13 +163,19 @@ object Pipelines {
       .setVectorSize(16).setMinCount(10).setMaxIter(1).setSeed(seed)
       .setNumPartitions(1)
     val model = w2v.fit(docs)
-    import org.apache.spark.ml.linalg.Vector
+    // vector_to_array + built-in array ops keep the projection inside
+    // whole-stage codegen (a Vector-typed Scala UDF here would force a
+    // deserialize-per-row detour for vocabulary-sized data — harmless,
+    // but the wrong idiom).
     model.getVectors
       .select(col("word"),
-        udf((v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
-          .apply(col("vector")).as("nrm"),
-        udf((v: Vector) => v(0)).apply(col("vector")).as("d0"),
-        udf((v: Vector) => v(1)).apply(col("vector")).as("d1"))
+        org.apache.spark.ml.functions.vector_to_array(col("vector"))
+          .as("arr"))
+      .select(col("word"),
+        sqrt(aggregate(col("arr"), lit(0.0), (acc, x) => acc + x * x))
+          .as("nrm"),
+        element_at(col("arr"), 1).as("d0"),
+        element_at(col("arr"), 2).as("d1"))
       .select(col("word"), (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
         (floor(col("d0") * 1e6) / 1e6).as("d0"),
         (floor(col("d1") * 1e6) / 1e6).as("d1"))

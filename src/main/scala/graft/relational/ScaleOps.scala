@@ -2,7 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, sessionKey}
 
 /** Scale-technique operators (round 3): the shuffle-shaping idioms a
   * 100 TB deployment leans on — skew salting, bucketed co-located joins,
@@ -206,13 +206,73 @@ object ScaleOps {
       .orderBy("o_orderstatus")
   }
 
+  /** One-time-per-session CBO table setup for [[qJoinCbo]]: catalog
+    * tables + ANALYZE'd stats persist in the (shared) catalog, so bench
+    * re-invocations skip the write. Keyed by session + data fingerprint
+    * like the other scratch layouts. */
+  private val cboReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-root-session CBO-enabled child session: `newSession()` shares
+    * the SparkContext, catalog, and cached data but isolates SQL confs —
+    * CBO + join reorder stay on for THIS key's plans without perturbing
+    * the other 140+ keys sharing the root session. */
+  private val cboSession =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** q_join_cbo — stats-fed join reorder, end-to-end: a 3-table join
+    * written fact-fact-first (lineitem ⋈ orders first, the selective
+    * customer filter syntactically LAST). With ANALYZE'd row counts and
+    * `spark.sql.cbo.joinReorder` on, Catalyst reorders to join the
+    * ~50-row filtered dimension first — the compile-time complement of
+    * AQE that a 100 TB deployment enables for multi-join queries (a
+    * wrong join order there is a 1000× intermediate blow-up, not a
+    * bench blip). PlanSpec asserts the dimension leaf actually moves
+    * ahead of the fact pair; this oracle-checked key proves the
+    * reordered plan still computes the right answer. */
+  def qJoinCbo(s: SparkSession, dir: String): DataFrame = {
+    val t = tag(dir, "lineitem", "orders", "customer")
+    val (li, ord, cust) = (s"cbo_li_$t", s"cbo_ord_$t", s"cbo_cust_$t")
+    val cbo = cboSession.computeIfAbsent(sessionKey(s), _ => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2
+    })
+    cboReady.computeIfAbsent(sessionKey(s) + "/" + t, _ => {
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch(s"cbo_li_$t")).saveAsTable(li)
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch(s"cbo_ord_$t")).saveAsTable(ord)
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch(s"cbo_cust_$t")).saveAsTable(cust)
+      Seq(li, ord, cust).foreach { tbl =>
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      t
+    })
+    cbo.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ROUND(SUM(l_quantity), 2) AS sum_qty
+         |FROM $li
+         |JOIN $ord ON l_orderkey = o_orderkey
+         |JOIN $cust ON o_custkey = c_custkey
+         |WHERE c_custkey < 50
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_salted" -> (qAggSalted _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_range_binned" -> (qJoinRangeBinned _),
-    "q_filter_bloom" -> (qFilterBloom _))
+    "q_filter_bloom" -> (qFilterBloom _),
+    "q_join_cbo" -> (qJoinCbo _))
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" ->
@@ -261,5 +321,14 @@ object ScaleOps {
         |WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_join_cbo" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey < 50
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

@@ -61,10 +61,23 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** Name of the observed-metrics node attached to [[qTextQuality]]. */
+  val QualityMetricsName = "q_text_quality_metrics"
+
   /** q_text_quality — heuristic quality score per doc: token count,
     * mean token length, stop-word ratio, distinct-token ratio, and a
     * fixed linear composite. (No punctuation/case signals exist in the
-    * harness corpus; the operator shape is what carries to real data.) */
+    * harness corpus; the operator shape is what carries to real data.)
+    *
+    * Carries a `Dataset.observe` metrics node — the monitoring hook a
+    * 100 TB pipeline runs with: row count, degenerate-doc count, and
+    * char-length extrema accumulate task-side during the SAME pass (no
+    * second job, no collect) and surface per-action via
+    * `queryExecution.observedMetrics` / QueryExecutionListener. The
+    * node sits ABOVE the final sort, not on the scan: a global orderBy
+    * is a range exchange whose bounds come from a SAMPLING pass over
+    * the child, so a scan-side observe would double-count every row
+    * (found by PlanSpec when this was first scan-side). */
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
     Tables.documents(s, dir)
@@ -92,6 +105,12 @@ object Analysis {
           lit(0.2) * least(size(col("toks")) / lit(100.0), lit(1.0)))
           * 1e6) / 1e6).as("quality"))
       .orderBy("doc_id")
+      .observe(QualityMetricsName,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") === 0, 1L).otherwise(0L))
+          .as("n_empty_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
   }
 
   /** q_text_fingerprint — rolling-hash fingerprint: md5-derived 32-bit

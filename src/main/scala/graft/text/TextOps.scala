@@ -12,9 +12,11 @@ import graft.{Q, Tables}
   *
   * Scale notes (100 TB posture): everything here is explode→hash-aggregate
   * — token streams shuffle only as (group, count) partial aggregates, never
-  * raw token rows (map-side combine). The top-k vocab selections are
-  * window-rank over the aggregated (small) term space, not the corpus.
-  * The stop-word list is a literal in the plan (broadcast by construction).
+  * raw token rows (map-side combine). Global top-k vocab selection plans as
+  * TakeOrderedAndProject (orderBy+limit over the aggregated term space —
+  * the round-7 fix; the only remaining window is q_text_ngrams's, which is
+  * PARTITIONED by n-gram size). The stop-word list is a literal in the
+  * plan (broadcast by construction).
   */
 object TextOps {
 

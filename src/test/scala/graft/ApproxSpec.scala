@@ -149,17 +149,43 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"simhash recall=$recall")
   }
 
-  test("multimodal decode stub is deterministic with fixed width") {
-    // features are array<float> since round 6 (SURVEY §2.13 revision)
+  test("multimodal decode recovers header dims and band stats per row") {
+    // (doc_id, n_bytes, width, height, channels, band_means)
     val a = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
+    assert(a.nonEmpty)
+    // decoded dims must equal the synthesis rule recomputed from the
+    // source table — the decoder only saw the payload bytes, so a match
+    // proves the header round-trip
+    val nChars = Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    a.foreach { r =>
+      val (id, w, h, c) =
+        (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(w == nChars(id) % 16 + 1, s"doc $id width")
+      assert(h == nChars(id) % 13 + 2, s"doc $id height")
+      assert(c == (if (id % 2 == 0) 3 else 1), s"doc $id channels")
+      assert(r.getInt(1) == 9 + w * h * c, s"doc $id payload size")
+      val means = r.getSeq[Float](5)
+      assert(means.length == c, s"doc $id band count")
+      assert(means.forall(m => m >= 0f && m <= 255f))
+    }
+    // run-to-run deterministic (pure function of the row)
     val b = multimodal.Multimodal.qMmDecode(spark, sf001).collect()
-    assert(a.length == b.length && a.nonEmpty)
-    assert(a.zip(b).forall { case (x, y) =>
-      x.getLong(0) == y.getLong(0) &&
-        x.getSeq[Float](2) == y.getSeq[Float](2)
-    })
-    assert(a.forall(_.getSeq[Float](2).length == 8))
-    assert(a.forall(_.getSeq[Float](2).forall(v => v >= 0f && v <= 1f)))
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("GrfCodec rejects payloads with a bad magic or truncated body") {
+    val ok = multimodal.Multimodal.GrfCodec.encode("hello world", 4, 3, 3)
+    val (w, h, c, means) = multimodal.Multimodal.GrfCodec.decode(ok)
+    assert((w, h, c) == (4, 3, 3) && means.length == 3)
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.GrfCodec.decode(badMagic)
+    }
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.GrfCodec.decode(ok.dropRight(1))
+    }
   }
 
   test("knn predictions agree with a driver-side recomputation") {

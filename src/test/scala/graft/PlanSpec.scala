@@ -302,6 +302,62 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "bloom filter should appear below (after, in explain order) the join")
   }
 
+  test("incremental dedup probes the bloom manifest in the scan stage, " +
+      "below the residual anti-join") {
+    val df = llm.DedupVariants.qDedupIncremental(spark, sf0001)
+    val plan = planOf(df)
+    // the manifest check must prune today's scan BEFORE any exchange /
+    // join — a bloom filter above the anti-join would prune nothing
+    val joinIdx = plan.indexOf("LeftAnti")
+    assert(joinIdx >= 0, s"expected a residual anti-join in:\n$plan")
+    assert(plan.indexOf("UDF", joinIdx) >= 0,
+      s"bloom mightContain must sit below the anti-join (scan side):\n$plan")
+    // and the bloom-negative branch joins nothing at all: exactly one
+    // join in the whole plan (the residual), unioned with a plain filter
+    assert("LeftAnti".r.findAllIn(plan).length == 1 && plan.contains("Union"))
+    // semantics = plain anti-join (bloom has no false negatives; false
+    // positives die in the residual join)
+    val viaPlain = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .as("prefix_md5"))
+    val expected = viaPlain.filter(col("doc_id") % 4 === 3)
+      .join(viaPlain.filter(col("doc_id") % 4 =!= 3).select("prefix_md5"),
+        Seq("prefix_md5"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sameElements(
+      expected))
+  }
+
+  test("q_join_cbo's ANALYZE'd stats reorder the filtered dim ahead of " +
+      "the fact pair") {
+    val df = relational.ScaleOps.qJoinCbo(spark, sf0001)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.toString)
+    def idx(t: String): Int = leaves.indexWhere(_.contains(t))
+    assert(idx("cbo_cust") >= 0 && idx("cbo_li") >= 0,
+      s"expected catalog-table leaves, got: $leaves")
+    // written fact-fact-first; CBO must hoist the ~50-row filtered dim
+    assert(idx("cbo_cust") < idx("cbo_li"),
+      s"stats-fed reorder should join the dim first: $leaves")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q_text_quality's observe node reports scan metrics with no " +
+      "second job") {
+    val df = text.Analysis.qTextQuality(spark, sf0001)
+    // collect() (not count()) — count builds its OWN QueryExecution; the
+    // observe accumulators live in this one's executed plan
+    val n = df.collect().length.toLong
+    val metrics = df.queryExecution.observedMetrics(
+      text.Analysis.QualityMetricsName)
+    assert(metrics.getAs[Long]("n_docs") == n,
+      s"observer row count should equal the output count, got $metrics")
+    assert(metrics.getAs[Long]("n_empty_text") == 0L)
+    assert(metrics.getAs[Long]("min_chars") > 0L &&
+      metrics.getAs[Long]("max_chars") >= metrics.getAs[Long]("min_chars"))
+  }
+
   test("lateral top-k subquery decorrelates to a window rank, not " +
       "per-row re-execution") {
     val plan = planOf(relational.Extended.qJoinLateral(spark, sf0001))
