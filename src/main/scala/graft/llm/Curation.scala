@@ -151,14 +151,81 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** q_sample_budget — token-budget-constrained sampling (round 9): per
+    * language, fill a 5 000-token budget with documents taken in the
+    * engine-portable hash order (h32(doc_id), doc_id tie-break — the
+    * q_sample_pergroup idiom), keeping each doc whose RUNNING token
+    * count before it is under budget (greedy fill; the last doc may
+    * overflow — never split a document). This is the data-mixing
+    * primitive every training run executes: "give me ~N tokens per
+    * language, reproducibly."
+    *
+    * Scale shape — exact DISTRIBUTED prefix-sum, not a per-lang window:
+    * a naive `SUM OVER (PARTITION BY lang ORDER BY h)` sends each
+    * language's entire corpus through one reducer (the q_pack_sequences
+    * bottleneck, but here the greedy fill needs the EXACT global order,
+    * so hash-sharding alone doesn't compose). Instead h's RANGE is cut
+    * into 8 buckets (bucket = h >> 29 — monotone in h, so bucket
+    * boundaries respect the global order and uniform h keeps them
+    * balanced): pass A aggregates per-(lang, bucket) token totals — an
+    * O(langs × 8)-row manifest — and takes the exclusive prefix over
+    * buckets on that tiny table; pass B computes the partition-LOCAL
+    * exclusive cumsum inside each (lang, bucket) and adds the broadcast
+    * bucket offset. Same result as the single-reducer window (the
+    * oracle recomputes exactly that), with per-bucket parallelism. */
+  def qSampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 5000L
+    val h = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
+        " as bigint)")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"), h.as("h"))
+      .withColumn("bucket", shiftright(col("h"), 29))
+    // pass A: per-(lang, bucket) totals → exclusive prefix over the
+    // O(langs × buckets) manifest (the only cross-bucket step)
+    val offsets = d.groupBy("lang", "bucket").agg(sum("tok").as("btok"))
+      .withColumn("offset", coalesce(
+        sum("btok").over(Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "offset")
+    // pass B: bucket-local running sum + broadcast offset = exact
+    // global running count in (h, doc_id) order
+    val local = Window.partitionBy("lang", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_before",
+        col("offset") + sum("tok").over(local) - col("tok"))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "lang", "tok", "cum_before")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_pergroup" -> (qSamplePergroup _),
+    "q_sample_budget" -> (qSampleBudget _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_text_chunk" -> (qTextChunk _))
 
   val oracle: Map[String, String] = Map(
+    "q_sample_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, tok, cum_before
+        |FROM c WHERE cum_before < 5000
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_pergroup" ->
       """SELECT doc_id, source, lang, n_chars, rk FROM (
         |  SELECT doc_id, source, lang, n_chars,

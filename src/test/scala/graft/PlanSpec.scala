@@ -358,6 +358,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       metrics.getAs[Long]("max_chars") >= metrics.getAs[Long]("min_chars"))
   }
 
+  test("budget sampling's two-pass prefix-sum equals the single-reducer " +
+      "window and broadcasts the bucket offsets") {
+    val df = llm.Curation.qSampleBudget(spark, sf0001)
+    val plan = planOf(df)
+    // the offset manifest (O(langs×8) rows) must broadcast back — the
+    // corpus side never shuffles for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the offset-manifest broadcast in:\n$plan")
+    // exactness: the decomposition equals the naive per-lang window
+    val h = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
+        " as bigint)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val naive = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"), h.as("h"))
+      .withColumn("cum_before", sum("tok").over(w) - col("tok"))
+      .filter(col("cum_before") < 5000L)
+      .select("doc_id", "lang", "tok", "cum_before")
+      .orderBy("doc_id")
+    assert(df.collect().map(_.toSeq).toSeq ==
+      naive.collect().map(_.toSeq).toSeq)
+  }
+
   test("lateral top-k subquery decorrelates to a window rank, not " +
       "per-row re-execution") {
     val plan = planOf(relational.Extended.qJoinLateral(spark, sf0001))
