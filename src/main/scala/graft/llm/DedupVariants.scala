@@ -457,8 +457,71 @@ object DedupVariants {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_dedup_minhash_incremental — NEAR-dup incremental dedup (round 9):
+    * the banded-LSH complement of q_dedup_incremental's exact-prefix
+    * check. Today's slice (doc_id % 4 == 3) is matched against the PRIOR
+    * corpus's MinHash band manifest — the (band, band-key, doc_id) table
+    * a production pipeline persists between runs — and only band-colliding
+    * (today, prior) pairs reach the exact-Jaccard filter. Emits, per
+    * contaminated today-doc: how many prior near-dups it has, its best
+    * Jaccard, and the smallest matching prior id.
+    *
+    * Scale shape: today's crawl NEVER joins prior full text — signatures
+    * are one keyed 8-MIN agg over today only at steady state (here both
+    * slices are derived from one corpus scan for the harness); the band
+    * join's fan-out is bounded by bucket occupancy exactly as in
+    * q_dedup_minhash; the shingle-level exact check touches only
+    * candidate pairs. Same deterministic md5 min-hash construction, so
+    * the DuckDB oracle computes the identical candidate set. */
+  def qDedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleExpr).as("sh"))
+      .localCheckpoint(true)
+    val sig = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+      (1 to 7).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 to 3).map(b => struct(lit(b).as("b"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
+      .as("band"))
+      .select(col("doc_id"), col("band.b").as("b"),
+        col("band.bkey").as("bkey"))
+      .localCheckpoint(true)
+    // the persisted-manifest side vs the new-crawl side
+    val priorBands = bands.filter(col("doc_id") % 4 =!= 3)
+      .select(col("b"), col("bkey"), col("doc_id").as("id_p"))
+    val todayBands = bands.filter(col("doc_id") % 4 === 3)
+    val cand = todayBands.join(priorBands, Seq("b", "bkey"))
+      .select(col("doc_id").as("id_t"), col("id_p"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("id_t"), col("sh").as("sh_t")),
+        "id_t")
+      .join(sh.select(col("doc_id").as("id_p"), col("sh").as("sh_p")),
+        "id_p")
+      .filter(col("sh_t") === col("sh_p"))
+      .groupBy("id_t", "id_p").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("id_t"), col("n").as("nt")),
+        "id_t")
+      .join(sizes.select(col("doc_id").as("id_p"), col("n").as("np")),
+        "id_p")
+      .withColumn("jaccard",
+        floor(col("common") / (col("nt") + col("np") - col("common"))
+          * 1e6) / 1e6)
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("id_t").as("doc_id"))
+      .agg(count(lit(1)).as("n_prior_dups"),
+        max("jaccard").as("max_jaccard"),
+        min("id_p").as("min_prior_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -518,6 +581,48 @@ object DedupVariants {
         |FROM p GROUP BY prefix_md5
         |HAVING COUNT(*) >= 2
         |ORDER BY keeper""".stripMargin,
+    "q_dedup_minhash_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS sh
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
+        |    MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
+        |    MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
+        |    MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS b, h0 || h1 AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT t.doc_id AS id_t, p.doc_id AS id_p
+        |  FROM bands t JOIN bands p ON t.b = p.b AND t.bkey = p.bkey
+        |  WHERE t.doc_id % 4 = 3 AND p.doc_id % 4 != 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT id_t, id_p, COUNT(*) AS common
+        |  FROM cand
+        |  JOIN sh st ON st.doc_id = id_t
+        |  JOIN sh sp ON sp.doc_id = id_p AND sp.sh = st.sh
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_t, id_p,
+        |    floor(common * 1.0 / (st.n + sp.n - common) * 1e6) / 1e6
+        |      AS jaccard
+        |  FROM common
+        |  JOIN sizes st ON st.doc_id = id_t
+        |  JOIN sizes sp ON sp.doc_id = id_p)
+        |SELECT id_t AS doc_id, COUNT(*) AS n_prior_dups,
+        |  MAX(jaccard) AS max_jaccard, MIN(id_p) AS min_prior_id
+        |FROM j WHERE jaccard >= 0.8
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH p AS (
         |  SELECT doc_id,

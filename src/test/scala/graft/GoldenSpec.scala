@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 150,
-      s"expected the SURVEY §2 150-key inventory (147 as of round 8 + " +
-        s"round 9's q_dedup_incremental, q_join_cbo, q_sample_budget), " +
-        s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 136,
-      s"expected 136 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 151,
+      s"expected the SURVEY §2 151-key inventory (147 as of round 8 + " +
+        s"round 9's q_dedup_incremental, q_join_cbo, q_sample_budget, " +
+        s"q_dedup_minhash_incremental), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 137,
+      s"expected 137 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
