@@ -358,6 +358,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       metrics.getAs[Long]("max_chars") >= metrics.getAs[Long]("min_chars"))
   }
 
+  test("incremental minhash near-dup joins hash-keyed bands only — no " +
+      "cartesian, no today×prior text join") {
+    val df = llm.DedupVariants.qDedupMinhashIncremental(spark, sf0001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all joins must be hash/merge equi-joins:\n$plan")
+    // agreement with the symmetric pair key restricted to (today, prior):
+    // every reported prior-dup must appear in q_dedup_minhash's pair list
+    val pairs = llm.DedupVariants.qDedupMinhash(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (t, n, minP) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(t % 4 == 3, s"today slice only, got doc $t")
+      assert(minP % 4 != 3, s"prior slice only, got manifest doc $minP")
+      assert(pairs.contains((t, minP)),
+        s"($t,$minP) missing from the symmetric pair key")
+      val expectedN = pairs.count { case (a, b) => a == t && b % 4 != 3 }
+      assert(n == expectedN, s"doc $t: $n prior dups vs $expectedN")
+    }
+  }
+
   test("budget sampling's two-pass prefix-sum equals the single-reducer " +
       "window and broadcasts the bucket offsets") {
     val df = llm.Curation.qSampleBudget(spark, sf0001)
