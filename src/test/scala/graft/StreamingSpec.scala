@@ -141,6 +141,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("stream-static anti-join: streaming incremental dedup == batch " +
+      "q_dedup_incremental") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming twin of q_dedup_incremental: today's crawl arrives
+    // as a stream, the prior-corpus manifest is a static table, and the
+    // stream-static LEFT ANTI join emits only never-seen fingerprints —
+    // micro-batch by micro-batch, no state beyond the static side
+    val pref = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val manifest = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(pref.as("prefix_md5")).distinct()
+    val today = docs.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), pref.as("prefix_md5"))
+      .as[(Long, String)].collect()
+    val (b1, b2) = today.splitAt(today.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(b1.toSeq)
+    val q = mem.toDF().toDF("doc_id", "prefix_md5")
+      .join(manifest, Seq("prefix_md5"), "left_anti")
+      .writeStream.format("memory").queryName("incr_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    mem.addData(b2.toSeq) // second day-slice micro-batch
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("incr_dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    val expected = llm.DedupVariants.qDedupIncremental(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expected),
+      s"stream got ${got.length} docs, batch ${expected.length}")
+  }
+
   test("stream-stream interval join == batch join, out-of-order input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
