@@ -175,6 +175,31 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("GrfCodec roundtrips dims and band means over a dim/text grid") {
+    val texts = Seq("", "a", "hello world", "x" * 1000,
+      "éü中文 mixed unicode")
+    for {
+      w <- Seq(1, 2, 16, 255)
+      h <- Seq(1, 3, 14)
+      c <- Seq(1, 3, 4)
+      text <- texts
+    } {
+      val bytes = multimodal.Multimodal.GrfCodec.encode(text, w, h, c)
+      assert(bytes.length == 9 + w * h * c)
+      val (dw, dh, dc, means) =
+        multimodal.Multimodal.GrfCodec.decode(bytes)
+      assert((dw, dh, dc) == (w, h, c), s"dims for w=$w h=$h c=$c")
+      assert(means.length == c)
+      // band means equal a direct recomputation from the pixel body
+      val body = bytes.drop(9)
+      (0 until c).foreach { b =>
+        val band = body.indices.filter(_ % c == b).map(body(_) & 0xff)
+        val expected = (band.map(_.toLong).sum.toDouble / (w * h)).toFloat
+        assert(means(b) == expected, s"band $b mean for w=$w h=$h c=$c")
+      }
+    }
+  }
+
   test("GrfCodec rejects payloads with a bad magic or truncated body") {
     val ok = multimodal.Multimodal.GrfCodec.encode("hello world", 4, 3, 3)
     val (w, h, c, means) = multimodal.Multimodal.GrfCodec.decode(ok)
