@@ -371,10 +371,16 @@ object DedupVariants {
     * anti-join that removes false positives — shuffle volume is a few
     * percent of the crawl instead of all of it. */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // fingerprints computed ONCE and checkpointed (narrow: id + 32-byte
+    // md5): the bloom build, the manifest build-side, and both today
+    // branches would otherwise each rescan + re-hash the corpus — the
+    // round-5 re-evaluation trap. Eager checkpoint keeps the Q
+    // cache-ownership contract without unpersist bookkeeping.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
           .as("prefix_md5"))
+      .localCheckpoint(true)
     val manifest = docs.filter(col("doc_id") % 4 =!= 3)
       .select("prefix_md5").distinct()
     val today = docs.filter(col("doc_id") % 4 === 3)
@@ -413,48 +419,70 @@ object DedupVariants {
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // one materialization: sizes, signatures, and both sides of the
     // common-shingle join all consume `sh` — without this the
-    // scan→split→explode subtree re-evaluates 4× (the round-5 q_dedup_ngram
-    // regression pattern). Eager checkpoint: outside the SQL cache, so the
-    // Q cache-ownership contract holds with no unpersist bookkeeping.
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingleExpr).as("sh"))
-      .localCheckpoint(true)
-    val sig = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
-      (1 to 7).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
-    // 4 rows/doc, materialized once: both sides of the band self-join
-    // would otherwise re-run the signature aggregate (plan-audited — the
-    // sh checkpoint alone only saves the explode below it)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 to 3).map(b => struct(lit(b).as("b"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
-      .as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
-      .localCheckpoint(true)
+    val sh = minhashShingles(s, dir)
+    val bands = minhashBands(sh)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // the equality is pushed into the join condition by Catalyst, so
-      // (id_b, sh) both become hash-join keys — no post-join blow-up
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        floor(col("common") / (col("na") + col("nb") - col("common")) * 1e6)
-          / 1e6)
-      .filter(col("jaccard") >= 0.8)
+    exactJaccard(cand, sh, "id_a", "id_b")
       .select("id_a", "id_b", "common", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Shared MinHash machinery for q_dedup_minhash and
+    * q_dedup_minhash_incremental — ONE definition of the shingle table,
+    * the 8-min-hash signature, the 4×2 banding, and the exact-Jaccard
+    * candidate filter, so a change to band count / hash-prefix scheme /
+    * the jaccard floor cannot silently diverge the two keys (both
+    * oracles mirror this construction verbatim — keep all three in
+    * sync, the StopShingleMaxDf discipline).
+    *
+    * Both frames are eagerly checkpointed: `sh` has 4 consumers (the
+    * round-5 re-evaluation trap), `bands` is consumed by both sides of
+    * its join; checkpoints live outside the SQL cache (Q
+    * cache-ownership contract). */
+  private def minhashShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleExpr).as("sh"))
+      .localCheckpoint(true)
+
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val sig = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+      (1 to 7).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 to 3).map(b => struct(lit(b).as("b"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
+      .as("band"))
+      .select(col("doc_id"), col("band.b").as("b"),
+        col("band.bkey").as("bkey"))
+      .localCheckpoint(true)
+  }
+
+  /** Exact Jaccard over candidate pairs (columns `a`, `b`): common-shingle
+    * count via the shingle join (the equality is pushed into the join
+    * condition by Catalyst, so (id, sh) both become hash-join keys — no
+    * post-join blow-up), sizes from the full uncapped shingle set,
+    * floor-truncated ratio, ≥ 0.8 filter. */
+  private def exactJaccard(cand: DataFrame, sh: DataFrame,
+      a: String, b: String): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as(a), col("sh").as("sh_a")), a)
+      .join(sh.select(col("doc_id").as(b), col("sh").as("sh_b")), b)
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(a, b).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as(a), col("n").as("na")), a)
+      .join(sizes.select(col("doc_id").as(b), col("n").as("nb")), b)
+      .withColumn("jaccard",
+        floor(col("common") / (col("na") + col("nb") - col("common"))
+          * 1e6) / 1e6)
+      .filter(col("jaccard") >= 0.8)
   }
 
   /** q_dedup_minhash_incremental — NEAR-dup incremental dedup (round 9):
@@ -474,21 +502,8 @@ object DedupVariants {
     * candidate pairs. Same deterministic md5 min-hash construction, so
     * the DuckDB oracle computes the identical candidate set. */
   def qDedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingleExpr).as("sh"))
-      .localCheckpoint(true)
-    val sig = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
-      (1 to 7).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 to 3).map(b => struct(lit(b).as("b"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
-      .as("band"))
-      .select(col("doc_id"), col("band.b").as("b"),
-        col("band.bkey").as("bkey"))
-      .localCheckpoint(true)
+    val sh = minhashShingles(s, dir)
+    val bands = minhashBands(sh)
     // the persisted-manifest side vs the new-crawl side
     val priorBands = bands.filter(col("doc_id") % 4 =!= 3)
       .select(col("b"), col("bkey"), col("doc_id").as("id_p"))
@@ -496,22 +511,7 @@ object DedupVariants {
     val cand = todayBands.join(priorBands, Seq("b", "bkey"))
       .select(col("doc_id").as("id_t"), col("id_p"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.select(col("doc_id").as("id_t"), col("sh").as("sh_t")),
-        "id_t")
-      .join(sh.select(col("doc_id").as("id_p"), col("sh").as("sh_p")),
-        "id_p")
-      .filter(col("sh_t") === col("sh_p"))
-      .groupBy("id_t", "id_p").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("id_t"), col("n").as("nt")),
-        "id_t")
-      .join(sizes.select(col("doc_id").as("id_p"), col("n").as("np")),
-        "id_p")
-      .withColumn("jaccard",
-        floor(col("common") / (col("nt") + col("np") - col("common"))
-          * 1e6) / 1e6)
-      .filter(col("jaccard") >= 0.8)
+    exactJaccard(cand, sh, "id_t", "id_p")
       .groupBy(col("id_t").as("doc_id"))
       .agg(count(lit(1)).as("n_prior_dups"),
         max("jaccard").as("max_jaccard"),

@@ -71,6 +71,13 @@ object Multimodal {
 
     def encode(text: String, width: Int, height: Int, channels: Int)
         : Array[Byte] = {
+      // symmetric with decode's validation: silently wrapping a
+      // too-large dim into the u16/u8 header would make decode throw a
+      // misleading "truncated body" (or divide by a zero channel count)
+      require(width >= 1 && width <= 0xffff &&
+        height >= 1 && height <= 0xffff &&
+        channels >= 1 && channels <= 0xff,
+        s"dims out of header range: ${width}x${height}x$channels")
       val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val n = width * height * channels
       val out = new Array[Byte](9 + n)

@@ -30,7 +30,11 @@ object Sources {
     * key-value map via broadcast (public API — no private[spark] helpers).
     * Cached per session: bench re-invokes each key several times, and
     * re-serializing + re-broadcasting the full config (hundreds of
-    * entries) on every invocation is pure waste (round-8 advice item). */
+    * entries) on every invocation is pure waste (round-8 advice item).
+    * The cache is a one-time SNAPSHOT — if the session's Hadoop conf is
+    * mutated later (rotated credentials, endpoint change), restart the
+    * session (or clear the cache) rather than expecting tasks to see
+    * the mutation; broadcasts are immutable by design. */
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.broadcast.Broadcast[Map[String, String]]]()
@@ -144,16 +148,24 @@ object Sources {
             val c = new Configuration(false)
             bConf.value.foreach { case (k, v) => c.set(k, v) }
             val base = new HPath(qualified)
-            val tfs = base.getFileSystem(c)
-            tfs.setWriteChecksum(false)
-            tfs.setVerifyChecksum(false)
-            it.foreach { r =>
-              val out = tfs.create(
-                new HPath(base, f"doc_${r.getLong(0)}%08d.bin"), true)
-              try out.write(r.getString(1)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
-            }
+            // newInstance, NOT getFileSystem: the FileSystem cache keys
+            // on (scheme, authority, ugi) only, so the cached instance
+            // may be shared with unrelated writers in this executor —
+            // mutating ITS checksum flags would disable .crc sidecars
+            // for everyone. A private instance scopes the mutation.
+            val tfs = org.apache.hadoop.fs.FileSystem
+              .newInstance(base.toUri, c)
+            try {
+              tfs.setWriteChecksum(false)
+              tfs.setVerifyChecksum(false)
+              it.foreach { r =>
+                val out = tfs.create(
+                  new HPath(base, f"doc_${r.getLong(0)}%08d.bin"), true)
+                try out.write(r.getString(1)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+              }
+            } finally tfs.close()
           }
       }
     }
