@@ -131,9 +131,16 @@ def cell_eq(x, y):
     if isinstance(x, dict) and isinstance(y, dict):
         return x.keys() == y.keys() and all(
             cell_eq(v, y[k]) for k, v in x.items())
+    # bool-vs-number strictness (round-9 advice): Python bool ⊂ int makes
+    # True == 1, but the driver hashes the byte representation where a
+    # BOOLEAN and an int differ. Mirror the Decimal asymmetry check —
+    # exactly one side bool → mismatch (nested bools dodge col_kind's
+    # drift gate, which reports nested columns only as 'nested').
+    if isinstance(x, bool) != isinstance(y, bool):
+        return False
     # int-vs-float strictness inside nested values (round-8 advice),
     # mirroring the Decimal check: 4 == 4.0 in Python but the driver
-    # hashes the representation. bool is excluded (bool ⊂ int in Python).
+    # hashes the representation. bool==bool falls through to plain ==.
     if not isinstance(x, bool) and not isinstance(y, bool):
         if (type(x) is int) != (type(y) is int) and \
                 isinstance(x, (int, float)) and isinstance(y, (int, float)):

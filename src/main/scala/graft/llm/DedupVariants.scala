@@ -383,10 +383,15 @@ object DedupVariants {
       .localCheckpoint(true)
     val manifest = docs.filter(col("doc_id") % 4 =!= 3)
       .select("prefix_md5").distinct()
+      .localCheckpoint(true)
     val today = docs.filter(col("doc_id") % 4 === 3)
-    // size the bloom by the manifest's expected cardinality (persisted
-    // alongside the manifest in a real pipeline; constant here)
-    val bf = manifest.stat.bloomFilter("prefix_md5", 100000L, 0.01)
+    // size the bloom by the manifest's ACTUAL cardinality (cheap count on
+    // the checkpointed frame; a real pipeline persists it alongside the
+    // manifest) — a hard-coded capacity silently inflates fpp once the
+    // manifest outgrows it, and the scan-stage pruning this key exists to
+    // demonstrate degrades to a no-op (round-9 advice)
+    val bf = manifest.stat.bloomFilter("prefix_md5",
+      math.max(manifest.count(), 1L), 0.01)
     val bbf = s.sparkContext.broadcast(bf)
     val might = udf((k: String) => bbf.value.mightContain(k))
     // bloom-negative → definitely not in the manifest: new, no join

@@ -104,8 +104,16 @@ object Multimodal {
       val width = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
       val height = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
       val channels = bytes(8) & 0xff
-      val n = width * height * channels
-      require(bytes.length == 9 + n, "truncated GRF1 body")
+      // zero dims are unencodable (encode requires ≥1) — reject rather
+      // than divide by a zero perBand below on a crafted header
+      require(width >= 1 && height >= 1 && channels >= 1,
+        s"zero GRF1 dim: ${width}x${height}x$channels")
+      // length check in Long: the max header dims (65535×65535×255) make
+      // width*height*channels overflow Int, and a wrapped-small n could
+      // pass an Int compare and yield garbage band means (round-9 advice)
+      val nL = width.toLong * height * channels
+      require(bytes.length.toLong == 9L + nL, "truncated GRF1 body")
+      val n = nL.toInt // == bytes.length - 9, so always in Int range
       val sums = new Array[Long](channels)
       var i = 0
       while (i < n) {
@@ -121,24 +129,32 @@ object Multimodal {
   /** q_mm_decode — per-partition batched decode of a binary media column.
     * The payload is a synthesized GRF1 image (see [[GrfCodec]]: real
     * header + pixel body — dims are NOT passed alongside, the decoder
-    * recovers them from the bytes). The mapPartitions batching, typed
-    * schema, and ordering are the production shape; swap GrfCodec for a
-    * real codec on a cluster with image libs. No oracle (typed lambda);
-    * scalatest asserts decoded dims match the synthesis rule per row and
+    * recovers them from the bytes). The decode stage consumes an actual
+    * `binary` column (the encode projection materializes it first, like
+    * a landing-bucket ingest would — round-9 advice: the decode key must
+    * exercise the binary-column plumbing, not just an in-lambda
+    * synthesis), and the mapPartitions batching, typed schema, and
+    * ordering are the production shape; swap GrfCodec for a real codec
+    * on a cluster with image libs. No oracle (typed lambda); scalatest
+    * asserts decoded dims match the synthesis rule per row and
     * run-to-run determinism. */
   def qMmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // synthesis rule (bounded dims: ≤ 16×14×3 pixel bytes/doc); the
+    // result is a true BinaryType column — the decode below sees ONLY it
+    val enc = udf((id: Long, text: String, nChars: Int) =>
+      GrfCodec.encode(text,
+        width = nChars % 16 + 1,
+        height = nChars % 13 + 2,
+        channels = if (id % 2 == 0) 3 else 1))
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), col("n_chars").cast("int"))
-      .as[(Long, String, Int)]
+      .select(col("doc_id"),
+        enc(col("doc_id"), col("text"), col("n_chars").cast("int"))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // partition-local batch loop: one decoder init per partition
-        it.map { case (id, text, nChars) =>
-          // synthesis rule (bounded dims: ≤ 16×14×3 pixel bytes/doc)
-          val payload = GrfCodec.encode(text,
-            width = nChars % 16 + 1,
-            height = nChars % 13 + 2,
-            channels = if (id % 2 == 0) 3 else 1)
+        it.map { case (id, payload) =>
           // decode sees only the payload bytes, like a real image decode
           val (w, h, c, bandMeans) = GrfCodec.decode(payload)
           (id, payload.length, w, h, c, bandMeans)

@@ -20,11 +20,10 @@ object ScaleOps {
 
   private val S = 16 // salt fan-out
 
-  private def scratch(sub: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft_scale/$sub"
-    new java.io.File(d).getParentFile.mkdirs()
-    d
-  }
+  // run-nonce-keyed (graft.Scratch): concurrent invocations on one
+  // machine can never clobber each other's layouts mid-read. Layout reuse
+  // via `tag` fingerprints still holds within a JVM run.
+  private def scratch(sub: String): String = graft.Scratch.dir("scale", sub)
 
   /** Fingerprint of a source table's files (name, size, mtime). Scratch
     * layouts (bucketed / partitioned copies) are keyed by this, not just
@@ -196,7 +195,12 @@ object ScaleOps {
     val keys = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
-    val bf = keys.stat.bloomFilter("c_custkey", 100000L, 0.01)
+      .localCheckpoint(true)
+    // sized from the actual build-side cardinality (cheap count on the
+    // checkpointed keys): a fixed capacity under-sizes at larger SFs and
+    // the bloom stops pruning (round-9 advice on the dedup twin)
+    val bf = keys.stat.bloomFilter("c_custkey",
+      math.max(keys.count(), 1L), 0.01)
     val might = udf((k: Long) => bf.mightContain(k))
     val o = Tables.orders(s, dir).filter(might(col("o_custkey")))
     o.join(broadcast(keys), o("o_custkey") === keys("c_custkey"), "left_semi")
@@ -233,6 +237,10 @@ object ScaleOps {
   def qJoinCbo(s: SparkSession, dir: String): DataFrame = {
     val t = tag(dir, "lineitem", "orders", "customer")
     val (li, ord, cust) = (s"cbo_li_$t", s"cbo_ord_$t", s"cbo_cust_$t")
+    // entries die with the SparkContext (round-9 advice: static maps
+    // keyed by sessionKey otherwise accumulate across session lifecycles)
+    graft.SessionCaches.evictOnStop(s, cboSession)
+    graft.SessionCaches.evictOnStop(s, cboReady)
     val cbo = cboSession.computeIfAbsent(sessionKey(s), _ => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.cbo.enabled", "true")

@@ -20,11 +20,9 @@ import graft.{Q, Tables, sessionKey}
   */
 object Sources {
 
-  private def scratch(sub: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft_sources/$sub"
-    new java.io.File(d).getParentFile.mkdirs()
-    d
-  }
+  // run-nonce-keyed (graft.Scratch): concurrent invocations on one
+  // machine can never clobber each other's fixtures mid-read
+  private def scratch(sub: String): String = graft.Scratch.dir("sources", sub)
 
   /** Hadoop Configuration is not Serializable; ship it to tasks as a
     * key-value map via broadcast (public API — no private[spark] helpers).
@@ -40,13 +38,17 @@ object Sources {
       String, org.apache.spark.broadcast.Broadcast[Map[String, String]]]()
 
   private def broadcastHadoopConf(s: SparkSession)
-      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    // entries die with the SparkContext (round-9 advice: static maps
+    // keyed by sessionKey otherwise accumulate across session lifecycles)
+    graft.SessionCaches.evictOnStop(s, confCache)
     confCache.computeIfAbsent(sessionKey(s), _ => {
       val it = s.sparkContext.hadoopConfiguration.iterator()
       val b = Map.newBuilder[String, String]
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       s.sparkContext.broadcast(b.result())
     })
+  }
 
   /** q_scan_parquet — projection+filter scan of lineitem with pushdown. */
   def qScanParquet(s: SparkSession, dir: String): DataFrame =
