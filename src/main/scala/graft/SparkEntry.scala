@@ -23,6 +23,7 @@ object SparkEntry {
     (relational.Extended.queries, relational.Extended.oracle),
     (relational.TimeSeries.queries, relational.TimeSeries.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
+    (sources.Layout.queries, sources.Layout.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (text.Analysis.queries, text.Analysis.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),

@@ -278,7 +278,21 @@ object DedupVariants {
     * lineage stays flat). Each round is one keyed shuffle — the same
     * shape GraphX/GraphFrames CC uses; at corpus scale the large-star/
     * small-star variant halves rounds but keeps this per-round plan. */
-  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)._1
+
+  /** [[qDedupCluster]] core, also returning the number of propagation
+    * rounds the loop ran (including the final no-change confirmation
+    * round). Exposed so ApproxSpec can PIN the round count: near-dup
+    * clusters are tiny and dense (diameter ≤ 2 on the harness corpus →
+    * ≤ 3 rounds with the confirmation pass), and a regression in the
+    * edge construction or the convergence test would first show up as
+    * extra O(|edges|)-shuffle rounds here — cheaper to assert than to
+    * re-derive from bench wobble (round-10 brief item 5: measured rounds
+    * are already minimal, so assert rather than re-engineer to
+    * large-star/small-star). */
+  private[graft] def clusterLabels(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
     // cache the pair set BEFORE the symmetrizing union — otherwise the
     // union's two branches each re-run the whole inverted-index join
     val pairs = qDedupNgram(s, dir).select("id_a", "id_b").cache()
@@ -322,11 +336,11 @@ object DedupVariants {
     // referenced (Q cache-ownership contract, graft/package.scala)
     edges.unpersist()
     pairs.unpersist()
-    labels
+    (labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), rounds)
   }
 
   /** q_dedup_prefix — prefix-fingerprint dedup (round 7): hash the first
@@ -371,37 +385,103 @@ object DedupVariants {
     * anti-join that removes false positives — shuffle volume is a few
     * percent of the crawl instead of all of it. */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    // fingerprints computed ONCE and checkpointed (narrow: id + 32-byte
-    // md5): the bloom build, the manifest build-side, and both today
-    // branches would otherwise each rescan + re-hash the corpus — the
-    // round-5 re-evaluation trap. Eager checkpoint keeps the Q
-    // cache-ownership contract without unpersist bookkeeping.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
-          .as("prefix_md5"))
-      .localCheckpoint(true)
+    val docs = prefixFingerprints(s, dir)
     val manifest = docs.filter(col("doc_id") % 4 =!= 3)
       .select("prefix_md5").distinct()
       .localCheckpoint(true)
     val today = docs.filter(col("doc_id") % 4 === 3)
-    // size the bloom by the manifest's ACTUAL cardinality (cheap count on
-    // the checkpointed frame; a real pipeline persists it alongside the
-    // manifest) — a hard-coded capacity silently inflates fpp once the
-    // manifest outgrows it, and the scan-stage pruning this key exists to
-    // demonstrate degrades to a no-op (round-9 advice)
+    manifestAntiJoin(s, today, manifest).orderBy("doc_id")
+  }
+
+  /** 16-token prefix fingerprints of the corpus, computed ONCE and
+    * checkpointed (narrow: id + 32-byte md5): the bloom build, the
+    * manifest build-side, and both today branches would otherwise each
+    * rescan + re-hash the corpus — the round-5 re-evaluation trap. Eager
+    * checkpoint keeps the Q cache-ownership contract without unpersist
+    * bookkeeping. */
+  private def prefixFingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .as("prefix_md5"))
+      .localCheckpoint(true)
+
+  /** Crawl rows whose `prefix_md5` is NOT in `manifest` — the incremental
+    * dedup probe shared by [[qDedupIncremental]] and
+    * [[qDedupManifestUpdate]] (one definition, so the key that reads a
+    * manifest and the key that writes one back cannot diverge).
+    *
+    * Scale shape: the bloom — sized from the manifest's ACTUAL
+    * cardinality (cheap count; a hard-coded capacity silently inflates
+    * fpp once the manifest outgrows it, round-9 advice) — ships to every
+    * probe task and drops definite-new rows IN THE SCAN STAGE, before any
+    * exchange (bloom false negatives are impossible). Only the ~fpp +
+    * true-dup fraction reaches the exact residual anti-join that clears
+    * false positives. */
+  private def manifestAntiJoin(s: SparkSession, crawl: DataFrame,
+      manifest: DataFrame): DataFrame = {
     val bf = manifest.stat.bloomFilter("prefix_md5",
       math.max(manifest.count(), 1L), 0.01)
     val bbf = s.sparkContext.broadcast(bf)
     val might = udf((k: String) => bbf.value.mightContain(k))
-    // bloom-negative → definitely not in the manifest: new, no join
-    val definitelyNew = today.filter(!might(col("prefix_md5")))
-    // bloom-positive → candidate duplicate: exact residual anti-join
-    // clears the false positives
-    val residualNew = today.filter(might(col("prefix_md5")))
+    val definitelyNew = crawl.filter(!might(col("prefix_md5")))
+    val residualNew = crawl.filter(might(col("prefix_md5")))
       .join(manifest, Seq("prefix_md5"), "left_anti")
-    definitelyNew.unionByName(residualNew.select("doc_id", "prefix_md5"))
-      .orderBy("doc_id")
+    definitelyNew.unionByName(
+      residualNew.select(crawl.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** q_dedup_manifest_update — the write-back half of the cross-run dedup
+    * loop (round-10 brief): q_dedup_incremental READS a prior manifest;
+    * this key completes the cycle a production pipeline actually runs —
+    * persist the prior manifest, admit today's new docs against it, UNION
+    * the admitted docs' fingerprints BACK into the manifest, persist the
+    * updated manifest, and prove idempotence: a "day 2" run of the same
+    * crawl against the updated manifest admits ZERO docs (every admitted
+    * doc's fingerprint is now manifested; every rejected doc still
+    * collides with its original dup). Both manifest generations round-trip
+    * through parquet (graft.Scratch) — the read-back, not the in-memory
+    * frame, feeds each probe, exactly as a day-spanning pipeline would.
+    *
+    * Output is the loop's audit row set: admitted counts per day + the
+    * manifest cardinality before/after write-back — compact, fully
+    * SQL-expressible, so the oracle recomputes the whole two-day cycle.
+    *
+    * Scale shape: the write-back is one union of two compact fingerprint
+    * sets (no full-text anywhere); each day's probe is the
+    * [[manifestAntiJoin]] bloom + residual anti-join; counts are
+    * map-side-combined aggregates. Nothing in the loop ever rescans
+    * prior full text. */
+  def qDedupManifestUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tagged = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = prefixFingerprints(s, dir)
+    val today = docs.filter(col("doc_id") % 4 === 3)
+    // day 0: persist the prior corpus's manifest; probes read it BACK
+    val m0Path = graft.Scratch.dir("dedup", s"manifest0_$tagged")
+    docs.filter(col("doc_id") % 4 =!= 3)
+      .select("prefix_md5").distinct()
+      .write.mode("overwrite").parquet(m0Path)
+    val m0 = s.read.parquet(m0Path)
+    // day 1: admit today's docs not in the manifest
+    val day1 = manifestAntiJoin(s, today, m0).localCheckpoint(true)
+    // write-back: admitted fingerprints (distinct — two admitted docs may
+    // share a prefix) union'd into the persisted manifest; disjoint from
+    // m0 by construction, so the union needs no outer distinct
+    val m1Path = graft.Scratch.dir("dedup", s"manifest1_$tagged")
+    m0.unionByName(day1.select("prefix_md5").distinct())
+      .write.mode("overwrite").parquet(m1Path)
+    val m1 = s.read.parquet(m1Path)
+    // day 2: the SAME crawl against the updated manifest — idempotence
+    // means zero admissions (the oracle pins this, not just a spec)
+    val day2 = manifestAntiJoin(s, today, m1)
+    def counted(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(phase).as("phase"), col("n_docs"))
+    counted(day1, "day1_new")
+      .unionByName(counted(day2, "day2_new"))
+      .unionByName(counted(m0, "manifest_before"))
+      .unionByName(counted(m1, "manifest_after"))
+      .orderBy("phase")
   }
 
   /** q_dedup_minhash — deterministic MinHash-LSH near-dup pairs, the
@@ -524,6 +604,57 @@ object DedupVariants {
       .orderBy("doc_id")
   }
 
+  /** Band-manifest write-back roundtrip — the NEAR-dup complement of
+    * [[qDedupManifestUpdate]]'s exact loop, exercised by GoldenSpec (no
+    * query key: the audit numbers are already pinned by the exact twin,
+    * and the banding construction is pinned by q_dedup_minhash's oracle).
+    *
+    * Day 1: today's banded docs (doc_id % 4 == 3) probe the persisted
+    * prior band manifest; a doc is flagged when some band collision
+    * survives the exact-Jaccard check (q_dedup_minhash_incremental's
+    * semantics), admitted otherwise. Write-back: the admitted docs' OWN
+    * (b, bkey, doc_id) band rows union into the manifest, which
+    * round-trips through parquet. Day 2: the same crawl probes the
+    * updated manifest — every admitted doc now collides with its own
+    * manifest entry at Jaccard 1.0, every rejected doc still collides
+    * with its original prior dup, so day-2 admits ZERO banded docs
+    * (returned pair: day-1 and day-2 admitted counts; the spec asserts
+    * (>0, 0)). Shingle-less docs (< 3 tokens) have no bands and fall to
+    * the exact-prefix loop — out of scope here by construction. */
+  private[graft] def minhashManifestRoundtrip(s: SparkSession, dir: String)
+      : (Long, Long) = {
+    val tagged = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val sh = minhashShingles(s, dir)
+    val bands = minhashBands(sh)
+    val todayBands = bands.filter(col("doc_id") % 4 === 3)
+      .localCheckpoint(true)
+    val todayIds = todayBands.select("doc_id").distinct()
+    // flagged = today docs with a manifest band collision whose exact
+    // Jaccard clears the threshold; admitted = the rest
+    def admitted(manifest: DataFrame): DataFrame = {
+      val cand = todayBands.join(
+          manifest.select(col("b"), col("bkey"), col("doc_id").as("id_p")),
+          Seq("b", "bkey"))
+        .select(col("doc_id").as("id_t"), col("id_p"))
+        .distinct()
+      val flagged = exactJaccard(cand, sh, "id_t", "id_p")
+        .select(col("id_t").as("doc_id")).distinct()
+      todayIds.join(flagged, Seq("doc_id"), "left_anti")
+    }
+    val m0Path = graft.Scratch.dir("dedup", s"bands0_$tagged")
+    bands.filter(col("doc_id") % 4 =!= 3)
+      .write.mode("overwrite").parquet(m0Path)
+    val day1 = admitted(s.read.parquet(m0Path)).localCheckpoint(true)
+    // write-back: admitted docs' own band rows join the manifest
+    val m1Path = graft.Scratch.dir("dedup", s"bands1_$tagged")
+    s.read.parquet(m0Path)
+      .unionByName(todayBands.join(day1, Seq("doc_id"), "left_semi")
+        .select("doc_id", "b", "bkey"))
+      .write.mode("overwrite").parquet(m1Path)
+    val day2 = admitted(s.read.parquet(m1Path))
+    (day1.count(), day2.count())
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash_incremental" -> (qDedupMinhashIncremental _),
@@ -533,7 +664,8 @@ object DedupVariants {
     "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_prefix" -> (qDedupPrefix _),
-    "q_dedup_incremental" -> (qDedupIncremental _))
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_manifest_update" -> (qDedupManifestUpdate _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" ->
@@ -628,6 +760,29 @@ object DedupVariants {
         |  MAX(jaccard) AS max_jaccard, MIN(id_p) AS min_prior_id
         |FROM j WHERE jaccard >= 0.8
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_manifest_update" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+        |      AS prefix_md5
+        |  FROM documents),
+        |m0 AS (
+        |  SELECT DISTINCT prefix_md5 FROM p WHERE doc_id % 4 != 3),
+        |today AS (SELECT * FROM p WHERE doc_id % 4 = 3),
+        |day1 AS (
+        |  SELECT * FROM today
+        |  WHERE prefix_md5 NOT IN (SELECT prefix_md5 FROM m0)),
+        |m1 AS (
+        |  SELECT prefix_md5 FROM m0
+        |  UNION SELECT prefix_md5 FROM day1),
+        |day2 AS (
+        |  SELECT * FROM today
+        |  WHERE prefix_md5 NOT IN (SELECT prefix_md5 FROM m1))
+        |SELECT 'day1_new' AS phase, COUNT(*) AS n_docs FROM day1
+        |UNION ALL SELECT 'day2_new', COUNT(*) FROM day2
+        |UNION ALL SELECT 'manifest_before', COUNT(*) FROM m0
+        |UNION ALL SELECT 'manifest_after', COUNT(*) FROM m1
+        |ORDER BY phase""".stripMargin,
     "q_dedup_incremental" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 151,
-      s"expected the SURVEY §2 151-key inventory (147 as of round 8 + " +
-        s"round 9's q_dedup_incremental, q_join_cbo, q_sample_budget, " +
-        s"q_dedup_minhash_incremental), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 137,
-      s"expected 137 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 154,
+      s"expected the SURVEY §2 154-key inventory (151 as of round 9 + " +
+        s"round 10's q_dedup_manifest_update, q_write_compact, " +
+        s"q_schema_evolution), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 140,
+      s"expected 140 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
@@ -92,6 +92,35 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(exact.nonEmpty &&
       lsh.size.toDouble / exact.size >= 0.9,
       s"LSH recall ${lsh.size}/${exact.size} below 0.9")
+  }
+
+  test("minhash band-manifest write-back is idempotent: day 2 admits " +
+      "zero banded docs") {
+    val (day1, day2) = llm.DedupVariants.minhashManifestRoundtrip(
+      spark, sf0001)
+    // day 1 must genuinely admit docs (or the test proves nothing) …
+    assert(day1 > 0, "day-1 run admitted no docs — fixture degenerate")
+    // … and the SAME crawl against the written-back manifest admits none:
+    // every admitted doc now self-collides at Jaccard 1.0, every rejected
+    // doc still collides with its original prior dup.
+    assert(day2 == 0L, s"day-2 run re-admitted $day2 docs — write-back " +
+      "manifest is incomplete")
+  }
+
+  test("q_dedup_manifest_update audit rows prove the exact-prefix loop " +
+      "closes: day 2 admits zero") {
+    val rows = llm.DedupVariants.qDedupManifestUpdate(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("day1_new") > 0)
+    assert(rows("day2_new") == 0L)
+    assert(rows("manifest_after") ==
+      rows("manifest_before") + {
+        // admitted prefixes are distinct and disjoint from the manifest,
+        // but day1_new counts DOCS — distinct prefixes can be fewer
+        val grown = rows("manifest_after") - rows("manifest_before")
+        assert(grown <= rows("day1_new") && grown > 0)
+        grown
+      })
   }
 
   test("q_unpivot emits exactly 4 long rows per lineitem row") {
