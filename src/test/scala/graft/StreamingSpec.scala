@@ -175,6 +175,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"stream got ${got.length} docs, batch ${expected.length}")
   }
 
+  test("foreachBatch manifest write-back: a replayed crawl batch admits " +
+      "nothing (streaming half of q_dedup_manifest_update)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // each micro-batch is deduped against the manifest-so-far and its
+    // admitted fingerprints are appended BACK — the loop a production
+    // streaming ingest runs. The property under test is the one that
+    // makes it safe under at-least-once delivery: replaying the same
+    // batch admits zero docs the second time, because the first pass
+    // manifested them.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mwb").toString
+    val manifestPath = s"$dir/manifest"
+    val admittedPath = s"$dir/admitted"
+    val pref = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 4 =!= 3)
+      .select(pref.as("prefix_md5")).distinct()
+      .write.parquet(manifestPath)
+    val today = docs.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), pref.as("prefix_md5"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "prefix_md5")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = batch.sparkSession.read.parquet(manifestPath)
+        // materialize the anti-join BEFORE appending to the manifest it
+        // reads — appending first would have the lazy plan read its own
+        // output
+        val admitted = batch.join(m, Seq("prefix_md5"), "left_anti")
+          .localCheckpoint(true)
+        admitted.select("doc_id").write.mode("append").parquet(admittedPath)
+        admitted.select("prefix_md5").distinct()
+          .write.mode("append").parquet(manifestPath)
+      }
+      .start()
+    mem.addData(today.toSeq) // day-1 crawl
+    q.processAllAvailable()
+    mem.addData(today.toSeq) // the SAME crawl replayed (redelivery)
+    q.processAllAvailable(); q.stop()
+    val admitted = spark.read.parquet(admittedPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val batchExpected = llm.DedupVariants.qDedupIncremental(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // batch 1 admits exactly the batch key's result; batch 2 admits
+    // nothing — so the TOTAL admitted set equals one day's worth
+    assert(admitted.sameElements(batchExpected),
+      s"expected ${batchExpected.length} admitted docs once each, " +
+        s"got ${admitted.length}")
+  }
+
   test("stream-stream interval join == batch join, out-of-order input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
