@@ -213,6 +213,31 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("GrfCodec rejects crafted headers that overflow the Int length " +
+      "check or declare zero dims") {
+    // 32768×32768×4 = 2³² ≡ 0 in Int arithmetic — under the old Int
+    // length math a NINE-BYTE payload with this header passed the
+    // `length == 9 + n` check (n wrapped to 0) and "decoded" to all-zero
+    // band means; with the length computed in Long it must be rejected
+    // as truncated (round-9 advice)
+    val crafted = new Array[Byte](9)
+    System.arraycopy(multimodal.Multimodal.GrfCodec.Magic, 0, crafted, 0, 4)
+    crafted(4) = 0x80.toByte; crafted(5) = 0x00 // width 32768
+    crafted(6) = 0x80.toByte; crafted(7) = 0x00 // height 32768
+    crafted(8) = 0x04 // channels 4
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.GrfCodec.decode(crafted)
+    }
+    // zero-dim header (unencodable: encode requires ≥1) must be
+    // rejected rather than divide by a zero perBand
+    val zeroDim = multimodal.Multimodal.GrfCodec.encode("x", 1, 1, 1)
+      .clone()
+    zeroDim(4) = 0; zeroDim(5) = 0 // width 0 (length now mismatched too)
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.GrfCodec.decode(zeroDim)
+    }
+  }
+
   test("knn predictions agree with a driver-side recomputation") {
     val topk = llm.Similarity.qSimTopk(spark, sf001)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
