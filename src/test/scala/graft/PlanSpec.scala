@@ -329,6 +329,61 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       expected))
   }
 
+  test("manifest write-back probes both days through the bloom, below " +
+      "each residual anti-join, with the manifest side broadcast") {
+    val df = llm.DedupVariants.qDedupManifestUpdate(spark, sf0001)
+    val plan = planOf(df)
+    // the day-1 probe ran inside its eager localCheckpoint (the
+    // write-back must materialize before the manifest is rewritten), so
+    // the returned plan carries exactly the DAY-2 probe: one residual
+    // anti-join with the bloom UDF filter below it on the scan side
+    val antis = "LeftAnti".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(antis.length == 1,
+      s"expected the day-2 residual anti-join:\n$plan")
+    antis.foreach { i =>
+      assert(plan.indexOf("UDF", i) >= 0,
+        s"bloom mightContain must sit below the anti-join:\n$plan")
+    }
+    // both bloom branches present: the negative branch (NOT UDF) is a
+    // plain filter that never joins
+    assert(plan.contains("NOT UDF"),
+      s"bloom-negative branch must skip the join entirely:\n$plan")
+    // the compact manifests broadcast; today's slice never shuffles
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"manifest side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("compacted read-back is a bare scan + final order (no extra " +
+      "exchange, no join)") {
+    val df = sources.Layout.qWriteCompact(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("Scan parquet") && plan.contains("compact_"),
+      s"must read the compacted layout back:\n$plan")
+    assert(!plan.contains("Join"), s"identity read-back must not join:\n$plan")
+    // exactly ONE exchange — the range partition for the total ORDER BY
+    // (driver-contract ordering); the compaction itself happened at
+    // write time, so the read pays nothing else
+    assert("Exchange".r.findAllIn(plan).length <= 2, // Exchange + reuse tag
+      s"read-back should carry only the order-by exchange:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"final sort should range-partition:\n$plan")
+  }
+
+  test("schema-evolution read merges both drops into ONE scan node") {
+    val df = sources.Layout.qSchemaEvolution(spark, sf0001)
+    val plan = planOf(df)
+    // mergeSchema unions the footers at planning time: both drop dirs
+    // feed a single parquet scan (shared file index), NOT a Union of two
+    // scans with a cast — the shape that stays one stage at 100 TB
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"expected one merged scan:\n$plan")
+    assert(!plan.contains("Union"), s"no per-drop union:\n$plan")
+    assert(plan.contains("lang"), s"merged schema must carry lang:\n$plan")
+  }
+
   test("q_join_cbo's ANALYZE'd stats reorder the filtered dim ahead of " +
       "the fact pair") {
     val df = relational.ScaleOps.qJoinCbo(spark, sf0001)
