@@ -418,7 +418,7 @@ object DedupVariants {
     * exchange (bloom false negatives are impossible). Only the ~fpp +
     * true-dup fraction reaches the exact residual anti-join that clears
     * false positives. */
-  private def manifestAntiJoin(s: SparkSession, crawl: DataFrame,
+  private[graft] def manifestAntiJoin(s: SparkSession, crawl: DataFrame,
       manifest: DataFrame): DataFrame = {
     val bf = manifest.stat.bloomFilter("prefix_md5",
       math.max(manifest.count(), 1L), 0.01)

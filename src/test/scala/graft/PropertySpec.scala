@@ -116,6 +116,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bloom+residual manifest probe equals the plain anti-join for " +
+      "arbitrary manifest/crawl splits") {
+    import spark.implicits._
+    // the law manifestAntiJoin must satisfy regardless of bloom false
+    // positives (cleared by the residual join) or capacity (sized from
+    // the manifest itself): result == crawl ⟕̸ manifest. Overlapping and
+    // disjoint key sets both generated; empty manifests degenerate to
+    // identity.
+    val gen = for {
+      nm <- Gen.choose(0, 20)
+      nc <- Gen.choose(1, 25)
+      manifest <- Gen.listOfN(nm, Gen.choose(0, 30))
+      crawl <- Gen.listOfN(nc, Gen.choose(0, 30))
+    } yield (manifest.map(k => s"k$k").distinct,
+      crawl.zipWithIndex.map { case (k, i) => (i.toLong, s"k$k") })
+    samples(gen).foreach { case (manifest, crawl) =>
+      val mdf = manifest.toDF("prefix_md5")
+      val cdf = crawl.toDF("doc_id", "prefix_md5")
+      val got = llm.DedupVariants.manifestAntiJoin(spark, cdf, mdf)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val expected = cdf.join(mdf, Seq("prefix_md5"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(expected),
+        s"bloom probe diverged from plain anti-join: " +
+          s"got ${got.toSeq}, expected ${expected.toSeq}")
+    }
+  }
+
   test("dedup clustering converges in the minimal round budget") {
     // near-dup clusters are tiny and dense (diameter ≤ 2 on the harness
     // corpus): min-label propagation must finish in ≤ 2 changing rounds
