@@ -18,9 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import cell_eq, col_kind, norm  # noqa: E402
 
 failures = []
+n_checked = 0
 
 
 def expect(name, got, want):
+    global n_checked
+    n_checked += 1
     if got != want:
         failures.append(f"{name}: got {got}, want {want}")
 
@@ -71,4 +74,4 @@ if failures:
     for f in failures:
         print("  " + f)
     sys.exit(1)
-print(f"check_selftest: all {29} expectations hold")
+print(f"check_selftest: all {n_checked} expectations hold")
