@@ -52,6 +52,10 @@ object Layout {
       .repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", perFile)
+      // zstd, not the snappy default: ~30% smaller files at comparable
+      // scan cost — at 100 TB the compaction pass is exactly where the
+      // codec choice gets locked in for every future read
+      .option("compression", "zstd")
       .parquet(path)
     (s.read.parquet(path), path, nFiles)
   }
