@@ -95,8 +95,10 @@ object Multimodal {
       out
     }
 
-    /** (width, height, channels, per-band mean of unsigned pixel values). */
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    /** Validated header parse: (width, height, channels). Shared by
+      * [[decode]] and [[resizeHalf]] so the resize path doesn't pay a
+      * full band-stats pass just to learn the dims. */
+    private def header(bytes: Array[Byte]): (Int, Int, Int) = {
       require(bytes.length >= 9 &&
         bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
         bytes(2) == Magic(2) && bytes(3) == Magic(3),
@@ -105,7 +107,7 @@ object Multimodal {
       val height = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
       val channels = bytes(8) & 0xff
       // zero dims are unencodable (encode requires ≥1) — reject rather
-      // than divide by a zero perBand below on a crafted header
+      // than divide by a zero perBand on a crafted header
       require(width >= 1 && height >= 1 && channels >= 1,
         s"zero GRF1 dim: ${width}x${height}x$channels")
       // length check in Long: the max header dims (65535×65535×255) make
@@ -113,7 +115,13 @@ object Multimodal {
       // pass an Int compare and yield garbage band means (round-9 advice)
       val nL = width.toLong * height * channels
       require(bytes.length.toLong == 9L + nL, "truncated GRF1 body")
-      val n = nL.toInt // == bytes.length - 9, so always in Int range
+      (width, height, channels)
+    }
+
+    /** (width, height, channels, per-band mean of unsigned pixel values). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val (width, height, channels) = header(bytes)
+      val n = bytes.length - 9
       val sums = new Array[Long](channels)
       var i = 0
       while (i < n) {
@@ -123,6 +131,41 @@ object Multimodal {
       val perBand = width * height
       (width, height, channels,
         sums.map(sm => (sm.toDouble / perBand).toFloat))
+    }
+
+    /** Nearest-neighbor ½× downscale, bytes → bytes: parse the header,
+      * sample every second pixel in both axes (band-interleaved layout
+      * preserved), re-encode with the new dims. Pure pixel-plumbing —
+      * the shape of a real thumbnail/resolution-normalization stage;
+      * output pixels are BY CONSTRUCTION a subset of input pixels, which
+      * the spec asserts per band. */
+    def resizeHalf(bytes: Array[Byte]): Array[Byte] = {
+      val (w, h, c) = header(bytes)
+      val nw = math.max(1, w / 2)
+      val nh = math.max(1, h / 2)
+      val out = new Array[Byte](9 + nw * nh * c)
+      System.arraycopy(Magic, 0, out, 0, 4)
+      out(4) = ((nw >> 8) & 0xff).toByte
+      out(5) = (nw & 0xff).toByte
+      out(6) = ((nh >> 8) & 0xff).toByte
+      out(7) = (nh & 0xff).toByte
+      out(8) = c.toByte
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          var b = 0
+          while (b < c) {
+            // source pixel (2x, 2y), same band; row-major interleaved
+            out(9 + (y * nw + x) * c + b) =
+              bytes(9 + ((y * 2) * w + x * 2) * c + b)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
@@ -165,6 +208,46 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q_mm_resize — binary-to-binary media transform (round 10): the
+    * `resize` stage of the brief's decode / feature-extract / resize /
+    * frame-sample enumeration. Each doc's GRF1 payload is ½×-downscaled
+    * by nearest-neighbor INSIDE the binary domain (header parse → pixel
+    * subsample → re-encode; the lambda never sees decoded floats), and
+    * the key emits the before/after dims + byte sizes + the sha256 of
+    * the resized payload — the manifest a thumbnail/normalization stage
+    * writes. Payload bytes never shuffle: encode, resize, and hash are
+    * one scan-side partition-local pass; only the tiny metadata row
+    * leaves the task. No oracle (typed lambda over a binary column);
+    * ApproxSpec asserts dims halve per row, output pixels are a subset
+    * of input pixels per band, the resized payload re-decodes cleanly,
+    * and run-to-run determinism. */
+  def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = udf((id: Long, text: String, nChars: Int) =>
+      GrfCodec.encode(text,
+        width = nChars % 16 + 1,
+        height = nChars % 13 + 2,
+        channels = if (id % 2 == 0) 3 else 1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        enc(col("doc_id"), col("text"), col("n_chars").cast("int"))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val resized = GrfCodec.resizeHalf(payload)
+          val (w, h, c, _) = GrfCodec.decode(payload)
+          val (nw, nh, _, _) = GrfCodec.decode(resized)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(resized).map(b => f"${b & 0xff}%02x").mkString
+          (id, w, h, nw, nh, c, payload.length, resized.length, sha)
+        }
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height",
+        "channels", "n_bytes_in", "n_bytes_out", "resized_sha256")
+      .orderBy("doc_id")
+  }
+
   /** Verify-facing projection of [[qMmDecode]]: the driver's no-oracle
     * check pandas-sorts every column, and ndarray cells are unhashable
     * there (proven red in round 6 — the round-6 "q_array_funcs proves
@@ -178,7 +261,8 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_sample" -> (qMmSample _),
-    "q_mm_decode" -> (qMmDecodeVerify _))
+    "q_mm_decode" -> (qMmDecodeVerify _),
+    "q_mm_resize" -> (qMmResize _))
 
   val oracle: Map[String, String] = Map(
     "q_mm_bytes" ->

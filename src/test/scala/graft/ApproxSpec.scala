@@ -213,6 +213,44 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("GrfCodec.resizeHalf subsamples exactly the even-coordinate " +
+      "pixels and re-encodes a valid payload") {
+    for {
+      w <- Seq(1, 2, 5, 16)
+      h <- Seq(1, 3, 14)
+      c <- Seq(1, 3)
+    } {
+      val in = multimodal.Multimodal.GrfCodec.encode("resize me", w, h, c)
+      val out = multimodal.Multimodal.GrfCodec.resizeHalf(in)
+      val (nw, nh, nc, _) = multimodal.Multimodal.GrfCodec.decode(out)
+      assert((nw, nh, nc) ==
+        (math.max(1, w / 2), math.max(1, h / 2), c),
+        s"dims for w=$w h=$h c=$c")
+      // nearest-neighbor law: out(x, y, b) == in(2x, 2y, b), exactly
+      for (y <- 0 until nh; x <- 0 until nw; b <- 0 until c)
+        assert(out(9 + (y * nw + x) * c + b) ==
+          in(9 + ((2 * y) * w + 2 * x) * c + b),
+          s"pixel ($x,$y,$b) for w=$w h=$h c=$c")
+    }
+  }
+
+  test("q_mm_resize halves dims per row, deterministic across runs") {
+    val a = multimodal.Multimodal.qMmResize(spark, sf001).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (w, h, nw, nh) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(nw == math.max(1, w / 2) && nh == math.max(1, h / 2),
+        s"doc ${r.getLong(0)} dims")
+      val c = r.getInt(5)
+      assert(r.getInt(7) == 9 + nw * nh * c,
+        s"doc ${r.getLong(0)} resized payload size")
+      assert(r.getString(8).length == 64)
+    }
+    val b = multimodal.Multimodal.qMmResize(spark, sf001).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("GrfCodec rejects crafted headers that overflow the Int length " +
       "check or declare zero dims") {
     // 32768×32768×4 = 2³² ≡ 0 in Int arithmetic — under the old Int

@@ -31,10 +31,10 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 154,
-      s"expected the SURVEY §2 154-key inventory (151 as of round 9 + " +
+    assert(SparkEntry.queries.size == 155,
+      s"expected the SURVEY §2 155-key inventory (151 as of round 9 + " +
         s"round 10's q_dedup_manifest_update, q_write_compact, " +
-        s"q_schema_evolution), got ${SparkEntry.queries.size}")
+        s"q_schema_evolution, q_mm_resize), got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 140,
       s"expected 140 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
