@@ -134,6 +134,54 @@ object DedupVariants {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramPairs(s, dir, StopShingleMaxDf)
 
+  /** q_recursive_cte — transitive closure of the near-dup pair graph via
+    * Spark 4's `WITH RECURSIVE` (round 11): the declarative twin of
+    * [[qDedupCluster]]'s iterative min-label loop, and the key that
+    * exercises the recursive-SQL surface end-to-end against DuckDB's
+    * native recursive CTE over the same edges (identical output:
+    * doc_id → min-id cluster label + cluster size).
+    *
+    * Spark 4.1 accepts only UNION ALL in the recursive branch (distinct
+    * UNION raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed, round
+    * 11), and the symmetrized pair graph is cyclic, so an unguarded
+    * closure would re-walk cycles until the recursion limit. The
+    * recursive branch therefore carries the visited node list and
+    * refuses to revisit (simple-path closure): termination is structural
+    * — path length ≤ component size, which ApproxSpec pins tiny (near-dup
+    * components are ≤ 4 docs on the harness corpus), far under
+    * spark.sql.cteRecursionLevelLimit (100). Scale posture, stated
+    * plainly: simple-path enumeration is exponential in clique size, so
+    * at 100 TB this key is the bounded-graph cross-check / SQL surface,
+    * while qDedupCluster's O(diameter)-rounds loop is the scale path —
+    * PropertySpec asserts the two produce identical labels. The pair set
+    * is eagerly localCheckpointed first: UnionLoop re-evaluates the
+    * recursive step every iteration, and each re-evaluation must scan a
+    * materialized edge list, not re-run the inverted-index join (and the
+    * symmetrizing union's two branches would otherwise each recompute
+    * it, the round-5 re-evaluation trap). */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(s, dir).select("id_a", "id_b")
+      .localCheckpoint(true)
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .createOrReplaceTempView("graft_rec_edges")
+    s.sql("""
+      WITH RECURSIVE reach (src, dst, path) AS (
+        SELECT src, dst, array(src, dst) FROM graft_rec_edges
+        UNION ALL
+        SELECT r.src, e.dst, array_append(r.path, e.dst)
+        FROM reach r JOIN graft_rec_edges e ON r.dst = e.src
+        WHERE NOT array_contains(r.path, e.dst)
+      )
+      SELECT doc_id, cluster_id,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM (SELECT DISTINCT src, dst FROM reach)
+        GROUP BY src)
+      ORDER BY doc_id""")
+  }
+
   /** q_dedup_simhash — 32-bit SimHash signatures + Hamming-banded pair
     * search (distance ≤ 6). Signature: per token, h32 = md5-derived hash;
     * per bit b, sum ±1 over tokens; bit set iff sum ≥ 0. */
@@ -663,6 +711,7 @@ object DedupVariants {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_bucketed" -> (qDedupEmbedBucketed _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_recursive_cte" -> (qRecursiveCte _),
     "q_dedup_prefix" -> (qDedupPrefix _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_manifest_update" -> (qDedupManifestUpdate _))
@@ -850,6 +899,48 @@ object DedupVariants {
         |WHERE bit_count(xor(sig_a, sig_b)) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS sh
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |-- stop-shingle cap: mirrors StopShingleMaxDf (see q_dedup_ngram)
+        |kept AS (
+        |  SELECT doc_id, sh FROM sh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE floor(common * 1.0 / (sa.n + sb.n - common) * 1e6) / 1e6
+        |    >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp
+        |ORDER BY doc_id""".stripMargin,
+    // q_recursive_cte: SAME oracle as q_dedup_cluster — DuckDB's native
+    // recursive CTE computes the closure with distinct UNION; the Spark
+    // side reaches the identical fixpoint via the path-guarded UNION ALL
+    // form (see qRecursiveCte). Kept as a verbatim copy so the two keys'
+    // oracles can never drift apart silently.
+    "q_recursive_cte" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(string_split(text, ' ')) - 1),

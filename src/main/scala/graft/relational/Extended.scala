@@ -122,6 +122,39 @@ object Extended {
       ORDER BY n.n_name, t.s_suppkey""")
   }
 
+  /** q_subquery_scalar — correlated scalar subquery, TPC-H Q17 shape
+    * (round 11): lineitems whose quantity falls below 20% of their own
+    * part's average quantity, rolled up per brand. The correlated
+    * `(SELECT avg … WHERE l2.l_partkey = p.p_partkey)` is the SQL
+    * surface real analytic workloads lean on hardest; Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into ONE per-part
+    * aggregate over lineitem joined back to the outer join — never a
+    * per-outer-row re-execution (PlanSpec pins: no subquery expression
+    * survives into the optimized plan, and lineitem is scanned a bounded
+    * number of times). At 100 TB that rewrite is the difference between
+    * two scans of the fact table and |part| of them.
+    *
+    * Cross-engine determinism: quantities are integral doubles, so each
+    * part's sum is exact (≪ 2^53) and avg = exact_sum / count is the
+    * same IEEE division on both engines; `0.2e0 * avg` is one identical
+    * double multiply, so the filter set is bit-equal. Revenue is a sum
+    * of 2dp-exact prices → ROUND(…, 2) sits on the grid (see
+    * Aggregates float-determinism note). */
+  def qSubqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq")
+    Tables.part(s, dir).createOrReplaceTempView("part_sq")
+    s.sql("""
+      SELECT p.p_brand,
+        COUNT(*) AS n_small,
+        ROUND(SUM(l.l_extendedprice), 2) AS revenue
+      FROM lineitem_sq l JOIN part_sq p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < (
+        SELECT 0.2e0 * AVG(l2.l_quantity)
+        FROM lineitem_sq l2 WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""")
+  }
+
   /** q_struct_funcs — struct build / ordering / field access: per
     * customer, the first and last order as `min(struct(...))` /
     * `max(struct(...))` — lexicographic struct comparison makes
@@ -227,6 +260,7 @@ object Extended {
     "q_null_funcs" -> (qNullFuncs _),
     "q_join_null_safe" -> (qJoinNullSafe _),
     "q_join_lateral" -> (qJoinLateral _),
+    "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_struct_funcs" -> (qStructFuncs _),
     "q_variant_funcs" -> (qVariantFuncs _))
 
@@ -337,6 +371,16 @@ object Extended {
         |  WHERE s.s_nationkey = n.n_nationkey
         |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
         |ORDER BY n.n_name, t.s_suppkey""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT p.p_brand,
+        |  COUNT(*) AS n_small,
+        |  ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (
+        |  SELECT 0.2e0 * AVG(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
     "q_struct_funcs" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, o_totalprice,
