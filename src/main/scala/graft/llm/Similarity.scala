@@ -134,6 +134,93 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** q_sim_pq — product-quantization ANN with asymmetric-distance
+    * computation (round 11): the vector-STORAGE scale path beyond IVF's
+    * candidate pruning. Vectors are L2-normalized (so L2 ordering ==
+    * cosine ordering), split into 16 subspaces × 4 dims, and each
+    * subspace gets a seeded KMeans-16 codebook: every vector compresses
+    * to 16 codes of 4 bits — 64 float32 dims → 8 B packed, a 32×
+    * shrink, which at 100 TB is the difference between the index fitting
+    * in executor memory and every probe being an IO scan of raw vectors.
+    * (4-dim subspaces rather than 8: same bits, double the codebook
+    * resolution — the 8-dim geometry measured only 0.79 recall@5 here.)
+    * Queries build an ADC lookup table (per subspace, squared distance
+    * from the query subvector to each of its 16 centroids — 256 doubles
+    * per query, broadcast); a candidate's approximate distance is then
+    * 16 table lookups + adds over its codes, never a read of the raw
+    * vector. The ADC top-50 shortlist is re-ranked with true cosine, so
+    * emitted scores are exact over a PQ-recalled candidate set.
+    * ApproxSpec asserts recall ≥ 0.9 vs the exact q_sim_topk; no oracle
+    * (codebooks are trained model state, engine-specific by design).
+    * Composes with qSimIvf at scale: IVF prunes candidates, PQ shrinks
+    * what remains. */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    graft.functions.NativeFunctions.register(s)
+    val nSub = 16; val dSub = 4; val nCent = 16
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2norm(col("emb")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("unit"))
+      // eager checkpoint: 8 codebook fits + encode + query build all
+      // re-read this narrow projection (cache-ownership contract)
+      .localCheckpoint(true)
+    // one seeded KMeans per subspace — model fits are driver-coordinated
+    // like every q_ml_* key; 16×4 doubles per codebook ride to the
+    // executors as plan literals (broadcast-by-construction)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until nSub).map { i =>
+      val feat = e.select(array_to_vector(
+        slice(col("unit"), i * dSub + 1, dSub)).as("features"))
+      new KMeans().setK(nCent).setSeed(42L + i).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("c")
+        .fit(feat).clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    def centsLit(i: Int): Column =
+      array(codebooks(i).map(c => array(c.map(lit): _*)): _*)
+    def d2(cent: Column, sub: Column): Column =
+      aggregate(zip_with(cent, sub, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    def subvec(c: Column, i: Int): Column = slice(c, i * dSub + 1, dSub)
+    // encode: one 4-bit code per subspace (argmin centroid;
+    // array_position takes the FIRST minimum — deterministic under ties)
+    val codes = (0 until nSub).map { i =>
+      val dists = transform(centsLit(i),
+        cent => d2(cent, subvec(col("unit"), i)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val enc = e.select(col("vec_id"), array(codes: _*).as("codes"))
+    // ADC lookup table: lut[i*16 + c] = ||q_sub_i - cent_{i,c}||²
+    val lut = concat((0 until nSub).map { i =>
+      transform(centsLit(i), cent => d2(cent, subvec(col("unit"), i)))
+    }: _*)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("unit").as("qunit"),
+        lut.as("lut"))
+    val adc = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        s"""aggregate(transform(codes,
+           |  (c, i) -> element_at(lut, i * $nCent + c + 1)),
+           |  cast(0 as double), (a, x) -> a + x)""".stripMargin))
+    val wAdc = Window.partitionBy("qid")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("rs", row_number().over(wAdc))
+      .filter(col("rs") <= 50)
+      .select("qid", "vec_id")
+    // exact re-rank: true cosine = dot of unit vectors, codegen'd
+    val rer = shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q.select("qid", "qunit")), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qunit"), col("unit")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid", "rn", "cos_sim")
+      .orderBy("qid", "rn")
+  }
+
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
     * (tie → smallest label). Stacks on the exact top-k operator. */
   def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
@@ -197,6 +284,7 @@ object Similarity {
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_pq" -> (qSimPq _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

@@ -87,6 +87,26 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("PQ+ADC neighbors reach recall >= 0.9 vs exact cosine top-5") {
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = llm.Similarity.qSimPq(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-cosine re-rank of the ADC top-50 shortlist means a miss
+    // can ONLY come from PQ quantization pushing a true neighbor out of
+    // the shortlist — this asserts the codebooks carry real signal
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${(exact & pq).size}/${exact.size})")
+    // determinism: seeded codebooks + first-min tie-breaks ⇒ identical
+    // output on a second run
+    val pq2 = llm.Similarity.qSimPq(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 == pq, "q_sim_pq is not deterministic across runs")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()
