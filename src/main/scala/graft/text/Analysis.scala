@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -172,12 +172,95 @@ object Analysis {
       .orderBy("rank")
   }
 
+  /** Vocabulary cap for BPE training: merges are learned over the top-V
+    * tokens by (count desc, token asc). The cap is what makes the state
+    * scale-free — at 100 TB the distinct-token table is unbounded
+    * (noise, URLs, typos), but every production BPE trainer learns from
+    * a frequency-capped word-count dictionary; the tail it drops barely
+    * carries pair weight by construction. 4096 covers the whole harness
+    * vocabulary (≈1.4k distinct tokens at sf0.1 after the floor). */
+  private[graft] val BpeVocabCap = 4096
+
+  /** Deterministic BPE merge training core: returns the learned merge
+    * table and the final per-word symbolization. The loop is
+    * driver-SYNCHRONIZED, not driver-side (the [[qDedupCluster]]
+    * precedent): each round runs one distributed weighted-pair aggregate
+    * over the capped vocab and only the single winning pair crosses to
+    * the driver to parameterize the next round's merge expression; the
+    * vocab table is eagerly re-checkpointed per round so lineage stays
+    * flat across N rounds. The corpus itself is scanned exactly once
+    * (the initial token count) — at 100 TB the N merge rounds touch only
+    * the O(V)-row weighted vocabulary, never the documents again.
+    * Determinism: ties break (weight desc, lhs asc, rhs asc), and merges
+    * apply left-to-right non-overlapping via the aggregate fold, so the
+    * merge table is a pure function of the corpus. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val pairExpr = expr(
+      """transform(slice(syms, 1, size(syms) - 1),
+        |  (x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))""".stripMargin)
+    def applyMerge(l: String, r: String): Column =
+      aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+        val tail = element_at(acc, -1)
+        when(size(acc) > 0 && tail === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))
+      })
+    var vocab = withToks(Tables.documents(s, dir))
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(BpeVocabCap)
+      .withColumn("syms", split(col("token"), ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var round = 0
+    while (round < nMerges) {
+      val best = vocab
+        .select(explode(pairExpr).as("p"), col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("n").as("w"))
+        .orderBy(desc("w"), col("lhs"), col("rhs"))
+        .limit(1).collect().headOption
+      best match {
+        case Some(row) =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((l, r, row.getLong(2)))
+          vocab = vocab.withColumn("syms", applyMerge(l, r))
+            .localCheckpoint(true)
+        case None => round = nMerges // degenerate vocab: nothing to merge
+      }
+      round += 1
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** q_text_bpe — deterministic BPE merge training (round 11): learn 50
+    * byte-pair merges over the corpus vocabulary and emit the merge
+    * table — rank, the merged pair, the resulting symbol, and the
+    * weighted pair frequency that won the round. This is the tokenizer-
+    * training stage of the LLM data pipeline (the seed table is
+    * q_text_vocab's shape); the merge table is the artifact a trainer
+    * ships. Test-verified (PropertySpec: cross-run determinism, symbol
+    * = lhs||rhs, and the compression-ratio property on the re-tokenized
+    * vocabulary); no oracle — N sequential argmax rounds are not
+    * expressible as one SQL query. */
+  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(s, dir, nMerges = 50)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, w), i) => (i + 1, l, r, l + r, w) }
+      .toDF("rank", "lhs", "rhs", "merged", "freq")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_tokens" -> (qTextTokens _),
-    "q_text_vocab" -> (qTextVocab _))
+    "q_text_vocab" -> (qTextVocab _),
+    "q_text_bpe" -> (qTextBpe _))
 
   val oracle: Map[String, String] = {
     val stopList = TextOps.stopWords.map(w => s"'$w'").mkString(", ")

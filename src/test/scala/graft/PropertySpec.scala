@@ -218,4 +218,47 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q_recursive_cte labels every clustered doc identically to " +
+      "q_dedup_cluster's iterative min-label loop") {
+    val iter = llm.DedupVariants.qDedupCluster(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rec = llm.DedupVariants.qRecursiveCte(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rec == iter,
+      s"recursive-CTE closure disagrees with min-label loop: " +
+        s"only-rec=${(rec -- iter).take(3)} only-iter=${(iter -- rec).take(3)}")
+    assert(rec.nonEmpty)
+  }
+
+  test("BPE merge training is deterministic, lossless on the vocab, and " +
+      "strictly compresses it") {
+    import org.apache.spark.sql.functions._
+    val t1 = text.Analysis.qTextBpe(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // exactly N ranked merges, each merged symbol the pair's concat,
+    // each with positive weighted frequency
+    assert(t1.map(_._1).toSeq == (1 to 50))
+    assert(t1.forall { case (_, l, r, m, w) => m == l + r && w > 0 })
+    // determinism: a second full training run learns the same table
+    val t2 = text.Analysis.qTextBpe(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(t2.toSeq == t1.toSeq, "merge table differs across runs")
+    // the final symbolization spells each word back exactly (merges
+    // never lose or reorder characters) and strictly compresses the
+    // weighted vocabulary (50 rounds must shrink total symbol count)
+    val (_, vocab) = text.Analysis.bpeTrain(spark, sf0001, 50)
+    val v = vocab.select(col("token"), col("n"),
+      array_join(col("syms"), "").as("spelled"),
+      size(col("syms")).as("n_syms"),
+      length(col("token")).as("n_chars")).collect()
+    assert(v.forall(r => r.getString(2) == r.getString(0)),
+      "symbolization does not spell the token back")
+    val symTotal = v.map(r => r.getLong(1) * r.getInt(3)).sum
+    val charTotal = v.map(r => r.getLong(1) * r.getInt(4)).sum
+    assert(symTotal < charTotal,
+      s"no compression: $symTotal symbols vs $charTotal chars")
+  }
 }
