@@ -117,6 +117,17 @@ def col_kind(s):
 # driver hashes the byte representation; IEEE -0.0 has the sign bit set —
 # the round-7 q_agg_corr failure). Recurses into arrays/structs (tuples).
 def cell_eq(x, y):
+    # numpy scalar → Python scalar first (round-10 advice): np.bool_ is
+    # NOT a bool subclass, so the bool-strictness below would spuriously
+    # flag Python-bool vs np.bool_ (object-dtype vs bool-dtype loads of
+    # the same BOOLEAN column) and would MISS np.bool_ vs int. .item()
+    # normalizes every numpy scalar kind; arrays don't reach here
+    # (norm() tuples them).
+    import numpy as np
+    if isinstance(x, np.generic):
+        x = x.item()
+    if isinstance(y, np.generic):
+        y = y.item()
     try:
         if pd.isna(x) and pd.isna(y):
             return True

@@ -23,7 +23,17 @@ import org.apache.spark.sql.SparkSession
   *  - the JSON line carries `cpu_sec` (total process CPU), `load`
   *    (1-min system load average at start/end) and `rerun_n`, so a
   *    contended run is distinguishable from a regression IN the
-  *    artifact. Per-query cpu seconds go to a detail file
+  *    artifact.
+  *  - (VERDICT r10 #1) a deterministic CALIBRATION PROBE — fixed spin
+  *    work, single-thread and all-threads — runs before and after the
+  *    key loop; its clean-run durations are recorded in bench_ref.json
+  *    (`_calib_single` / `_calib_par`). If any probe reads ≥ 1.5× its
+  *    clean constant, the whole run is presumed host-throttled: after a
+  *    backoff the ENTIRE key loop re-runs once and the per-key minima
+  *    are kept (bounded: one full retry). The JSON line carries
+  *    `calib` (all [single, par] probe readings), `calib_ref`, and
+  *    `full_rerun`, so the artifact self-reports whether its window was
+  *    clean. Per-query cpu seconds go to a detail file
   *    (GRAFT_BENCH_DETAIL, default /tmp/graft_bench_detail.json), NOT
   *    the stdout line: the driver's log-tail capture is bounded
   *    (~3.5 KB), so the stdout JSON line carries only the summary —
@@ -33,6 +43,9 @@ import org.apache.spark.sql.SparkSession
   *    independent of line length — SURVEY §7.4.13.)
   */
 object Bench {
+  /** Sink for calibration-probe results so the JIT can't elide the spin. */
+  @volatile private var blackhole: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,14 +63,20 @@ object Bench {
     // Warm-up (untimed): JIT the scan/shuffle/codegen paths and touch each
     // input file once, so the one-time JVM cost doesn't land on whichever
     // query happens to run first and distort its per-query number.
+    // Warm-up failures must never abort the run, but they must not be
+    // SILENT either (ADVICE r10): a failed one-time setup here means its
+    // cost lands back in the timed run and would otherwise read as an
+    // untraceable regression.
+    def warnWarm(what: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $what failed: ${e.getMessage}")
+      }
     spark.range(1 << 20).selectExpr("sum(id % 7)").collect()
     Tables.names.foreach { t =>
-      try Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () } // events needs its loader; skip
+      warnWarm(s"table $t")(Tables.table(spark, sfDir, t).count())
     }
-    // warm-up must never abort the run before the JSON line is emitted
-    try Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    warnWarm("events")(Tables.events(spark, sfDir).count())
     // Optional key filter (args) for local iteration; the driver always
     // invokes with no args → full run.
     val only = args.toSet
@@ -72,14 +91,13 @@ object Bench {
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
-        try SparkEntry.queries(k)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())
       }
     spark.catalog.clearCache()
     // JIT the L-BFGS/breeze optimizer path: the first LR fit in a JVM
     // otherwise pays 5–20 s of tiered compilation, landing on whichever
     // ML key runs first (q_ml_cv, alphabetically)
-    try {
+    warnWarm("LR fit") {
       import org.apache.spark.sql.functions._
       val warm = spark.range(256)
         .select((col("id") % 2).cast("double").as("label"),
@@ -88,7 +106,8 @@ object Bench {
             .as("features"))
       new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(10).fit(warm)
-    } catch { case _: Throwable => () }
+      ()
+    }
 
     /** One timed run of a query: (wall sec, cpu sec, ok). Clears the SQL
       * cache afterwards: several operators legitimately cache (LSH
@@ -110,12 +129,6 @@ object Bench {
       (wall, cpu, ok)
     }
 
-    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-    val first = keys.map { case (name, fn) =>
-      val (wall, cpu, ok) = timed(fn, name)
-      (name, fn, wall, cpu, ok)
-    }
     // Per-key reference wall times from clean runs: flags the
     // throttled-but-busy poisoning mode the cpu check can't see.
     val ref: Map[String, Double] =
@@ -133,22 +146,95 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // End-of-run re-run of contention suspects (starved JVM: cpu ≪ wall,
-    // or ≥3× the key's reference time). cpu may read negative if the JVM
-    // doesn't support process-CPU time — then only the reference check
-    // applies and the bench otherwise behaves exactly as before.
-    val results = first.map { case (name, fn, wall, cpu, ok) =>
-      val starved = wall >= 1.0 && cpu >= 0.0 && cpu < 0.6 * wall
-      val outlier = ref.get(name)
-        .exists(r => wall > 3.0 * r && wall > r + 2.0)
-      val suspect = ok && (starved || outlier)
-      if (!suspect) (name, wall, cpu, ok, false)
-      else {
-        val (w2, c2, ok2) = timed(fn, name)
-        if (ok2 && w2 < wall) (name, w2, c2, ok, true)
-        else (name, wall, cpu, ok, true)
+
+    // Deterministic calibration probe (VERDICT r10 #1). Fixed integer-mix
+    // spin work — no allocation, no IO — whose clean-box duration is a
+    // property of the host, not the data. `blackhole` defeats dead-code
+    // elimination. Clean constants live in bench_ref.json next to the
+    // per-key times and are documented in BASELINE.md.
+    def spin(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33
+        i += 1
+      }
+      x
+    }
+    val calibIters = 200000000L // ~0.4 s single-thread on a clean box
+    def calibProbe(): (Double, Double) = {
+      blackhole = spin(calibIters / 4) // JIT warm
+      val t0 = System.nanoTime()
+      blackhole = spin(calibIters)
+      val single = (System.nanoTime() - t0) / 1e9
+      val n = math.max(2, cpus.toInt)
+      val sink = new java.util.concurrent.atomic.AtomicLong
+      val ts = (0 until n).map(_ =>
+        new Thread(() => { sink.addAndGet(spin(calibIters)); () }))
+      val t1 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val par = (System.nanoTime() - t1) / 1e9
+      blackhole = sink.get
+      (single, par)
+    }
+
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    /** One full pass over every key, with the end-of-pass re-run of
+      * per-key contention suspects (starved JVM: cpu ≪ wall, or ≥3× the
+      * key's reference time). cpu may read negative if the JVM doesn't
+      * support process-CPU time — then only the reference check applies. */
+    def runPass(): Seq[(String, Double, Double, Boolean, Boolean)] = {
+      val first = keys.map { case (name, fn) =>
+        val (wall, cpu, ok) = timed(fn, name)
+        (name, fn, wall, cpu, ok)
+      }
+      first.map { case (name, fn, wall, cpu, ok) =>
+        val starved = wall >= 1.0 && cpu >= 0.0 && cpu < 0.6 * wall
+        val outlier = ref.get(name)
+          .exists(r => wall > 3.0 * r && wall > r + 2.0)
+        val suspect = ok && (starved || outlier)
+        if (!suspect) (name, wall, cpu, ok, false)
+        else {
+          val (w2, c2, ok2) = timed(fn, name)
+          if (ok2 && w2 < wall) (name, w2, c2, ok, true)
+          else (name, wall, cpu, ok, true)
+        }
       }
     }
+
+    val calibRefS = ref.getOrElse("_calib_single", 0.0)
+    val calibRefP = ref.getOrElse("_calib_par", 0.0)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    probes += calibProbe()
+    val pass1 = runPass()
+    probes += calibProbe()
+    // Any probe ≥ 1.5× its clean constant → the run overlapped a dirty
+    // host window; back off and re-run the WHOLE key loop once, keeping
+    // per-key minima (a throttled window only ever inflates times, so
+    // min-of-passes is the honest estimate). Bounded: one retry.
+    def dirty(p: (Double, Double)): Boolean =
+      (calibRefS > 0 && p._1 >= 1.5 * calibRefS) ||
+        (calibRefP > 0 && p._2 >= 1.5 * calibRefP)
+    val fullRerun = probes.exists(dirty)
+    val results =
+      if (!fullRerun) pass1
+      else {
+        System.err.println(
+          s"[bench] calibration dirty (probes=${probes.toList}, ref=($calibRefS,$calibRefP)); backing off 15 s and re-running all keys")
+        Thread.sleep(15000)
+        val pass2 = runPass()
+        probes += calibProbe()
+        val byKey2 = pass2.map(r => r._1 -> r).toMap
+        pass1.map { case r1 @ (k, w1, _, ok1, rr1) =>
+          byKey2.get(k) match {
+            case Some((_, w2, c2, ok2, rr2)) if ok2 && (!ok1 || w2 < w1) =>
+              (k, w2, c2, ok2, rr1 || rr2)
+            case Some((_, _, _, _, rr2)) => r1.copy(_5 = rr1 || rr2)
+            case None => r1
+          }
+        }
+      }
     val loadEnd = os.getSystemLoadAverage
     def r3(v: Double) = math.rint(v * 1e3) / 1e3
     // The stdout summary line must stay ≈400 B: the driver's log-tail
@@ -164,7 +250,9 @@ object Bench {
     val total = r3(results.map(_._2).sum)
     val cpuTotal = r3(results.map(_._3).sum)
     val rerunN = results.count(_._5)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_keys":${results.size},"failed":$failed,"slowest10":$slowest,"cpu_sec":$cpuTotal,"load":[${r3(loadStart)},${r3(loadEnd)}],"rerun_n":$rerunN,"sf":"$sfDir"}""")
+    val calibJson = probes.map { case (s, p) => s"[${r3(s)},${r3(p)}]" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_keys":${results.size},"failed":$failed,"slowest10":$slowest,"cpu_sec":$cpuTotal,"load":[${r3(loadStart)},${r3(loadEnd)}],"rerun_n":$rerunN,"calib":$calibJson,"calib_ref":[${r3(calibRefS)},${r3(calibRefP)}],"full_rerun":${if (fullRerun) 1 else 0},"sf":"$sfDir"}""")
     // full per-query wall+cpu detail (too big for the bounded stdout line)
     try {
       val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",

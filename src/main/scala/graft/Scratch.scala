@@ -33,6 +33,24 @@ object Scratch {
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
 
+  // Best-effort startup sweep of STALE sibling nonce dirs (ADVICE r10):
+  // the shutdown hook never runs for a kill -9'd JVM, so crashed runs
+  // would otherwise leak their whole dir into the shared tmpdir forever —
+  // and a later JVM reusing the pid would silently adopt the stale dir.
+  // A sibling whose embedded pid is no longer a live process is garbage
+  // by definition (its owner can only delete it via the hook, i.e. while
+  // alive). Failures are swallowed: concurrent sweeps may race on the
+  // same dead dir, and losing the race is fine.
+  try {
+    val sibs = root.getParentFile.listFiles()
+    if (sibs != null) sibs.foreach { d =>
+      val pid = d.getName.takeWhile(_.isDigit)
+      val live = pid.nonEmpty &&
+        ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+      if (d.getName != runNonce && pid.nonEmpty && !live) deleteRec(d)
+    }
+  } catch { case _: Throwable => () }
+
   /** Scratch path `<tmp>/graft_scratch/<nonce>/<area>/<sub>`, parent dirs
     * created. The leaf itself is left to the writer (Spark writers mkdir
     * their own output path). */

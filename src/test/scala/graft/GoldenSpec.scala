@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 155,
-      s"expected the SURVEY §2 155-key inventory (151 as of round 9 + " +
-        s"round 10's q_dedup_manifest_update, q_write_compact, " +
-        s"q_schema_evolution, q_mm_resize), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 140,
-      s"expected 140 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 160,
+      s"expected the SURVEY §2 160-key inventory (155 as of round 10 + " +
+        s"round 11's q_recursive_cte, q_subquery_scalar, q_write_zorder, " +
+        s"q_sim_pq, q_text_bpe), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 143,
+      s"expected 143 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
@@ -113,14 +113,15 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("day1_new") > 0)
     assert(rows("day2_new") == 0L)
-    assert(rows("manifest_after") ==
-      rows("manifest_before") + {
-        // admitted prefixes are distinct and disjoint from the manifest,
-        // but day1_new counts DOCS — distinct prefixes can be fewer
-        val grown = rows("manifest_after") - rows("manifest_before")
-        assert(grown <= rows("day1_new") && grown > 0)
-        grown
-      })
+    // the manifest must grow by EXACTLY the distinct admitted prefixes —
+    // recomputed independently from q_dedup_incremental, which shares the
+    // probe definition (manifestAntiJoin) but none of the write-back code
+    // (ADVICE r10: the previous arithmetic here was tautological)
+    val admittedPrefixes = llm.DedupVariants.qDedupIncremental(spark, sf0001)
+      .select("prefix_md5").distinct().count()
+    assert(admittedPrefixes > 0 && admittedPrefixes <= rows("day1_new"))
+    assert(rows("manifest_after") - rows("manifest_before")
+      == admittedPrefixes)
   }
 
   test("q_unpivot emits exactly 4 long rows per lineitem row") {
