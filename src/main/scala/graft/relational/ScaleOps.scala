@@ -273,6 +273,100 @@ object ScaleOps {
          |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** q_join_dpp — dynamic partition pruning, end-to-end: the partitioned
+    * orders layout (same scratch layout as [[qScanPartitioned]]) joined
+    * on its PARTITION column to a dimension whose selectivity is only
+    * known at runtime — the top-2 years by URGENT-order count. A static
+    * predicate can prune at plan time; a dimension like this cannot
+    * (the surviving years depend on the data, and constraint propagation
+    * cannot see through the aggregate+limit), so Catalyst injects a
+    * DynamicPruningExpression into the fact scan: the dim's broadcast
+    * result is REUSED as a partition filter, and non-matching year
+    * directories are skipped before any IO. (The priority filter is
+    * load-bearing beyond semantics: PartitionPruning only fires when the
+    * dim side carries a likely-selective Filter — a bare aggregate+limit
+    * is not enough — and an equality-with-literal on a non-key column
+    * qualifies without being inferable onto the fact side.) At 100 TB this is the
+    * difference between scanning 2 years and scanning 30 for every
+    * dim-filtered query — the partitioned-layout complement of the
+    * runtime bloom filter below. PlanSpec asserts the pruning expression
+    * lands in the scan's partition filters; this key proves the pruned
+    * plan still computes the plain-join answer (oracle recomputes from
+    * the flat table). */
+  def qJoinDpp(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"orders_part_${tag(dir, "orders")}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+    }
+    val fact = s.read.parquet(path)
+    val topYears = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("y"))
+      .limit(2)
+      .select("y")
+    fact.join(broadcast(topYears), fact("o_year") === topYears("y"))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** Per-root-session child session for [[qJoinBloomRuntime]] — runtime
+    * bloom thresholds opened up for THIS key's plans only (the root
+    * session's other keys keep stock thresholds; at harness scale a
+    * global threshold=0 would sprinkle bloom subqueries into unrelated
+    * joins and perturb every pinned plan shape). */
+  private val bloomSession =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** q_join_bloom_runtime — Catalyst's InjectRuntimeFilter, end-to-end:
+    * the OPTIMIZER-injected twin of [[qFilterBloom]]'s hand-built bloom.
+    * lineitem joins a selectively-filtered orders side on l_orderkey; at
+    * stock thresholds the injection only fires when the application side
+    * scans ≥ 10 GB, so the child session lowers the size gates (and
+    * disables auto-broadcast — the rewrite targets shuffle joins, which
+    * is exactly the 100 TB shape: both sides too big to broadcast).
+    * Catalyst then builds a bloom over the filtered orders keys and
+    * pushes a `might_contain` predicate into lineitem's SCAN, dropping
+    * non-matching rows before the exchange — the optimizer doing
+    * automatically what q_filter_bloom composes by hand across stages.
+    * PlanSpec asserts the BloomFilterMightContain lands under the fact
+    * scan; the oracle recomputes the plain join (the bloom is
+    * semantics-free pruning). */
+  def qJoinBloomRuntime(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionCaches.evictOnStop(s, bloomSession)
+    val s2 = bloomSession.computeIfAbsent(sessionKey(s), _ => {
+      val child = s.newSession()
+      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      // creation side must be under this bound to be worth a bloom build
+      child.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "512MB")
+      // application side must scan at least this much to benefit — the
+      // stock 10GB gate is sized for real clusters, not the harness
+      child.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child
+    })
+    val li = Tables.lineitem(s2, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.orders(s2, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_salted" -> (qAggSalted _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
@@ -280,7 +374,9 @@ object ScaleOps {
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_range_binned" -> (qJoinRangeBinned _),
     "q_filter_bloom" -> (qFilterBloom _),
-    "q_join_cbo" -> (qJoinCbo _))
+    "q_join_cbo" -> (qJoinCbo _),
+    "q_join_dpp" -> (qJoinDpp _),
+    "q_join_bloom_runtime" -> (qJoinBloomRuntime _))
 
   val oracle: Map[String, String] = Map(
     "q_agg_salted" ->
@@ -330,6 +426,24 @@ object ScaleOps {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_join_dpp" ->
+      """WITH top_years AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, y LIMIT 2)
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN top_years ON year(o_orderdate) = y
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q_join_bloom_runtime" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_join_cbo" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -107,6 +107,27 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(pq2 == pq, "q_sim_pq is not deterministic across runs")
   }
 
+  test("IVF×PQ neighbors reach recall >= 0.6 vs exact cosine top-5 " +
+      "(the IVF floor: PQ shortlist misses are re-rank-recovered)") {
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = llm.Similarity.qSimIvfPq(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the composition can only lose vs plain IVF through the ADC
+    // shortlist, and the exact re-rank recovers shortlist ordering —
+    // so the IVF probe floor (nprobe=4 of 16 cells) is the bound
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"recall=$recall (${(exact & ivfpq).size}/${exact.size})")
+    // every query must still emit a full top-5 (probed cells are never
+    // empty: the query's own cell is always among its 4 nearest)
+    val perQ = llm.Similarity.qSimIvfPq(spark, sf001)
+      .groupBy("qid").count().collect().map(_.getLong(1)).toSet
+    assert(perQ == Set(5L), s"per-query result sizes: $perQ")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()
@@ -333,6 +354,37 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     exact.foreach { case (k, d) =>
       assert(math.abs(merged(k) - d).toDouble / d <= 0.05,
         s"group $k: est=${merged(k)} exact=$d")
+    }
+  }
+
+  test("persisted hll sketches re-merge from DISK to the exact " +
+      "single-pass estimates, within 5% of true distincts") {
+    val persisted = relational.Aggregates.qAggSketchPersist(spark, sf001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // HLL union at the same lgConfigK is lossless: the re-merged
+    // from-disk estimate must EQUAL the direct single-pass sketch
+    val direct = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(persisted.view.mapValues(_._2).toMap == direct,
+      s"from-disk merge must equal the single-pass sketch: " +
+        s"$persisted vs $direct")
+    // the stored-partial count is the per-type day count
+    val days = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(countDistinct(to_date(col("ts"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(persisted.view.mapValues(_._1).toMap == days)
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(persisted(k)._2 - d).toDouble / d <= 0.05,
+        s"group $k: est=${persisted(k)._2} exact=$d")
     }
   }
 }

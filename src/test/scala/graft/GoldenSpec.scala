@@ -31,12 +31,13 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 160,
-      s"expected the SURVEY §2 160-key inventory (155 as of round 10 + " +
+    assert(SparkEntry.queries.size == 164,
+      s"expected the SURVEY §2 164-key inventory (155 as of round 10 + " +
         s"round 11's q_recursive_cte, q_subquery_scalar, q_write_zorder, " +
-        s"q_sim_pq, q_text_bpe), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 143,
-      s"expected 143 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+        s"q_sim_pq, q_text_bpe, q_join_dpp, q_join_bloom_runtime, " +
+        s"q_agg_sketch_persist, q_sim_ivfpq), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 145,
+      s"expected 145 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

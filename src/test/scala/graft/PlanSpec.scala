@@ -302,6 +302,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "bloom filter should appear below (after, in explain order) the join")
   }
 
+  test("q_join_dpp: the runtime dim result prunes the fact scan's " +
+      "PARTITION filters (dynamic partition pruning)") {
+    val plan = planOf(relational.ScaleOps.qJoinDpp(spark, sf0001))
+    // the top-2-years dim is only knowable at runtime, so Catalyst must
+    // inject a DynamicPruningExpression into the partitioned scan —
+    // non-matching o_year directories are then skipped before any IO
+    val low = plan.toLowerCase
+    assert(low.contains("dynamicpruningexpression"),
+      s"fact scan must carry a dynamic pruning expression:\n$plan")
+    val pf = low.indexOf("partitionfilters")
+    assert(pf >= 0 && low.indexOf("dynamicpruningexpression", pf) >= 0,
+      s"the pruning expression must sit in PartitionFilters:\n$plan")
+  }
+
+  test("q_join_bloom_runtime: Catalyst injects a bloom might_contain " +
+      "under the fact side of the shuffle join") {
+    val df = relational.ScaleOps.qJoinBloomRuntime(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+      s"optimizer must inject the runtime bloom filter:\n$opt")
+    // and it must land BELOW the join (fact/application side), where it
+    // drops rows before the exchange — not above, where it prunes nothing
+    val joinIdx = opt.indexOf("Join")
+    val mcIdx = opt.indexOf("might_contain")
+    assert(joinIdx >= 0 && mcIdx > joinIdx,
+      s"might_contain must sit under the join in explain order:\n$opt")
+  }
+
   test("incremental dedup probes the bloom manifest in the scan stage, " +
       "below the residual anti-join") {
     val df = llm.DedupVariants.qDedupIncremental(spark, sf0001)
