@@ -26,16 +26,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4.x rejects by
-    * default. Read it as a long (legacy conf) and truncate ns→µs with
-    * integer division — the same truncation DuckDB applies when it reads
-    * the file as µs TIMESTAMP, so both engines see identical values
-    * (verified on rows with ns remainder ≥ 500: both floor). */
+  /** events.ts has drifted across fixture generations: older fixtures
+    * store parquet TIMESTAMP(NANOS) (which Spark 4.x rejects unless read
+    * as a long via the legacy conf), newer ones plain timestamp[us]
+    * (loaded as TIMESTAMP_NTZ). Dispatch on the loaded dtype so both
+    * shapes work: ns→µs integer truncation on the nanos path matches
+    * DuckDB's floor; the µs path only normalizes NTZ→LTZ, which with the
+    * UTC session timezone preserves every instant and keeps the
+    * downstream column type identical across fixture generations. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df =
+      try table(s, d, "events")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // TIMESTAMP(NANOS) fixture: only now enable the legacy long read.
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -143,43 +143,78 @@ object DedupVariants {
     *
     * Spark 4.1 accepts only UNION ALL in the recursive branch (distinct
     * UNION raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed, round
-    * 11), and the symmetrized pair graph is cyclic, so an unguarded
-    * closure would re-walk cycles until the recursion limit. The
-    * recursive branch therefore carries the visited node list and
-    * refuses to revisit (simple-path closure): termination is structural
-    * — path length ≤ component size, which ApproxSpec pins tiny (near-dup
-    * components are ≤ 4 docs on the harness corpus), far under
-    * spark.sql.cteRecursionLevelLimit (100). Scale posture, stated
-    * plainly: simple-path enumeration is exponential in clique size, so
-    * at 100 TB this key is the bounded-graph cross-check / SQL surface,
-    * while qDedupCluster's O(diameter)-rounds loop is the scale path —
-    * PropertySpec asserts the two produce identical labels. The pair set
-    * is eagerly localCheckpointed first: UnionLoop re-evaluates the
-    * recursive step every iteration, and each re-evaluation must scan a
-    * materialized edge list, not re-run the inverted-index join (and the
-    * symmetrizing union's two branches would otherwise each recompute
-    * it, the round-5 re-evaluation trap). */
+    * 11), and the symmetrized pair graph is cyclic, so the closure must
+    * carry the visited node list and refuse to revisit (simple-path
+    * closure). Simple-path enumeration is exponential in clique size —
+    * and near-dup components are dense, so running it on the raw pair
+    * graph pays that exponent (round 11: 27.8 s at sf0.1, the bench's
+    * single worst key). Round-12 shape: ONE min-label hook round
+    * contracts the graph first — every node adopts min(self, neighbors)
+    * and edges are re-expressed between labels. Hooking collapses
+    * cliques/stars to single nodes in one pass (density is precisely
+    * what it kills fastest), so the recursion then runs over a contracted
+    * graph whose components are sparse chains (diameter-2 components
+    * leave exactly one contracted edge — the recursion stays
+    * load-bearing: it still computes the final fixpoint). Path
+    * enumeration over sparse chains is polynomial, termination is
+    * structural (path length ≤ contracted component size, far under
+    * spark.sql.cteRecursionLevelLimit 100). At 100 TB you'd add hook
+    * rounds (each is one keyed shuffle) until the contracted graph fits
+    * the recursion budget; qDedupCluster's O(diameter)-rounds loop
+    * remains the pure-DataFrame scale path and PropertySpec asserts the
+    * two produce identical labels. Both the node-label map and the
+    * contracted edges are eagerly localCheckpointed: UnionLoop
+    * re-evaluates the recursive step every iteration, and each
+    * re-evaluation must scan a materialized edge list, not re-run the
+    * inverted-index join (round-5 re-evaluation trap). */
   def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = qDedupNgram(s, dir).select("id_a", "id_b")
       .localCheckpoint(true)
-    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // tiny graph (only docs with a near-dup) — shrink parallelism or
+    // per-iteration task overhead dominates the UnionLoop (same rationale
+    // as clusterLabels' loopPar)
+    val par = math.max(2, s.sparkContext.defaultParallelism / 8)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b"), col("id_a")))
-      .createOrReplaceTempView("graft_rec_edges")
+      .repartition(par, col("src"))
+    // hook round: label(u) = min(u, min neighbor). Symmetrized edges put
+    // every endpoint in src, so the groupBy covers all nodes.
+    val labels = edges.groupBy("src")
+      .agg(least(col("src"), min("dst")).as("l1"))
+      .select(col("src").as("node"), col("l1"))
+      .localCheckpoint(true)
+    // contract: re-express edges between hook labels, drop self-loops.
+    edges
+      .join(labels.select(col("node").as("src"), col("l1").as("la")), "src")
+      .join(labels.select(col("node").as("dst"), col("l1").as("lb")), "dst")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+      .distinct()
+      .coalesce(par)
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_rec_cedges")
+    // recursive closure over the CONTRACTED graph → final label per
+    // contracted label; then map node → l1 → final.
     s.sql("""
       WITH RECURSIVE reach (src, dst, path) AS (
-        SELECT src, dst, array(src, dst) FROM graft_rec_edges
+        SELECT src, dst, array(src, dst) FROM graft_rec_cedges
         UNION ALL
         SELECT r.src, e.dst, array_append(r.path, e.dst)
-        FROM reach r JOIN graft_rec_edges e ON r.dst = e.src
+        FROM reach r JOIN graft_rec_cedges e ON r.dst = e.src
         WHERE NOT array_contains(r.path, e.dst)
       )
-      SELECT doc_id, cluster_id,
-        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-      FROM (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-        FROM (SELECT DISTINCT src, dst FROM reach)
-        GROUP BY src)
-      ORDER BY doc_id""")
+      SELECT src AS l1, LEAST(src, MIN(dst)) AS final
+      FROM (SELECT DISTINCT src, dst FROM reach)
+      GROUP BY src""")
+      .createOrReplaceTempView("graft_rec_final")
+    labels
+      .join(s.table("graft_rec_final"), Seq("l1"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("final"), col("l1")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
   }
 
   /** q_dedup_simhash — 32-bit SimHash signatures + Hamming-banded pair
