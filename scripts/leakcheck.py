@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Self-evidencing leak scan over the repo's tracked sources.
+
+The per-round LEAKCHECK.json is produced by the harness; its hits were
+historically the only payload, so a round where the scan silently didn't
+run is indistinguishable from a clean round (ADVICE r11). This in-repo
+generator emits the same category structure PLUS provenance fields —
+scan UTC timestamp, scanned-file count, and byte total — so the artifact
+itself proves a scan happened and over how much input.
+
+Usage: python3 scripts/leakcheck.py [out.json]   (default: stdout)
+"""
+import datetime
+import json
+import re
+import subprocess
+import sys
+
+# Category -> pattern. Mirrors the harness categories: anything that
+# looks like a non-public import, host, bucket, credential, or tracker
+# shorthand. Patterns are written against *shape*, not a blocklist of
+# actual names, so the scan stays meaningful without embedding the very
+# strings it polices.
+PATTERNS = {
+    "internal-import": r"^\s*import\s+(?:com|net|io|ai|dev|corp)\.(?!sun\.|github\.)[a-z0-9_.]+",
+    "internal-url": r"https?://(?!localhost|127\.0\.0\.1|www\.w3\.org|github\.com|spark\.apache\.org|issues\.apache\.org|duckdb\.org|en\.wikipedia\.org|arxiv\.org|docs\.oracle\.com|dl\.acm\.org)[a-z0-9.-]+\.(?:corp|internal|int|dev|prod)[a-z0-9./-]*",
+    "internal-bucket": r"(?:s3a?|gs|abfss?)://[a-z0-9._-]+",
+    "slack-link": r"(?:slack\.com/archives|#[a-z0-9-]{3,}-(?:eng|infra|oncall|alerts))",
+    "api-key": r"(?:AKIA[0-9A-Z]{16}|-----BEGIN (?:RSA |EC )?PRIVATE KEY|xox[baprs]-[0-9A-Za-z-]{10,}|AIza[0-9A-Za-z_-]{35})",
+    "env-secret": r"(?:API_KEY|SECRET|TOKEN|PASSWORD)\s*=\s*['\"][^'\"]{8,}",
+}
+
+SCAN_SUFFIXES = (".scala", ".py", ".sbt", ".sh", ".md", ".json")
+
+
+def tracked_files():
+    out = subprocess.run(["git", "ls-files"], capture_output=True,
+                         text=True, check=True).stdout.splitlines()
+    return [f for f in out if f.endswith(SCAN_SUFFIXES)]
+
+
+def main():
+    compiled = {k: re.compile(v) for k, v in PATTERNS.items()}
+    hits = {k: [] for k in PATTERNS}
+    files = tracked_files()
+    total_bytes = 0
+    for path in files:
+        try:
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+        except OSError:
+            continue
+        total_bytes += len(text)
+        for lineno, line in enumerate(text.splitlines(), 1):
+            for cat, rx in compiled.items():
+                if rx.search(line):
+                    hits[cat].append(f"{path}:{lineno}: {line.strip()[:120]}")
+    report = {
+        "scanned_at_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "n_files_scanned": len(files),
+        "n_bytes_scanned": total_bytes,
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    out = json.dumps(report, indent=2)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(out + "\n")
+    else:
+        print(out)
+    return 1 if report["n_hits"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,4 +56,94 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
+
+  /** Loader for a harness table by name (events gets the adaptive ts
+    * normalization; everything else is a plain parquet read). */
+  def loader(name: String): (SparkSession, String) => DataFrame =
+    if (name == "events") events else (s, d) => table(s, d, name)
+
+  /** Post-LOADER schema contract per table: column → allowed Spark
+    * `DataType.simpleString`s, in expected column order. This is what the
+    * operators downstream assume — the round-11 events drift (fixture
+    * regenerated TIMESTAMP(NANOS) → timestamp[us] under a loader
+    * hard-wired to nanos) took out 26 keys with one analysis error each;
+    * this probe exists so the NEXT drift surfaces as one readable message
+    * naming the column instead. Columns whose loaders provably adapt to
+    * multiple physical encodings list every adapted outcome (orders/
+    * lineitem timestamps pass through as either LTZ or NTZ and every
+    * consumer is oracle-green under both; events.ts must come out LTZ
+    * because the adaptive loader normalizes it). */
+  val expectedSchemas: Seq[(String, Seq[(String, Set[String])])] = Seq(
+    "region" -> Seq(
+      "r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+    "nation" -> Seq(
+      "n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int")),
+    "customer" -> Seq(
+      "c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq(
+      "s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+    "part" -> Seq(
+      "p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq(
+      "o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> Set("timestamp", "timestamp_ntz"),
+      "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq(
+      "l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> Set("timestamp", "timestamp_ntz")),
+    "events" -> Seq(
+      "event_id" -> Set("bigint"), "ts" -> Set("timestamp"),
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq(
+      "doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Seq(
+      "vec_id" -> Set("bigint"), "embedding" -> Set("array<float>"),
+      "label" -> Set("int")))
+
+  /** Fixture-drift probe: load every harness table through its real
+    * loader and diff the resulting schema against [[expectedSchemas]].
+    * Returns one human-readable message per drifted / missing /
+    * unexpected column (empty = no drift). Cheap — schema-only, no data
+    * is read. Verify prints these at startup; TablesSpec asserts none. */
+  def schemaDrift(s: SparkSession, d: String): Seq[String] =
+    expectedSchemas.flatMap { case (name, expected) =>
+      scala.util.Try(loader(name)(s, d).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$name: loader failed: ${e.getMessage.linesIterator.next()}")
+        case scala.util.Success(actual) =>
+          val actualByName = actual.fields.map(f =>
+            f.name -> f.dataType.simpleString).toMap
+          val expectedNames = expected.map(_._1).toSet
+          expected.flatMap { case (colName, allowed) =>
+            actualByName.get(colName) match {
+              case None =>
+                Some(s"$name.$colName: MISSING (expected " +
+                  s"${allowed.mkString("|")})")
+              case Some(t) if !allowed(t) =>
+                Some(s"$name.$colName: expected ${allowed.mkString("|")}, " +
+                  s"found $t — fixture drifted; adapt the loader in " +
+                  "Tables.scala")
+              case _ => None
+            }
+          } ++ actual.fields.collect {
+            case f if !expectedNames(f.name) =>
+              s"$name.${f.name}: unexpected new column " +
+                s"(${f.dataType.simpleString})"
+          }
+      }
+    }
 }

@@ -18,6 +18,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-drift probe (round-12, after the events TIMESTAMP(NANOS) →
+    // timestamp[us] regeneration broke 26 keys at analysis time): name
+    // every drifted column up front in ONE readable block, then still run
+    // the dump — adaptive loaders may cope, and per-key errors below give
+    // the full blast radius either way.
+    val drift = Tables.schemaDrift(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println(
+        s"[verify] FIXTURE SCHEMA DRIFT (${drift.size} columns):")
+      drift.foreach(m => System.err.println(s"[verify]   $m"))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
