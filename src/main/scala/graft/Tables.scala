@@ -33,7 +33,17 @@ object Tables {
     * shapes work: ns→µs integer truncation on the nanos path matches
     * DuckDB's floor; the µs path only normalizes NTZ→LTZ, which with the
     * UTC session timezone preserves every instant and keeps the
-    * downstream column type identical across fixture generations. */
+    * downstream column type identical across fixture generations.
+    *
+    * Scale note: the NTZ→LTZ cast sits above the scan, so a LITERAL ts
+    * range predicate would not reach the parquet reader as a pushed
+    * filter (no current key filters ts by literal — the as-of/interval/
+    * stream joins compare ts across rows, which never pushes). A 100 TB
+    * deployment that slices events by time should instead disable NTZ
+    * inference session-wide (spark.sql.parquet.inferTimestampNTZ.enabled
+    * = false, making the scan itself produce LTZ) and partition the
+    * table by date, so time slicing is partition pruning rather than a
+    * row filter. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
