@@ -152,15 +152,79 @@ object Stats {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q_profile_table — single-sweep column profiler over lineitem's
+    * numeric measures: per column, non-null / null / exact-distinct
+    * counts, min, max, mean. The standard pre-training data-quality
+    * audit ("is this column degenerate / full of nulls / constant?")
+    * as ONE operator instead of n_cols ad-hoc queries.
+    *
+    * Shape: a single global aggregate computes all 6 stats × 4 columns
+    * (24 agg expressions, all partial-merge algebraic except the exact
+    * distincts), then a 4-row stack unpivots the one result row into
+    * (column, stats) long form — the unpivot touches 1 row, not the
+    * corpus. Scale: count/min/max/avg partial-aggregate map-side in one
+    * pass; the n exact COUNT(DISTINCT)s make Catalyst Expand the scan
+    * n_distinct-ways (the profiled row count multiplies by the number of
+    * distinct-counted columns). At 100 TB swap them for
+    * approx_count_distinct — single-pass, mergeable HLL, same output
+    * schema — and the whole profile is literally one scan; exact
+    * distincts are kept here because they are what DuckDB can verify. */
+  def qProfileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        count(lit(1)).minus(count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        round(avg(col(c)), 6).as(s"${c}_avg"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max, ${c}_avg")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (column_name, n_non_null, n_null, n_distinct, min_val, " +
+          "max_val, avg_val)")
+    one.selectExpr(stackExpr).orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_quantile_bins" -> (qQuantileBins _),
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_regr" -> (qAggRegr _),
     "q_funnel_steps" -> (qFunnelSteps _),
-    "q_retention_cohort" -> (qRetentionCohort _))
+    "q_retention_cohort" -> (qRetentionCohort _),
+    "q_profile_table" -> (qProfileTable _))
 
   val oracle: Map[String, String] = Map(
+    "q_profile_table" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS column_name,
+        |    COUNT(l_quantity) AS n_non_null,
+        |    COUNT(*) - COUNT(l_quantity) AS n_null,
+        |    COUNT(DISTINCT l_quantity) AS n_distinct,
+        |    MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+        |    ROUND(AVG(l_quantity), 6) AS avg_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+        |    COUNT(*) - COUNT(l_extendedprice),
+        |    COUNT(DISTINCT l_extendedprice),
+        |    MIN(l_extendedprice), MAX(l_extendedprice),
+        |    ROUND(AVG(l_extendedprice), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(l_discount),
+        |    COUNT(*) - COUNT(l_discount), COUNT(DISTINCT l_discount),
+        |    MIN(l_discount), MAX(l_discount), ROUND(AVG(l_discount), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', COUNT(l_tax), COUNT(*) - COUNT(l_tax),
+        |    COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax),
+        |    ROUND(AVG(l_tax), 6)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH st AS (
         |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd

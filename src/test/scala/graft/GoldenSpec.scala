@@ -31,13 +31,11 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 164,
-      s"expected the SURVEY §2 164-key inventory (155 as of round 10 + " +
-        s"round 11's q_recursive_cte, q_subquery_scalar, q_write_zorder, " +
-        s"q_sim_pq, q_text_bpe, q_join_dpp, q_join_bloom_runtime, " +
-        s"q_agg_sketch_persist, q_sim_ivfpq), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 145,
-      s"expected 145 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 165,
+      s"expected the SURVEY §2 165-key inventory (164 as of round 11 + " +
+        s"round 12's q_profile_table), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 146,
+      s"expected 146 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
@@ -123,6 +121,20 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(admittedPrefixes > 0 && admittedPrefixes <= rows("day1_new"))
     assert(rows("manifest_after") - rows("manifest_before")
       == admittedPrefixes)
+  }
+
+  test("q_profile_table stats are internally consistent with the table") {
+    val n = Tables.lineitem(spark, sf0001).count()
+    val rows = relational.Stats.qProfileTable(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (nn, nulls) = (r.getLong(1), r.getLong(2))
+      assert(nn + nulls == n,
+        s"${r.getString(0)}: non-null $nn + null $nulls != table rows $n")
+      assert(r.getLong(3) <= nn) // distinct ≤ non-null
+      assert(r.getDouble(4) <= r.getDouble(6) &&
+        r.getDouble(6) <= r.getDouble(5)) // min ≤ avg ≤ max
+    }
   }
 
   test("q_unpivot emits exactly 4 long rows per lineitem row") {

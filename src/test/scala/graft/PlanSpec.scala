@@ -20,6 +20,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("l_orderkey"), "scan should not read unused keys")
   }
 
+  test("q_profile_table is one aggregate sweep — no join, no window, " +
+      "and only the multi-distinct Expand") {
+    val plan = planOf(relational.Stats.qProfileTable(spark, sf0001))
+    assert(!plan.contains("Join"), "profiler must not join")
+    assert(!plan.contains("Window"), "profiler must not window")
+    // the 4 exact COUNT(DISTINCT)s expand the scan once (documented
+    // toy-scale shape; approx_count_distinct removes it at 100 TB) —
+    // a second Expand would mean the stack unpivot hit the corpus
+    assert(plan.sliding("Expand".length).count(_ == "Expand") <= 2,
+      "unexpected extra Expand beyond the multi-distinct rewrite")
+  }
+
   test("q_filter_pred pushes the full compound predicate") {
     val plan = planOf(relational.Core.qFilterPred(spark, sf0001))
     assert(plan.contains("IN (A,R)"))

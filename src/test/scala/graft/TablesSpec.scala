@@ -37,4 +37,33 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
           "fixture's physical encoding")
     }
   }
+
+  test("events loader still handles a TIMESTAMP(NANOS) fixture (legacy " +
+      "long read + floor to microseconds, matching DuckDB)") {
+    // src/test/resources holds a 20-row parquet written with ns-precision
+    // timestamps carrying sub-µs components (…_500 ns + 999), so this
+    // pins BOTH the AnalysisException → legacy-conf retry dispatch and
+    // the ns→µs floor — the branch is dead code against the current µs
+    // fixtures and would otherwise rot unnoticed until the harness
+    // regenerates nanos again.
+    import org.apache.spark.sql.types.TimestampType
+    val dir = "src/test/resources/graft/nanos"
+    assert(new java.io.File(s"$dir/events.parquet").isFile,
+      s"nanos fixture missing under $dir")
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType)
+      val us = df.orderBy("event_id")
+        .selectExpr("unix_micros(ts)").collect().map(_.getLong(0))
+      val base = 1767225600000000L // 2026-01-01T00:00:00Z in µs
+      val expected = (0 until 20).map(i =>
+        (base * 1000L + i * 1000500L + 999L) / 1000L)
+      assert(us.toSeq == expected,
+        s"ns→µs floor drifted: got ${us.take(3).toSeq}, " +
+          s"expected ${expected.take(3)}")
+    } finally prev.foreach(
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+  }
 }
