@@ -182,56 +182,69 @@ object Analysis {
   private[graft] val BpeVocabCap = 4096
 
   /** Deterministic BPE merge training core: returns the learned merge
-    * table and the final per-word symbolization. The loop is
-    * driver-SYNCHRONIZED, not driver-side (the [[qDedupCluster]]
-    * precedent): each round runs one distributed weighted-pair aggregate
-    * over the capped vocab and only the single winning pair crosses to
-    * the driver to parameterize the next round's merge expression; the
-    * vocab table is eagerly re-checkpointed per round so lineage stays
-    * flat across N rounds. The corpus itself is scanned exactly once
-    * (the initial token count) — at 100 TB the N merge rounds touch only
-    * the O(V)-row weighted vocabulary, never the documents again.
-    * Determinism: ties break (weight desc, lhs asc, rhs asc), and merges
-    * apply left-to-right non-overlapping via the aggregate fold, so the
-    * merge table is a pure function of the corpus. */
+    * table and the final per-word symbolization.
+    *
+    * Two-phase shape (round 12, replacing the round-11
+    * driver-synchronized distributed loop): the CORPUS work — tokenize +
+    * weighted word count + frequency cap — is one distributed aggregate,
+    * exactly as before; the MERGE loop then runs driver-local over the
+    * collected ≤[[BpeVocabCap]]-row dictionary. The collect is bounded
+    * by construction (the cap IS the algorithm — production BPE trainers
+    * learn from a capped word-count dictionary), which makes this the
+    * broadcast-codebook pattern ([[graft.llm.Similarity]] PQ), not a
+    * driver-side materialization of distributed data: at 100 TB the
+    * corpus scan grows, the 4096-row training state does not. The
+    * round-11 version ran each of the N rounds as a distributed
+    * aggregate over that same 4096-row table — 2 Spark jobs per round of
+    * pure scheduler overhead (~6.4 s at sf0.1 for 50 rounds, the bench's
+    * slowest key); locally the identical loop is milliseconds.
+    * Determinism: ties break (weight desc, lhs asc, rhs asc — Java
+    * string order on the harness's ASCII tokens matches the previous
+    * UTF8 binary order), and merges apply left-to-right non-overlapping
+    * via the same fold, so the merge table is a pure function of the
+    * corpus. */
   private[graft] def bpeTrain(s: SparkSession, dir: String, nMerges: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
-    val pairExpr = expr(
-      """transform(slice(syms, 1, size(syms) - 1),
-        |  (x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))""".stripMargin)
-    def applyMerge(l: String, r: String): Column =
-      aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
-        val tail = element_at(acc, -1)
-        when(size(acc) > 0 && tail === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))
-      })
-    var vocab = withToks(Tables.documents(s, dir))
+    // distributed phase: one corpus scan → capped weighted dictionary
+    val vocabRows = withToks(Tables.documents(s, dir))
       .select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token")).limit(BpeVocabCap)
-      .withColumn("syms", split(col("token"), ""))
-      .localCheckpoint(true)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // local phase: N merge rounds over the bounded dictionary
+    val weights = vocabRows.map(_._2)
+    var syms: Array[Array[String]] = vocabRows.map(_._1.split(""))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     var round = 0
     while (round < nMerges) {
-      val best = vocab
-        .select(explode(pairExpr).as("p"), col("n"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("n").as("w"))
-        .orderBy(desc("w"), col("lhs"), col("rhs"))
-        .limit(1).collect().headOption
-      best match {
-        case Some(row) =>
-          val (l, r) = (row.getString(0), row.getString(1))
-          merges += ((l, r, row.getLong(2)))
-          vocab = vocab.withColumn("syms", applyMerge(l, r))
-            .localCheckpoint(true)
-        case None => round = nMerges // degenerate vocab: nothing to merge
+      val pairW = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for (i <- syms.indices; j <- 0 until syms(i).length - 1) {
+        val k = (syms(i)(j), syms(i)(j + 1))
+        pairW.update(k, pairW.getOrElse(k, 0L) + weights(i))
+      }
+      if (pairW.isEmpty) round = nMerges // degenerate: nothing to merge
+      else {
+        val ((l, r), w) = pairW.minBy { case ((l, r), w) => (-w, l, r) }
+        merges += ((l, r, w))
+        val lr = l + r
+        syms = syms.map { arr =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          arr.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r)
+              out(out.length - 1) = lr
+            else out += x
+          }
+          out.toArray
+        }
       }
       round += 1
     }
+    import s.implicits._
+    val vocab = vocabRows.zip(syms)
+      .map { case ((t, n), sy) => (t, n, sy.toSeq) }.toSeq
+      .toDF("token", "n", "syms")
     (merges.toSeq, vocab)
   }
 
