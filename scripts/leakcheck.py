@@ -46,11 +46,12 @@ def main():
     total_bytes = 0
     for path in files:
         try:
-            with open(path, encoding="utf-8", errors="replace") as fh:
-                text = fh.read()
+            with open(path, "rb") as fh:
+                raw = fh.read()
         except OSError:
             continue
-        total_bytes += len(text)
+        total_bytes += len(raw)
+        text = raw.decode("utf-8", errors="replace")
         for lineno, line in enumerate(text.splitlines(), 1):
             for cat, rx in compiled.items():
                 if rx.search(line):

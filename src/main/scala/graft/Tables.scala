@@ -50,8 +50,12 @@ object Tables {
     val df =
       try table(s, d, "events")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          // TIMESTAMP(NANOS) fixture: only now enable the legacy long read.
+        // ONLY the illegal-nanos-type analysis error triggers the legacy
+        // retry — any other AnalysisException (missing path, corrupt
+        // footer) must surface as-is, without mutating session conf.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(s, d, "events")
       }
@@ -133,12 +137,15 @@ object Tables {
     expectedSchemas.flatMap { case (name, expected) =>
       scala.util.Try(loader(name)(s, d).schema) match {
         case scala.util.Failure(e) =>
-          Seq(s"$name: loader failed: ${e.getMessage.linesIterator.next()}")
+          val msg = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getSimpleName)
+          Seq(s"$name: loader failed: $msg")
         case scala.util.Success(actual) =>
           val actualByName = actual.fields.map(f =>
             f.name -> f.dataType.simpleString).toMap
           val expectedNames = expected.map(_._1).toSet
-          expected.flatMap { case (colName, allowed) =>
+          val colDrift = expected.flatMap { case (colName, allowed) =>
             actualByName.get(colName) match {
               case None =>
                 Some(s"$name.$colName: MISSING (expected " +
@@ -154,6 +161,18 @@ object Tables {
               s"$name.${f.name}: unexpected new column " +
                 s"(${f.dataType.simpleString})"
           }
+          // column ORDER is part of the contract too: positional
+          // accessors (Row.getX(i)) and column-ordered output hashes
+          // break on an order-only drift that name/type checks miss
+          val actualKnown = actual.fields.map(_.name).filter(expectedNames)
+          val expectedOrder = expected.map(_._1).filter(actualByName.contains)
+          val orderDrift =
+            if (actualKnown.toSeq != expectedOrder)
+              Seq(s"$name: column order drifted — expected " +
+                s"${expectedOrder.mkString(",")}, found " +
+                s"${actualKnown.mkString(",")}")
+            else Seq.empty
+          colDrift ++ orderDrift
       }
     }
 }

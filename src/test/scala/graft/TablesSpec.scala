@@ -50,9 +50,10 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
     val dir = "src/test/resources/graft/nanos"
     assert(new java.io.File(s"$dir/events.parquet").isFile,
       s"nanos fixture missing under $dir")
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
     try {
-      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      spark.conf.unset(key)
       val df = Tables.events(spark, dir)
       assert(df.schema("ts").dataType == TimestampType)
       val us = df.orderBy("event_id")
@@ -63,7 +64,13 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
       assert(us.toSeq == expected,
         s"ns→µs floor drifted: got ${us.take(3).toSeq}, " +
           s"expected ${expected.take(3)}")
-    } finally prev.foreach(
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("every harness table has a drift-probe expectation " +
+      "(expectedSchemas covers Tables.names)") {
+    assert(Tables.expectedSchemas.map(_._1) == Tables.names,
+      "a table in Tables.names lacks an expectedSchemas entry (or the " +
+        "orders differ) — it would silently receive zero drift protection")
   }
 }
