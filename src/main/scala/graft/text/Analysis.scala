@@ -267,7 +267,67 @@ object Analysis {
       .orderBy("rank")
   }
 
+  /** Apply the learned merge table to ONE word: the same rank-ordered,
+    * left-to-right non-overlapping fold the trainer runs, so
+    * `bpeSymCount(merges)(w)` == the trained symbolization length for
+    * every in-vocabulary word (PropertySpec pins this equality over the
+    * whole dictionary). Exposed for the OOV fallback in
+    * [[qTextBpeApply]]. */
+  private[graft] def bpeSymCount(merges: Seq[(String, String)])
+      (word: String): Int = {
+    var syms: Array[String] = word.split("")
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = l + r
+        else out += x
+      }
+      syms = out.toArray
+    }
+    syms.length
+  }
+
+  /** q_text_bpe_apply — tokenize the corpus under the TRAINED BPE merges
+    * (round 12, the apply side of [[qTextBpe]]): per document, the word
+    * count, the BPE token count, the raw character count of the words,
+    * and the realized compression ratio. This is the pipeline stage that
+    * actually runs at corpus scale once a tokenizer exists — token-cost
+    * accounting under the real vocabulary (q_text_tokens' regex
+    * estimator is the pre-tokenizer approximation of this).
+    *
+    * Scale shape: train once (one corpus aggregate + the local merge
+    * loop, see [[bpeTrain]]), then tokenize with a two-tier apply — the
+    * ≤4096-row trained dictionary broadcast-joins the exploded corpus
+    * (in-vocabulary words, the overwhelming mass by construction: the
+    * dictionary IS the frequency head) and resolves to a precomputed
+    * symbol count with zero per-row merge work; only out-of-vocabulary
+    * tail words fall through to the 50-merge fold (a closure-captured
+    * 50-pair list, evaluated lazily via coalesce short-circuit). No
+    * corpus shuffle except the final per-doc aggregate. Test-verified
+    * (dictionary-consistency: the fold reproduces every trained
+    * symbolization; OOV monotonicity); no oracle — counts depend on the
+    * learned merges, which SQL cannot re-learn. */
+  def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (merges, vocab) = bpeTrain(s, dir, nMerges = 50)
+    val pairs = merges.map { case (l, r, _) => (l, r) }
+    val oovCount = udf(bpeSymCount(pairs) _)
+    val dict = vocab.select(col("token"), size(col("syms")).as("n_syms"))
+    withToks(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(dict), Seq("token"), "left")
+      .withColumn("n_bpe", coalesce(col("n_syms"), oovCount(col("token"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(length(col("token"))).as("n_chars"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_bpe_apply" -> (qTextBpeApply _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -261,4 +261,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(symTotal < charTotal,
       s"no compression: $symTotal symbols vs $charTotal chars")
   }
+
+  test("BPE apply's merge fold reproduces every trained symbolization, " +
+      "and the corpus tokenization is consistent") {
+    import org.apache.spark.sql.functions._
+    val (merges, vocab) = text.Analysis.bpeTrain(spark, sf0001, 50)
+    val pairs = merges.map { case (l, r, _) => (l, r) }
+    // dictionary consistency: the OOV fold (bpeSymCount) is the SAME
+    // algorithm the trainer ran — applying it to every in-vocabulary
+    // word must land exactly on the trained symbol count
+    vocab.select(col("token"), size(col("syms")).as("n")).collect()
+      .foreach { r =>
+        val (tok, n) = (r.getString(0), r.getInt(1))
+        assert(text.Analysis.bpeSymCount(pairs)(tok) == n,
+          s"fold disagrees with training on in-vocab word '$tok'")
+      }
+    // corpus invariants: 1 ≤ bpe tokens ≤ chars per doc, and the global
+    // tokenization must compress (chars strictly exceed bpe tokens)
+    val rows = text.Analysis.qTextBpeApply(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, words, bpe, chars) =>
+      assert(bpe >= words && bpe <= chars,
+        s"doc $doc: words=$words bpe=$bpe chars=$chars out of order")
+    }
+    assert(rows.map(_._3).sum < rows.map(_._4).sum,
+      "learned merges failed to compress the corpus")
+  }
 }
