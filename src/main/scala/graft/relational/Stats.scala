@@ -188,6 +188,35 @@ object Stats {
     one.selectExpr(stackExpr).orderBy("column_name")
   }
 
+  /** The 100 TB variant of [[qProfileTable]]: identical output schema
+    * with `approx_count_distinct` (mergeable HLL, rsd 0.02) replacing
+    * the exact distincts — which removes the multi-distinct Expand
+    * entirely, so the whole profile is ONE scan + one partial-merge
+    * aggregate. Not registered as a query key (DuckDB cannot verify HLL
+    * estimates); instead ApproxSpec pins each estimate within 10% of the
+    * exact key's count and asserts every other stat column is identical,
+    * and PlanSpec pins the no-Expand plan — together they prove the
+    * documented swap is real, not aspirational. */
+  private[graft] def profileTableApprox(s: SparkSession, dir: String)
+      : DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        count(lit(1)).minus(count(col(c))).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_dist"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        round(avg(col(c)), 6).as(s"${c}_avg"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max, ${c}_avg")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (column_name, n_non_null, n_null, n_distinct, min_val, " +
+          "max_val, avg_val)")
+    one.selectExpr(stackExpr).orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_quantile_bins" -> (qQuantileBins _),

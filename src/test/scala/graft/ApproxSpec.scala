@@ -21,6 +21,27 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("profileTableApprox matches the exact profiler on every stat and " +
+      "lands distincts within 10%") {
+    def byCol(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val exact = byCol(relational.Stats.qProfileTable(spark, sf001).collect())
+    val approx =
+      byCol(relational.Stats.profileTableApprox(spark, sf001).collect())
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, (n, nulls, dist, mn, mx, avg)) =>
+      val (an, anulls, adist, amn, amx, aavg) = approx(c)
+      // everything except the distinct estimate must be IDENTICAL —
+      // the swap touches only the distinct aggregate
+      assert((an, anulls, amn, amx, aavg) == (n, nulls, mn, mx, avg),
+        s"$c: non-distinct stats diverged under the approx swap")
+      assert(math.abs(adist - dist).toDouble / dist <= 0.10,
+        s"$c: approx distinct $adist vs exact $dist")
+    }
+  }
+
   test("approx percentiles within 1% of exact per group") {
     val exact = relational.Aggregates.qAggPercentile(spark, sf001)
       .select("l_returnflag", "p25", "p50", "p75").collect()

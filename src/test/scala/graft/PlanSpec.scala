@@ -30,6 +30,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // a second Expand would mean the stack unpivot hit the corpus
     assert(plan.sliding("Expand".length).count(_ == "Expand") <= 2,
       "unexpected extra Expand beyond the multi-distinct rewrite")
+    // the documented 100 TB swap (approx_count_distinct) must remove the
+    // Expand entirely: one scan, one partial-merge aggregate
+    val approxPlan = planOf(relational.Stats.profileTableApprox(
+      spark, sf0001))
+    assert(!approxPlan.contains("Expand"),
+      "approx profiler should be Expand-free (single-scan HLL)")
+    assert(!approxPlan.contains("Join") && !approxPlan.contains("Window"))
   }
 
   test("q_filter_pred pushes the full compound predicate") {
