@@ -65,6 +65,31 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** The 100 TB variant of [[qQuantileBins]]: identical plan shape with
+    * `approx_percentile` (mergeable KLL-style sketch, accuracy 10 000)
+    * replacing the exact percentile for the 9 cutoffs. The downstream
+    * plan — broadcast cutoff probe + ≤10-key aggregate — is unchanged,
+    * which is the whole point: the swap is one aggregate function, not a
+    * re-architecture. Not registered as a query key (sketch cutoffs are
+    * engine-specific, no DuckDB oracle); ApproxSpec pins each bin's
+    * population within 2% of exact row share and PlanSpec pins the
+    * shared no-Window/no-SMJ plan shape. */
+  private[graft] def quantileBinsApprox(s: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cuts = ev.agg(approx_percentile(col("value"),
+      lit((1 to 9).map(_ / 10.0).toArray), lit(10000)).as("cuts"))
+    ev.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (size(expr("filter(cuts, c -> value > c)")) + 1).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("lo"),
+        max("value").as("hi"),
+        (floor(avg("value") * lit(1e6)) / lit(1e6)).as("mean_value"))
+      .orderBy("bin")
+  }
+
   /** q_agg_corr — bivariate aggregate family per group: Pearson
     * correlation and sample/population covariance of (quantity, price) by
     * return flag. All three are algebraic (one pass, partial-mergeable);

@@ -42,6 +42,20 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quantileBinsApprox keeps every decile bin within 2% of the " +
+      "exact equal-frequency share") {
+    val total = Tables.events(spark, sf001).count().toDouble
+    val bins = relational.Stats.quantileBinsApprox(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bins.keySet == (1 to 10).toSet,
+      s"expected 10 bins, got ${bins.keySet.toSeq.sorted}")
+    bins.foreach { case (b, n) =>
+      assert(math.abs(n / total - 0.1) <= 0.02,
+        s"bin $b holds ${n / total} of rows — sketch cutoffs drifted " +
+          "outside the equal-frequency contract")
+    }
+  }
+
   test("approx percentiles within 1% of exact per group") {
     val exact = relational.Aggregates.qAggPercentile(spark, sf001)
       .select("l_returnflag", "p25", "p50", "p75").collect()

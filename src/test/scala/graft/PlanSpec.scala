@@ -289,6 +289,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"binning must come from cutoffs, not ntile ranks:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"the only join is the 1-row cutoff broadcast:\n$plan")
+    // the documented 100 TB swap (approx_percentile sketch cutoffs) must
+    // keep the exact same plan shape — the swap is one aggregate
+    // function, not a re-architecture
+    val approxPlan = planOf(relational.Stats.quantileBinsApprox(
+      spark, sf0001))
+    assert(!approxPlan.contains("Window") &&
+      !approxPlan.contains("SortMergeJoin"),
+      "approx binning lost the broadcast-probe plan shape")
   }
 
   test("bm25 ranks via distributed top-k with broadcast term/corpus stats") {
