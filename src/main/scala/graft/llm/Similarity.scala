@@ -380,12 +380,29 @@ object Similarity {
   def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val e = unitVectors(s, dir)
-    // both quantizers train on the same bounded driver-side sample
-    // (coarse: k=16 over the full 64 dims; PQ: 16 subspace codebooks) —
-    // zero Spark jobs spent on fitting, assignment stays distributed
+    val (coarse, cb) = ivfPqTrain(e)
+    val enc = ivfPqEncode(s, e, coarse, cb)
+    ivfPqServe(s, e, coarse, cb, enc)
+  }
+
+  /** IVF-PQ training: both quantizers fit on the same bounded
+    * driver-side sample (coarse: k=16 over the full 64 dims; PQ: 16
+    * subspace codebooks) — zero Spark jobs spent on fitting. Returns
+    * (coarse centroids, PQ codebooks): the complete trained state of
+    * the index, ~20 KB regardless of corpus size. */
+  private def ivfPqTrain(e: DataFrame)
+      : (Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
     val sample = pqSample(e)
-    val coarse = lloydBest(sample, 16, 20, restarts = 8)
-    val cb = pqFit(sample)
+    (lloydBest(sample, 16, 20, restarts = 8), pqFit(sample))
+  }
+
+  /** IVF-PQ encode: assign every vector to its coarse cell and compress
+    * it to 16 4-bit codes — the stored index rows (vec_id, bucket,
+    * codes). The raw `unit` column is dropped here and only rejoined for
+    * the 50-row-per-query re-rank. Fully distributed; the trained state
+    * rides a broadcast. */
+  private def ivfPqEncode(s: SparkSession, e: DataFrame,
+      coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val bcCoarse = s.sparkContext.broadcast(coarse)
     val assign = udf((unit: Seq[Double]) => {
       val u = unit.toArray; val cs = bcCoarse.value
@@ -398,22 +415,29 @@ object Similarity {
       }
       best
     })
-    val bucketed = e.select(col("vec_id"), col("unit"),
-      assign(col("unit")).as("bucket"))
-    val (encode, lutF, adcF) = pqKernels(s, cb)
-    // the stored index: coarse cell + 16 4-bit codes per vector — the
-    // raw `unit` column is dropped here and only rejoined for the
-    // 50-row-per-query re-rank
-    val enc = bucketed.select(col("vec_id"), col("bucket"),
+    val (encode, _, _) = pqKernels(s, cb)
+    e.select(col("vec_id"), assign(col("unit")).as("bucket"),
       encode(col("unit")).as("codes"))
+  }
+
+  /** IVF-PQ serve: answer the standard query set (vec_id < 20) against
+    * an ALREADY-BUILT index — (coarse, cb) trained state plus the coded
+    * rows `enc` (vec_id, bucket, codes) — without touching the trainer.
+    * Each query probes its nprobe nearest coarse cells (centroids
+    * broadcast; euclidean on units == cosine order), scans only those
+    * cells' 8-byte code rows via the ADC table, and the top-50 shortlist
+    * is re-ranked with true cosine against the base vector table `e` —
+    * the only point raw vectors are read, ~50 rows per query. */
+  private def ivfPqServe(s: SparkSession, e: DataFrame,
+      coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]],
+      enc: DataFrame): DataFrame = {
+    val (_, lutF, adcF) = pqKernels(s, cb)
     val cents = s.createDataFrame(
       coarse.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("bucket", "cemb")
-    val q = bucketed.filter(col("vec_id") < 20)
+    val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("unit").as("qunit"),
         lutF(col("unit")).as("lut"))
-    // nprobe=4 nearest cells per query (euclidean on units == cosine
-    // order), centroids broadcast
     val qProbe = q.crossJoin(broadcast(cents))
       .withColumn("d2", pqD2(col("qunit"), col("cemb")))
       .withColumn("rb", row_number().over(
@@ -424,6 +448,62 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcF(col("codes"), col("lut")))
     pqRerank(e, adc, q, k = 5).orderBy("qid", "rn")
+  }
+
+  /** q_sim_index_persist — the PERSISTED ANN index (round 13): closes
+    * the build-once/serve-forever loop for the vector store the way
+    * q_agg_sketch_persist does for sketches and q_dedup_manifest_update
+    * for dedup manifests. The [[qSimIvfPq]] index is built once —
+    * trained state + coded rows — and WRITTEN to parquet as three
+    * tables: coarse centroids (16 rows), PQ codebooks (16×16 rows), and
+    * the per-vector (bucket, codes) postings (8 B of code per vector —
+    * the 32× compressed form that makes a 100 TB corpus's index fit a
+    * cluster's memory). The standard query set is then answered entirely
+    * FROM THE READ-BACK artifact: centroids and codebooks (a bounded
+    * ~20 KB, collected and re-broadcast) plus the distributed coded-row
+    * table — ZERO refit, no re-encode; raw vectors are touched only by
+    * the 50-row-per-query re-rank against the base table, exactly like
+    * the in-memory index. At 100 TB this is every production vector
+    * store's lifecycle: index build is a scheduled pipeline writing
+    * parquet; query serving reads the artifact and never sees the
+    * trainer. No oracle (two trained quantizers — engine-specific by
+    * design); ApproxSpec pins the from-disk answers row-for-row equal to
+    * the in-memory [[qSimIvfPq]] AND recall ≥ the q_sim_ivfpq floor vs
+    * exact. Doubles round-trip parquet bit-exactly, so equality is
+    * structural, not approximate. */
+  def qSimIndexPersist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val e = unitVectors(s, dir)
+    // build phase: train + encode + write the artifact (the one-time
+    // index-build pipeline)
+    val (coarse, cb) = ivfPqTrain(e)
+    val base = graft.Scratch.dir("sim",
+      s"ivfpq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    import s.implicits._
+    coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "cemb")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    cb.zipWithIndex
+      .flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cent, ci) => (sub, ci, cent) } }
+      .toDF("sub", "cent", "vals")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$base/codebooks")
+    ivfPqEncode(s, e, coarse, cb)
+      .write.mode("overwrite").parquet(s"$base/coded")
+    // serve phase: everything below this line reads ONLY the artifact —
+    // the trained state above is deliberately not referenced again
+    val coarse2 = s.read.parquet(s"$base/centroids")
+      .orderBy("bucket").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cbRows = s.read.parquet(s"$base/codebooks")
+      .orderBy("sub", "cent").collect()
+    val cb2: Seq[Seq[Seq[Double]]] = cbRows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_.getSeq[Double](2)).toSeq }
+    val enc2 = s.read.parquet(s"$base/coded")
+    ivfPqServe(s, e, coarse2, cb2, enc2)
   }
 
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
@@ -491,6 +571,7 @@ object Similarity {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
+    "q_sim_index_persist" -> (qSimIndexPersist _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

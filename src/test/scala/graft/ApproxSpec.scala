@@ -163,6 +163,31 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(perQ == Set(5L), s"per-query result sizes: $perQ")
   }
 
+  test("persisted IVF×PQ index serves from disk identically to the " +
+      "in-memory index and keeps the recall floor") {
+    // row-for-row equality: the artifact round-trips doubles bit-exactly
+    // through parquet, so the from-disk serve path must reproduce the
+    // in-memory index EXACTLY — any divergence means the persisted state
+    // is not the trained state
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val mem = rows(llm.Similarity.qSimIvfPq(spark, sf001))
+    val disk = rows(llm.Similarity.qSimIndexPersist(spark, sf001))
+    assert(disk == mem,
+      s"from-disk serve diverged from in-memory index; first diff: " +
+        s"${disk.zip(mem).find { case (a, b) => a != b }}")
+    // and independently: recall vs exact stays at or above the
+    // q_sim_ivfpq floor (guards against BOTH paths degrading together)
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persisted = disk.map(t => (t._1, t._2)).toSet
+    val recall = (exact & persisted).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"recall=$recall (${(exact & persisted).size}/${exact.size})")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()

@@ -31,9 +31,9 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 166,
-      s"expected the SURVEY §2 166-key inventory (164 as of round 11 + " +
-        s"round 12's q_profile_table and q_text_bpe_apply), " +
+    assert(SparkEntry.queries.size == 167,
+      s"expected the SURVEY §2 167-key inventory (166 as of round 12 + " +
+        s"round 13's q_sim_index_persist), " +
         s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 146,
       s"expected 146 oracle-checked keys, got ${SparkEntry.oracleSql.size}")

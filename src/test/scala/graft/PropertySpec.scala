@@ -262,6 +262,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       s"no compression: $symTotal symbols vs $charTotal chars")
   }
 
+  test("persisted BPE artifact round-trips: the from-disk merge table " +
+      "and dictionary equal a fresh in-memory training run") {
+    import org.apache.spark.sql.functions._
+    // qTextBpe serves from the persisted artifact (round 13); a DIRECT
+    // bpeTrain call bypasses the artifact entirely — equality pins both
+    // the parquet round-trip and cross-run training determinism
+    val fromDisk = text.Analysis.qTextBpe(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    val (merges, vocab) = text.Analysis.bpeTrain(spark, sf0001, 50)
+    val direct = merges.zipWithIndex
+      .map { case ((l, r, w), i) => (i + 1, l, r, w) }
+    assert(fromDisk == direct,
+      s"persisted merge table diverged from a fresh train; first diff: " +
+        s"${fromDisk.zip(direct).find { case (a, b) => a != b }}")
+    // the persisted dictionary must carry the same per-word
+    // symbolization lengths the apply path broadcast-joins on
+    val base = text.Analysis.bpeArtifact(spark, sf0001)
+    val diskDict = spark.read.parquet(s"$base/vocab")
+      .select(col("token"), size(col("syms")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val directDict = vocab
+      .select(col("token"), size(col("syms")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(diskDict == directDict,
+      "persisted dictionary diverged from a fresh train")
+  }
+
   test("BPE apply's merge fold reproduces every trained symbolization, " +
       "and the corpus tokenization is consistent") {
     import org.apache.spark.sql.functions._
