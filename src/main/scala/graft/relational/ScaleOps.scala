@@ -367,8 +367,82 @@ object ScaleOps {
       .orderBy("l_returnflag")
   }
 
+  /** Per-root-session child session for [[qJoinSkewAqe]] — AQE skew-join
+    * thresholds sized for harness-scale shuffles in THIS key's plans
+    * only (the stock 256 MB skew threshold is sized for real clusters;
+    * lowering it globally would re-plan unrelated keys' pinned shapes). */
+  private val skewSession =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** q_join_skew_aqe — AQE skew-join, end-to-end (round 13): the
+    * OPTIMIZER-handled twin of [[qJoinSkewSalted]]'s manual salting,
+    * completing §2.14's manual↔optimizer pairing the way q_join_dpp and
+    * q_join_bloom_runtime did for pruning and runtime filters. The probe
+    * side is given a deliberately skewed derived key (90% of lineitem
+    * collapses onto key 0, the rest spreads over 90..99 — the hot-key
+    * shape of any real-world power-law join) and shuffle-joined to a
+    * 100-row derived dimension with broadcast disabled: without
+    * intervention one reducer would process 90% of the fact side while
+    * 31 idle — the straggler that turns a 1000-executor join into a
+    * 1-executor wait at 100 TB. With `skewJoin.enabled` and thresholds
+    * sized to the harness shuffle, AQE's OptimizeSkewedJoin detects the
+    * oversized partition at RUNTIME (from the materialized shuffle's
+    * actual sizes — no stats, no manual salt) and splits it into
+    * advisory-sized sub-reads, each joined against a duplicate of the
+    * matching build partition. Salting achieves the same spread by
+    * rewriting the QUERY (key+salt, build ×S replication — pays S×
+    * build shuffle always); AQE rewrites the RUNTIME only where skew was
+    * actually observed. `forceOptimizeSkewedJoin` is on because the
+    * downstream per-key aggregate would otherwise veto the split (the
+    * split breaks the join's hash partitioning, costing an extra
+    * exchange — the standard trade at scale: one extra small shuffle vs
+    * a straggler). PlanSpec asserts the skew-split marker in the
+    * adaptive FINAL plan; the oracle recomputes the plain join (the
+    * split is semantics-free). */
+  def qJoinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionCaches.evictOnStop(s, skewSession)
+    val s2 = skewSession.computeIfAbsent(sessionKey(s), _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "true")
+      c.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // detect: partition > max(threshold, factor × median) — the stock
+      // 256 MB gate is sized for executor-memory pressure on a real
+      // cluster, not a sf0.001–0.1 harness shuffle
+      c.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "1KB")
+      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // split target: each skewed partition becomes ~advisory-sized reads
+      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      c.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // the rewrite targets shuffle joins (the 100 TB shape: both sides
+      // too big to broadcast; a broadcast join cannot skew)
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    })
+    // the 16-way round-robin repartition stands in for the many upstream
+    // map tasks any 100 TB scan has: AQE's skew split works at
+    // MAP-OUTPUT granularity (a skewed reduce partition is split into
+    // ranges of its contributing map blocks), so a single-mapper shuffle
+    // — which is what a one-file harness scan produces — is physically
+    // unsplittable no matter the thresholds. Semantics-free.
+    val li = Tables.lineitem(s2, dir)
+      .repartition(16)
+      .withColumn("sk",
+        when(pmod(col("l_orderkey"), lit(100)) < 90, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(100))))
+    val dim = s2.range(100).select(col("id").as("k"),
+      (col("id") * 3 + 1).as("payload"))
+    li.join(dim, col("sk") === col("k"))
+      .groupBy("sk", "payload")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_salted" -> (qAggSalted _),
+    "q_join_skew_aqe" -> (qJoinSkewAqe _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_scan_partitioned" -> (qScanPartitioned _),
@@ -379,6 +453,18 @@ object ScaleOps {
     "q_join_bloom_runtime" -> (qJoinBloomRuntime _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_skew_aqe" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |              ELSE l_orderkey % 100 END AS sk,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT k, k * 3 + 1 AS payload FROM range(100) t(k))
+        |SELECT sk, payload, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM li JOIN dim ON sk = k
+        |GROUP BY sk, payload
+        |ORDER BY sk""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

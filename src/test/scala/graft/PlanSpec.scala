@@ -357,6 +357,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"might_contain must sit under the join in explain order:\n$opt")
   }
 
+  test("q_join_skew_aqe: OptimizeSkewedJoin splits the hot partition " +
+      "in the adaptive final plan") {
+    val df = relational.ScaleOps.qJoinSkewAqe(spark, sf0001)
+    df.collect() // materialize: AQE finalizes plan shape at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    // the skew split shows up twice in a finalized adaptive plan: the
+    // shuffle read over the split partition prints AQEShuffleRead with
+    // its `skewed` spec, and the sort-merge join is marked skew=true
+    assert(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+      s"expected a skew-split AQEShuffleRead in the final plan:\n$plan")
+    // and it must still be a shuffle join (broadcast disabled) — a
+    // broadcast join here would mean the skew machinery was never in play
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join:\n$plan")
+  }
+
   test("incremental dedup probes the bloom manifest in the scan stage, " +
       "below the residual anti-join") {
     val df = llm.DedupVariants.qDedupIncremental(spark, sf0001)
