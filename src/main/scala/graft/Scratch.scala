@@ -59,4 +59,26 @@ object Scratch {
     d.getParentFile.mkdirs()
     d.getPath
   }
+
+  /** Fingerprint of source tables' files (name, size, mtime) — the key
+    * for scratch layouts/artifacts derived from testdata (bucketed
+    * copies, persisted tokenizers, binary fixtures): if the testdata is
+    * regenerated IN PLACE, the fingerprint changes and a fresh artifact
+    * is built instead of a stale copy silently serving old data while
+    * the oracle recomputes from the new flat table (VERDICT r3 "what's
+    * wrong" #2). Shared by ScaleOps layouts, the BPE artifact, and the
+    * binary-scan fixture. */
+  def fingerprint(dir: String, tables: String*): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val sig = tables
+      .flatMap { t => files(new java.io.File(s"$dir/$t.parquet")) }
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    // stable 12-hex digest; java.security is public JDK
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
 }

@@ -25,27 +25,9 @@ object ScaleOps {
   // via `tag` fingerprints still holds within a JVM run.
   private def scratch(sub: String): String = graft.Scratch.dir("scale", sub)
 
-  /** Fingerprint of a source table's files (name, size, mtime). Scratch
-    * layouts (bucketed / partitioned copies) are keyed by this, not just
-    * by the sf-dir name: if the testdata is regenerated IN PLACE, the
-    * fingerprint changes and a fresh copy is written, instead of a stale
-    * `_SUCCESS`-bearing copy silently serving old data while the oracle
-    * recomputes from the new flat table (VERDICT r3 "what's wrong" #2). */
-  private def fingerprint(dir: String, tables: String*): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
-      else Seq(f)
-    val sig = tables.flatMap { t => files(new java.io.File(s"$dir/$t.parquet")) }
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
-    // stable 12-hex digest; java.security is public JDK
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8"))
-      .take(6).map(b => f"${b & 0xff}%02x").mkString
-  }
-
   private def tag(dir: String, tables: String*): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fingerprint(dir, tables: _*)
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.Scratch.fingerprint(dir, tables: _*)
 
   /** q_agg_salted — two-phase salted aggregation: partial aggregate on
     * (key, salt), final aggregate on key. On a skewed key (3 values cover

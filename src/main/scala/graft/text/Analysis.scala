@@ -248,21 +248,6 @@ object Analysis {
     (merges.toSeq, vocab)
   }
 
-  /** Data fingerprint of the documents table (name, size, mtime of every
-    * file) — keys the persisted tokenizer artifact, so an in-place
-    * testdata regeneration triggers a retrain instead of a stale
-    * artifact silently serving old merges (the ScaleOps layout rule). */
-  private def docsFingerprint(dir: String): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
-      else Seq(f)
-    val sig = files(new java.io.File(s"$dir/documents.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8"))
-      .take(6).map(b => f"${b & 0xff}%02x").mkString
-  }
-
   /** The PERSISTED tokenizer artifact (round 13): ensures the trained
     * BPE state for this corpus exists on disk and returns its base path.
     * Two parquet tables — `merges` (rank, lhs, rhs, freq: the 50-row
@@ -282,7 +267,8 @@ object Analysis {
     * no cross-process races by construction). */
   private[graft] def bpeArtifact(s: SparkSession, dir: String): String = {
     val base = graft.Scratch.dir("text",
-      s"bpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${docsFingerprint(dir)}")
+      s"bpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        graft.Scratch.fingerprint(dir, "documents"))
     val marker = new java.io.File(base, "_GRAFT_DONE")
     if (!marker.exists()) {
       val (merges, vocab) = bpeTrain(s, dir, nMerges = 50)
