@@ -32,6 +32,11 @@ PATTERNS = {
 
 SCAN_SUFFIXES = (".scala", ".py", ".sbt", ".sh", ".md", ".json")
 
+# Categories whose matched text is itself the secret: the report must
+# not propagate it (the scan that catches a leak must not re-leak it
+# into the committed LEAKCHECK.json — ADVICE r12).
+REDACTED_CATEGORIES = {"api-key", "env-secret"}
+
 
 def tracked_files():
     out = subprocess.run(["git", "ls-files"], capture_output=True,
@@ -54,8 +59,17 @@ def main():
         text = raw.decode("utf-8", errors="replace")
         for lineno, line in enumerate(text.splitlines(), 1):
             for cat, rx in compiled.items():
-                if rx.search(line):
-                    hits[cat].append(f"{path}:{lineno}: {line.strip()[:120]}")
+                m = rx.search(line)
+                if m:
+                    if cat in REDACTED_CATEGORIES:
+                        # never copy a credential into the committed
+                        # artifact: record location + a short prefix of
+                        # the MATCH only (ADVICE r12)
+                        frag = m.group(0)[:8]
+                        hits[cat].append(f"{path}:{lineno}: {frag}…[redacted]")
+                    else:
+                        hits[cat].append(
+                            f"{path}:{lineno}: {line.strip()[:120]}")
     report = {
         "scanned_at_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),

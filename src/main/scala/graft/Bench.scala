@@ -94,7 +94,7 @@ object Bench {
     // should not re-measure — at scale the binary files ARE the input
     // and the tokenizer is trained by a separate scheduled job.
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
-        "q_scan_binary", "q_text_bpe")
+        "q_scan_binary", "q_text_bpe", "q_sim_index_persist")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
         warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())

@@ -53,11 +53,27 @@ object Tables {
         // ONLY the illegal-nanos-type analysis error triggers the legacy
         // retry — any other AnalysisException (missing path, corrupt
         // footer) must surface as-is, without mutating session conf.
+        // Dispatch on the error CLASS (getCondition), the stable API;
+        // the rendered-message substring is only a fallback for the
+        // hypothetical case of an unclassified rethrow (ADVICE r12).
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null &&
-              e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          table(s, d, "events")
+            if e.getCondition == "PARQUET_TYPE_ILLEGAL" ||
+              (e.getCondition == null && e.getMessage != null &&
+                e.getMessage.contains("PARQUET_TYPE_ILLEGAL")) =>
+          // scope the legacy flag to THIS read: restore the previous
+          // value after the DataFrame's schema is resolved, so one nanos
+          // fixture doesn't permanently change how the shared session
+          // treats TIMESTAMP(NANOS) in every later parquet read — that
+          // would hide exactly the drift the schema probe exists to
+          // catch (ADVICE r12)
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          try table(s, d, "events")
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
       }
     df.schema("ts").dataType match {
       case LongType =>

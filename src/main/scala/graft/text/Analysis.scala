@@ -198,11 +198,46 @@ object Analysis {
     * aggregate over that same 4096-row table — 2 Spark jobs per round of
     * pure scheduler overhead (~6.4 s at sf0.1 for 50 rounds, the bench's
     * slowest key); locally the identical loop is milliseconds.
-    * Determinism: ties break (weight desc, lhs asc, rhs asc — Java
-    * string order on the harness's ASCII tokens matches the previous
-    * UTF8 binary order), and merges apply left-to-right non-overlapping
-    * via the same fold, so the merge table is a pure function of the
-    * corpus. */
+    * Determinism: ties break (weight desc, lhs asc, rhs asc) under
+    * UTF-8 BINARY string order — the same ordering the distributed
+    * `orderBy` on UTF8String uses — so the tie-break is corpus-
+    * independent: Java's native UTF-16 code-unit order diverges from
+    * code-point order for supplementary-plane characters (ADVICE r12),
+    * which would make the "byte-identical merges" guarantee silently
+    * depend on the corpus staying BMP-only. Merges apply left-to-right
+    * non-overlapping via the same fold, so the merge table is a pure
+    * function of the corpus. */
+  /** UTF-8 binary string comparison (== code-point order) — matches the
+    * UTF8String ordering a distributed `orderBy` applies, for all of
+    * Unicode, not just the BMP (ADVICE r12). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Merge-round winner order: weight desc, then (lhs, rhs) in UTF-8
+    * binary order. */
+  private val bpeTieOrder: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(p: ((String, String), Long),
+          q: ((String, String), Long)): Int = {
+        val byW = java.lang.Long.compare(q._2, p._2) // weight DESC
+        if (byW != 0) byW
+        else {
+          val byL = utf8Compare(p._1._1, q._1._1)
+          if (byL != 0) byL else utf8Compare(p._1._2, q._1._2)
+        }
+      }
+    }
+
   private[graft] def bpeTrain(s: SparkSession, dir: String, nMerges: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
     // distributed phase: one corpus scan → capped weighted dictionary
@@ -226,7 +261,7 @@ object Analysis {
       }
       if (pairW.isEmpty) round = nMerges // degenerate: nothing to merge
       else {
-        val ((l, r), w) = pairW.minBy { case ((l, r), w) => (-w, l, r) }
+        val ((l, r), w) = pairW.min(bpeTieOrder)
         merges += ((l, r, w))
         val lr = l + r
         syms = syms.map { arr =>
