@@ -202,7 +202,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_split_holdout — deterministic train/valid/test split with a
+    * leakage audit (round 13): every document is assigned a stable split
+    * by hash-bucketing its id (h32(doc_id) % 100 → <90 train, <95
+    * valid, else test — the engine-portable md5 idiom shared with
+    * q_sample_pergroup, so assignment is reproducible across engines,
+    * runs, and days: a doc NEVER migrates splits when the corpus grows,
+    * which seeded randomSplit cannot promise), then the held-out splits
+    * are audited for EXACT-duplicate leakage: a valid/test doc whose
+    * text also appears verbatim in train inflates eval scores — the
+    * elementary form of the contamination q_decontam_ngram/_embed catch
+    * fuzzily. Output: per-split doc/token totals plus the leaked-doc
+    * count.
+    *
+    * Scale shape: assignment is a pure scan-side projection (no
+    * shuffle); the audit builds the train fingerprint set as a DISTINCT
+    * md5 aggregate (shuffle bounded by distinct texts, not docs — at
+    * 100 TB the fingerprint table is what a pipeline persists anyway,
+    * see q_dedup_manifest_update) and probes it with a left_semi join;
+    * the final rollup is a ≤3-group aggregate. At real scale the semi
+    * join shuffles on the 16-byte fingerprint — never full text. */
+  def qSplitHoldout(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
+        " as bigint) % 100")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid").otherwise("test"))
+    val trainFp = d.filter(col("split") === "train")
+      .select(md5(col("text")).as("fp")).distinct()
+    val leaked = d.filter(col("split") =!= "train")
+      .join(broadcast(trainFp), md5(col("text")) === col("fp"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+    d.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_split_holdout" -> (qSplitHoldout _),
     "q_sample_pergroup" -> (qSamplePergroup _),
     "q_sample_budget" -> (qSampleBudget _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -211,6 +256,33 @@ object Curation {
     "q_text_chunk" -> (qTextChunk _))
 
   val oracle: Map[String, String] = Map(
+    "q_split_holdout" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS bucket
+        |  FROM documents),
+        |sp AS (
+        |  SELECT *, CASE WHEN bucket < 90 THEN 'train'
+        |                 WHEN bucket < 95 THEN 'valid'
+        |                 ELSE 'test' END AS split
+        |  FROM d),
+        |train_fp AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM sp WHERE split = 'train'),
+        |leaked AS (
+        |  SELECT split, COUNT(*) AS n_leaked FROM sp
+        |  WHERE split <> 'train'
+        |    AND md5(text) IN (SELECT fp FROM train_fp)
+        |  GROUP BY split),
+        |agg AS (
+        |  SELECT split, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |  FROM sp GROUP BY split)
+        |SELECT a.split, a.n_docs, a.n_tokens,
+        |  COALESCE(l.n_leaked, 0) AS n_leaked
+        |FROM agg a LEFT JOIN leaked l ON a.split = l.split
+        |ORDER BY a.split""".stripMargin,
     "q_sample_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -143,7 +143,7 @@ object Similarity {
     * ordering on units), eagerly checkpointed: codebook fits, encode,
     * and query build all re-read this narrow projection
     * (cache-ownership contract, graft/package.scala). */
-  private def unitVectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def unitVectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
@@ -390,7 +390,7 @@ object Similarity {
     * subspace codebooks) — zero Spark jobs spent on fitting. Returns
     * (coarse centroids, PQ codebooks): the complete trained state of
     * the index, ~20 KB regardless of corpus size. */
-  private def ivfPqTrain(e: DataFrame)
+  private[graft] def ivfPqTrain(e: DataFrame)
       : (Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
     val sample = pqSample(e)
     (lloydBest(sample, 16, 20, restarts = 8), pqFit(sample))
@@ -401,7 +401,7 @@ object Similarity {
     * codes). The raw `unit` column is dropped here and only rejoined for
     * the 50-row-per-query re-rank. Fully distributed; the trained state
     * rides a broadcast. */
-  private def ivfPqEncode(s: SparkSession, e: DataFrame,
+  private[graft] def ivfPqEncode(s: SparkSession, e: DataFrame,
       coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val bcCoarse = s.sparkContext.broadcast(coarse)
     val assign = udf((unit: Seq[Double]) => {
@@ -428,7 +428,7 @@ object Similarity {
     * cells' 8-byte code rows via the ADC table, and the top-50 shortlist
     * is re-ranked with true cosine against the base vector table `e` —
     * the only point raw vectors are read, ~50 rows per query. */
-  private def ivfPqServe(s: SparkSession, e: DataFrame,
+  private[graft] def ivfPqServe(s: SparkSession, e: DataFrame,
       coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]],
       enc: DataFrame): DataFrame = {
     val (_, lutF, adcF) = pqKernels(s, cb)
@@ -471,6 +471,39 @@ object Similarity {
     * the in-memory [[qSimIvfPq]] AND recall ≥ the q_sim_ivfpq floor vs
     * exact. Doubles round-trip parquet bit-exactly, so equality is
     * structural, not approximate. */
+  /** Write the trained IVF-PQ state (coarse centroids + PQ codebooks)
+    * under `base` — the bounded ~20 KB half of the index artifact. */
+  private def writeIvfPqState(s: SparkSession, base: String,
+      coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]]): Unit = {
+    import s.implicits._
+    coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "cemb")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    cb.zipWithIndex
+      .flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cent, ci) => (sub, ci, cent) } }
+      .toDF("sub", "cent", "vals")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$base/codebooks")
+  }
+
+  /** Read the trained IVF-PQ state back from `base` — bounded collect
+    * (16 centroid rows + 16×16 codebook rows); doubles round-trip
+    * parquet bit-exactly. */
+  private[graft] def readIvfPqState(s: SparkSession, base: String)
+      : (Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
+    val coarse = s.read.parquet(s"$base/centroids")
+      .orderBy("bucket").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cbRows = s.read.parquet(s"$base/codebooks")
+      .orderBy("sub", "cent").collect()
+    val cb: Seq[Seq[Seq[Double]]] = cbRows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_.getSeq[Double](2)).toSeq }
+    (coarse, cb)
+  }
+
   def qSimIndexPersist(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val e = unitVectors(s, dir)
@@ -488,33 +521,64 @@ object Similarity {
     val marker = new java.io.File(base, "_GRAFT_DONE")
     if (!marker.exists()) {
       val (coarse, cb) = ivfPqTrain(e)
-      import s.implicits._
-      coarse.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "cemb")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$base/centroids")
-      cb.zipWithIndex
-        .flatMap { case (book, sub) =>
-          book.zipWithIndex.map { case (cent, ci) => (sub, ci, cent) } }
-        .toDF("sub", "cent", "vals")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$base/codebooks")
+      writeIvfPqState(s, base, coarse, cb)
       ivfPqEncode(s, e, coarse, cb)
         .write.mode("overwrite").parquet(s"$base/coded")
       marker.createNewFile()
     }
     // serve phase: everything below this line reads ONLY the artifact —
     // the trained state above is deliberately not referenced again
-    val coarse2 = s.read.parquet(s"$base/centroids")
-      .orderBy("bucket").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cbRows = s.read.parquet(s"$base/codebooks")
-      .orderBy("sub", "cent").collect()
-    val cb2: Seq[Seq[Seq[Double]]] = cbRows
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.map(_.getSeq[Double](2)).toSeq }
+    val (coarse2, cb2) = readIvfPqState(s, base)
     val enc2 = s.read.parquet(s"$base/coded")
     ivfPqServe(s, e, coarse2, cb2, enc2)
+  }
+
+  /** q_sim_index_update — INCREMENTAL index append with frozen
+    * quantizers (round 13, the update half of [[qSimIndexPersist]]'s
+    * lifecycle): the index is trained and built on the PRIOR corpus
+    * only (vec_id % 4 ≠ 3 — the same day-1/day-2 convention as
+    * q_dedup_incremental), then today's arrivals are encoded under the
+    * FROZEN read-back quantizers — assign to the nearest existing
+    * coarse cell, compress against the existing codebooks, NO refit —
+    * and appended to the postings as their own parquet partition
+    * (idempotent: re-running the update overwrites the same
+    * day-partition, the manifest-update discipline). Queries then probe
+    * the UPDATED index. This is FAISS's add()-after-train() and what
+    * every production vector store does between periodic rebuilds: at
+    * 100 TB retraining per ingest is impossible — quantizers are
+    * refreshed by a scheduled rebuild while ingest appends code rows,
+    * and drift between the frozen cells and new data is a monitored
+    * quantity, not a correctness bug. ApproxSpec pins the provable
+    * equivalence: serving the updated index == serving a full-corpus
+    * encode under the SAME day-1-trained state, row-for-row (append
+    * changes WHERE code rows live, never their values), plus the recall
+    * floor vs exact. No oracle (trained quantizers). */
+  def qSimIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val e = unitVectors(s, dir)
+    val day1 = e.filter(col("vec_id") % 4 =!= 3)
+    val day2 = e.filter(col("vec_id") % 4 === 3)
+    val base = graft.Scratch.dir("sim",
+      s"ivfpq_upd_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        graft.Scratch.fingerprint(dir, "embeddings"))
+    val marker = new java.io.File(base, "_GRAFT_DONE")
+    if (!marker.exists()) {
+      // day-1 build: quantizers see ONLY the prior corpus
+      val (coarse, cb) = ivfPqTrain(day1)
+      writeIvfPqState(s, base, coarse, cb)
+      ivfPqEncode(s, day1, coarse, cb)
+        .write.mode("overwrite").parquet(s"$base/coded/day=1")
+      marker.createNewFile()
+    }
+    // day-2 ingest: encode under the FROZEN artifact state and append
+    // as the day-2 partition (overwrite = idempotent re-ingest)
+    val (coarse2, cb2) = readIvfPqState(s, base)
+    ivfPqEncode(s, day2, coarse2, cb2)
+      .write.mode("overwrite").parquet(s"$base/coded/day=2")
+    // serve against the UPDATED postings (both day partitions)
+    val enc = s.read.parquet(s"$base/coded")
+      .select("vec_id", "bucket", "codes")
+    ivfPqServe(s, e, coarse2, cb2, enc)
   }
 
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
@@ -583,6 +647,7 @@ object Similarity {
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_index_persist" -> (qSimIndexPersist _),
+    "q_sim_index_update" -> (qSimIndexUpdate _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

@@ -188,6 +188,38 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"recall=$recall (${(exact & persisted).size}/${exact.size})")
   }
 
+  test("incremental index update: appended day-2 postings serve " +
+      "identically to a full-corpus encode under the frozen day-1 state") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val updated = rows(llm.Similarity.qSimIndexUpdate(spark, sf001))
+    // reference: train on day-1 only (same split), then encode the FULL
+    // corpus in memory under that state — append must change where code
+    // rows live, never their values, so serving must be row-identical
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    val day1 = e.filter(col("vec_id") % 4 =!= 3)
+    val (coarse, cb) = llm.Similarity.ivfPqTrain(day1)
+    val enc = llm.Similarity.ivfPqEncode(spark, e, coarse, cb)
+    val ref = rows(llm.Similarity.ivfPqServe(spark, e, coarse, cb, enc))
+    assert(updated == ref,
+      s"updated-index serve diverged from frozen-state full encode; " +
+        s"first diff: ${updated.zip(ref).find { case (a, b) => a != b }}")
+    // day-2 arrivals are genuinely in the index: some emitted neighbor
+    // must be a day-2 vector (the harness corpus guarantees near
+    // neighbors across the % 4 slices)
+    assert(updated.exists(t => t._2 % 4 == 3),
+      "no day-2 vector was ever returned — the append is not being probed")
+    // and the recall floor vs exact still holds under day-1-only training
+    val exact = llm.Similarity.qSimTopk(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = updated.map(t => (t._1, t._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"recall=$recall (${(exact & got).size}/${exact.size})")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()
