@@ -228,6 +228,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"got ${admitted.length}")
   }
 
+  test("streaming index ingest: foreachBatch encodes micro-batches under " +
+      "frozen quantizers; final postings == one batch encode of all " +
+      "arrivals (streaming half of q_sim_index_update)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // index state trained on the prior corpus only, then FROZEN — each
+    // micro-batch of arriving vectors is assigned + PQ-coded under that
+    // state and appended to the postings, the continuous-ingest loop a
+    // production vector store runs between scheduled rebuilds. Encode is
+    // per-row and stateless given the frozen quantizers, so arrival
+    // order and batch boundaries must not matter: the property under
+    // test is streamed-postings == one-shot batch encode, row for row.
+    val e = llm.Similarity.unitVectors(spark, sf0001)
+    val day1 = e.filter(col("vec_id") % 4 =!= 3)
+    val (coarse, cb) = llm.Similarity.ivfPqTrain(day1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx").toString
+    val postings = s"$dir/coded"
+    llm.Similarity.ivfPqEncode(spark, day1, coarse, cb)
+      .write.parquet(postings)
+    val day2 = e.filter(col("vec_id") % 4 === 3)
+      .select("vec_id", "unit").as[(Long, Seq[Double])].collect()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "unit")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        llm.Similarity.ivfPqEncode(batch.sparkSession, batch, coarse, cb)
+          .write.mode("append").parquet(postings)
+      }
+      .start()
+    // two out-of-order micro-batches (odd ids first)
+    val (evens, odds) = day2.partition(_._1 % 2 == 0)
+    mem.addData(odds.toSeq); q.processAllAvailable()
+    mem.addData(evens.toSeq); q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+        .toSet
+    val streamed = rows(spark.read.parquet(postings))
+    val batchRef = rows(llm.Similarity.ivfPqEncode(spark, e, coarse, cb))
+    assert(streamed == batchRef,
+      s"streamed postings diverge from batch encode: " +
+        s"only-stream=${(streamed -- batchRef).take(2)} " +
+        s"only-batch=${(batchRef -- streamed).take(2)}")
+  }
+
   test("stream-stream interval join == batch join, out-of-order input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
