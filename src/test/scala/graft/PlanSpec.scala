@@ -357,6 +357,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"might_contain must sit under the join in explain order:\n$opt")
   }
 
+  test("q_split_holdout: the leakage audit is a broadcast fingerprint " +
+      "semi-join and the held-out filter reaches the scan") {
+    val df = llm.Curation.qSplitHoldout(spark, sf0001)
+    val plan = planOf(df)
+    // the train fingerprint set (16-byte md5s) is what moves — it must
+    // build the broadcast side of a LeftSemi probe, never shuffle the
+    // corpus text
+    assert(plan.contains("LeftSemi"),
+      s"expected a semi-join leakage probe in:\n$plan")
+    val semiLine = plan.linesIterator.find(_.contains("LeftSemi")).get
+    assert(semiLine.contains("BroadcastHashJoin"),
+      s"the fingerprint probe must be broadcast, got: $semiLine")
+    // the split≠train predicate prunes the audit's scan BELOW the join
+    // (scan-side assignment: no exchange computes the split column)
+    assert(plan.contains("DataFilters: [NOT CASE WHEN") ||
+        plan.contains("DataFilters: [isnotnull(text") ||
+        plan.contains("Filter NOT CASE WHEN"),
+      s"held-out filter did not reach the audit scan:\n$plan")
+  }
+
   test("q_join_skew_aqe: OptimizeSkewedJoin splits the hot partition " +
       "in the adaptive final plan") {
     val df = relational.ScaleOps.qJoinSkewAqe(spark, sf0001)
