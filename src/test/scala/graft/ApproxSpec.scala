@@ -177,6 +177,10 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(disk == mem,
       s"from-disk serve diverged from in-memory index; first diff: " +
         s"${disk.zip(mem).find { case (a, b) => a != b }}")
+    // re-invocation takes the artifact-reuse path (the done-marker skips
+    // the build) and must serve the identical result
+    val disk2 = rows(llm.Similarity.qSimIndexPersist(spark, sf001))
+    assert(disk2 == disk, "artifact-reuse serve diverged from first serve")
     // and independently: recall vs exact stays at or above the
     // q_sim_ivfpq floor (guards against BOTH paths degrading together)
     val exact = llm.Similarity.qSimTopk(spark, sf001)
@@ -205,6 +209,11 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(updated == ref,
       s"updated-index serve diverged from frozen-state full encode; " +
         s"first diff: ${updated.zip(ref).find { case (a, b) => a != b }}")
+    // re-ingesting the same day is idempotent: the day-2 partition is
+    // overwritten, not duplicated, so a second update serves identically
+    val updated2 = rows(llm.Similarity.qSimIndexUpdate(spark, sf001))
+    assert(updated2 == updated,
+      "re-running the update changed the served result (non-idempotent append)")
     // day-2 arrivals are genuinely in the index: some emitted neighbor
     // must be a day-2 vector (the harness corpus guarantees near
     // neighbors across the % 4 slices)
