@@ -202,18 +202,19 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** q_split_holdout — deterministic train/valid/test split with a
-    * leakage audit (round 13): every document is assigned a stable split
-    * by hash-bucketing its id (h32(doc_id) % 100 → <90 train, <95
-    * valid, else test — the engine-portable md5 idiom shared with
-    * q_sample_pergroup, so assignment is reproducible across engines,
-    * runs, and days: a doc NEVER migrates splits when the corpus grows,
-    * which seeded randomSplit cannot promise), then the held-out splits
-    * are audited for EXACT-duplicate leakage: a valid/test doc whose
-    * text also appears verbatim in train inflates eval scores — the
-    * elementary form of the contamination q_decontam_ngram/_embed catch
-    * fuzzily. Output: per-split doc/token totals plus the leaked-doc
-    * count.
+  /** q_split_holdout — cross-split LEAKAGE AUDIT over the deterministic
+    * holdout split (round 13): uses the same stable hash-bucket
+    * assignment as [[graft.llm.Governance.qSplitHash]] (h32(doc_id) %
+    * 100 → <90 train, <95 valid, else test — docs never migrate splits
+    * as the corpus grows), but where q_split_hash emits the
+    * stratification manifest, THIS key audits the split's integrity:
+    * each held-out doc is probed against the train split's exact-text
+    * fingerprint set, because a valid/test doc whose text appears
+    * verbatim in train inflates every eval score — the elementary form
+    * of the contamination q_decontam_ngram/_embed catch fuzzily, run on
+    * the TRAIN/EVAL boundary instead of the corpus/benchmark boundary.
+    * Output: per-split doc/token totals plus the leaked-doc count (the
+    * go/no-go number a training run checks before consuming the split).
     *
     * Scale shape: assignment is a pure scan-side projection (no
     * shuffle); the audit builds the train fingerprint set as a DISTINCT

@@ -258,7 +258,53 @@ object Governance {
       .orderBy("doc_id")
   }
 
+  /** q_delete_propagate — right-to-be-forgotten cascade audit
+    * (round 13): given a bounded deletion-request manifest (customers
+    * with c_custkey % 97 == 0 — in production, the keys arriving on the
+    * privacy queue), propagate the deletion through the key graph —
+    * requests name CUSTOMERS, but their rows live on in orders keyed by
+    * o_custkey and in lineitem keyed only TRANSITIVELY via o_orderkey —
+    * and emit the per-table audit (rows_before / rows_deleted /
+    * rows_after) a compliance sweep signs off before any file is
+    * rewritten.
+    *
+    * Scale shape: the request manifest is bounded by privacy-queue
+    * volume (≪ corpus), so every hop is a BROADCAST probe on a fact
+    * scan — customer and orders are each audited in ONE scan with a
+    * broadcast left join (key-unique build side: no fan-out, no
+    * shuffle); the customer→orders hop materializes the deleted-order
+    * key manifest (left_semi, checkpointed — bounded by requests ×
+    * orders-per-customer), which then audits lineitem the same way. At
+    * 100 TB the counts here are the PLAN of the delete; the delete
+    * itself is a rewrite of only the affected files (partitioned /
+    * compacted layouts, q_write_compact) — audit first, rewrite once.
+    * Oracle recomputes all three audits with IN-subqueries. */
+  def qDeletePropagate(s: SparkSession, dir: String): DataFrame = {
+    val del = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+      .localCheckpoint(true)
+    val delOrders = Tables.orders(s, dir)
+      .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("k"))
+      .localCheckpoint(true)
+    def audit(tbl: String, df: DataFrame, keyCol: String,
+        keys: DataFrame): DataFrame =
+      df.join(broadcast(keys), col(keyCol) === col("k"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          coalesce(sum(col("k").isNotNull.cast("long")), lit(0L))
+            .as("rows_deleted"))
+        .select(lit(tbl).as("tbl"), col("rows_before"), col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    audit("customer", Tables.customer(s, dir), "c_custkey", del)
+      .unionByName(audit("orders", Tables.orders(s, dir), "o_custkey", del))
+      .unionByName(
+        audit("lineitem", Tables.lineitem(s, dir), "l_orderkey", delOrders))
+      .orderBy("tbl")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_delete_propagate" -> (qDeletePropagate _),
     "q_decontam_embed" -> (qDecontamEmbed _),
     "q_quality_unigram_lp" -> (qQualityUnigramLp _),
     "q_decontam_ngram" -> (qDecontamNgram _),
@@ -269,6 +315,31 @@ object Governance {
     "q_mix_entropy" -> (qMixEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "q_delete_propagate" ->
+      """WITH del AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |a AS (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS rows_before,
+        |    CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rows_deleted
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_orderkey IN
+        |        (SELECT o_orderkey FROM del_orders)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT tbl, rows_before, rows_deleted,
+        |  rows_before - rows_deleted AS rows_after
+        |FROM a ORDER BY tbl""".stripMargin,
     "q_decontam_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
