@@ -88,6 +88,13 @@ object NativeFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_distance",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "adc_distance takes exactly 2 arguments")
+        ArrayAdcDistance(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_bounded",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2,

@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(exprs.head, exprs(1))
       }))
     extensions.injectFunction((
+      FunctionIdentifier("adc_distance"),
+      new ExpressionInfo(classOf[ArrayAdcDistance].getName, "adc_distance"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          "adc_distance takes exactly 2 arguments")
+        ArrayAdcDistance(exprs.head, exprs(1))
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("collect_bounded"),
       new ExpressionInfo(classOf[BoundedCollect].getName, "collect_bounded"),
       { exprs: Seq[Expression] =>

@@ -249,7 +249,7 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** PQ kernels (encode / query LUT / ADC distance) as UDFs closing over
+  /** PQ train-side kernels (encode / query LUT) as UDFs closing over
     * the BROADCAST codebooks — deliberately not plan-literal
     * expressions: embedding the 16×16×4 centroid trees into the plan as
     * literals makes Janino compile ~17 s of generated source per
@@ -258,10 +258,13 @@ object Similarity {
     * anyway, so nothing was actually codegen'd. Broadcasting trained
     * model state and closing a tight kernel over it is exactly how
     * MLlib's own transformers execute; the per-row kernel is ~1k flops.
-    * Accumulation order inside the kernels matches the old fold
-    * (left-to-right), so distances are bit-identical. */
+    * These two run once per VECTOR (encode) or once per QUERY (LUT);
+    * the per-CANDIDATE hot loop — ADC — is NOT a UDF: it takes only
+    * column inputs (codes, lut), no codebook state, so it is the native
+    * codegen'd `adc_distance` expression
+    * (graft.functions.ArrayAdcDistance) — same left-to-right
+    * accumulation, bit-identical distances, zero per-row conversion. */
   private def pqKernels(s: SparkSession, cb: Seq[Seq[Seq[Double]]]): (
-      org.apache.spark.sql.expressions.UserDefinedFunction,
       org.apache.spark.sql.expressions.UserDefinedFunction,
       org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val bc = s.sparkContext.broadcast(
@@ -304,15 +307,14 @@ object Similarity {
       }
       out
     })
-    // approximate distance: 16 table lookups + adds over the codes —
-    // never a raw-vector read
-    val adc = udf((codes: Seq[Int], lut: Seq[Double]) => {
-      var a = 0.0; var i = 0
-      while (i < codes.length) { a += lut(i * nCent + codes(i)); i += 1 }
-      a
-    })
-    (encode, lutF, adc)
+    (encode, lutF)
   }
+
+  /** Approximate candidate distance: table lookups + adds over the
+    * stored codes (never a raw-vector read) — the codegen'd
+    * `adc_distance` native expression. */
+  private def adcDist(codes: Column, lut: Column): Column =
+    call_function("adc_distance", codes, lut)
 
   /** ADC top-50 shortlist per query, re-ranked with TRUE cosine (dot of
     * unit vectors, codegen'd) — emitted scores are exact over the
@@ -355,13 +357,13 @@ object Similarity {
     graft.functions.NativeFunctions.register(s)
     val e = unitVectors(s, dir)
     val cb = pqFit(pqSample(e))
-    val (encode, lutF, adcF) = pqKernels(s, cb)
+    val (encode, lutF) = pqKernels(s, cb)
     val enc = e.select(col("vec_id"), encode(col("unit")).as("codes"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("unit").as("qunit"),
         lutF(col("unit")).as("lut"))
     val adc = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("adc", adcF(col("codes"), col("lut")))
+      .withColumn("adc", adcDist(col("codes"), col("lut")))
     pqRerank(e, adc, q, k = 5).orderBy("qid", "rn")
   }
 
@@ -415,7 +417,7 @@ object Similarity {
       }
       best
     })
-    val (encode, _, _) = pqKernels(s, cb)
+    val (encode, _) = pqKernels(s, cb)
     e.select(col("vec_id"), assign(col("unit")).as("bucket"),
       encode(col("unit")).as("codes"))
   }
@@ -431,7 +433,7 @@ object Similarity {
   private[graft] def ivfPqServe(s: SparkSession, e: DataFrame,
       coarse: Array[Array[Double]], cb: Seq[Seq[Seq[Double]]],
       enc: DataFrame): DataFrame = {
-    val (_, lutF, adcF) = pqKernels(s, cb)
+    val (_, lutF) = pqKernels(s, cb)
     val cents = s.createDataFrame(
       coarse.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("bucket", "cemb")
@@ -446,7 +448,7 @@ object Similarity {
       .select("qid", "qunit", "lut", "bucket")
     val adc = enc.join(broadcast(qProbe), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc", adcF(col("codes"), col("lut")))
+      .withColumn("adc", adcDist(col("codes"), col("lut")))
     pqRerank(e, adc, q, k = 5).orderBy("qid", "rn")
   }
 

@@ -33,6 +33,41 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(1))
   }
 
+  test("adc_distance matches the interpreted lookup-sum and handles " +
+      "nulls/empties") {
+    graft.functions.NativeFunctions.register(spark)
+    // codes: one 0-based index per subspace; lut: nSub × nCent doubles.
+    // Interpreted twin folds left-to-right like the native loop.
+    val r = spark.sql(
+      """SELECT
+        |  adc_distance(array(1, 0, 2),
+        |    array(0.0d, 1.0d, 2.0d,
+        |          10.0d, 11.0d, 12.0d,
+        |          20.0d, 21.0d, 22.0d)) AS a,
+        |  adc_distance(cast(array() as array<int>),
+        |    cast(array() as array<double>)) AS empty,
+        |  adc_distance(cast(null as array<int>), array(1.0d)) AS n
+        |""".stripMargin).collect().head
+    // lut[0*3+1] + lut[1*3+0] + lut[2*3+2] = 1 + 10 + 22
+    assert(r.getDouble(0) == 33.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+    // bit-equality against a driver-side recompute over real PQ shapes
+    val rows = spark.range(64).selectExpr(
+      "transform(sequence(0, 15), i -> cast((id + i) % 16 AS int)) AS codes",
+      "transform(sequence(0, 255), i -> cast(i AS double) / 7.0d) AS lut")
+      .selectExpr("codes", "lut",
+        "adc_distance(codes, lut) AS native")
+      .collect()
+    rows.foreach { row =>
+      val codes = row.getSeq[Int](0)
+      val lut = row.getSeq[Double](1)
+      var acc = 0.0
+      codes.zipWithIndex.foreach { case (c, i) => acc += lut(i * 16 + c) }
+      assert(row.getDouble(2) == acc)
+    }
+  }
+
   test("collect_bounded == collect_list whenever the group is under the " +
     "bound, regardless of partitioning") {
     graft.functions.NativeFunctions.register(spark)
