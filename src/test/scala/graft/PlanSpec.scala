@@ -357,6 +357,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"might_contain must sit under the join in explain order:\n$opt")
   }
 
+  test("native similarity kernels run inside whole-stage codegen") {
+    // the point of ArrayDotProduct / ArrayAdcDistance over UDFs and
+    // higher-order expressions is staying INSIDE the codegen stage: the
+    // operator line carrying the kernel must be codegen'd (a `*(n)`
+    // stage id), or the per-pair hot loop fell back to interpreted eval
+    def kernelLines(df: org.apache.spark.sql.DataFrame, fn: String) = {
+      df.collect() // materialize (AQE finalizes stage shapes)
+      val lines = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains(s"$fn(")).toSeq
+      assert(lines.nonEmpty, s"no $fn call in the executed plan")
+      lines
+    }
+    val topk = llm.Similarity.qSimTopk(spark, sf0001)
+    assert(kernelLines(topk, "array_dot")
+        .exists(l => l.contains("*(")),
+      "array_dot is not inside a WholeStageCodegen stage")
+    val pq = llm.Similarity.qSimPq(spark, sf0001)
+    assert(kernelLines(pq, "adc_distance")
+        .exists(l => l.contains("*(")),
+      "adc_distance is not inside a WholeStageCodegen stage")
+  }
+
   test("q_split_holdout: the leakage audit is a broadcast fingerprint " +
       "semi-join and the held-out filter reaches the scan") {
     val df = llm.Curation.qSplitHoldout(spark, sf0001)
