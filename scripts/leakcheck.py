@@ -11,6 +11,7 @@ itself proves a scan happened and over how much input.
 Usage: python3 scripts/leakcheck.py [out.json]   (default: stdout)
 """
 import datetime
+import hashlib
 import json
 import re
 import subprocess
@@ -62,11 +63,15 @@ def main():
                 m = rx.search(line)
                 if m:
                     if cat in REDACTED_CATEGORIES:
-                        # never copy a credential into the committed
-                        # artifact: record location + a short prefix of
-                        # the MATCH only (ADVICE r12)
-                        frag = m.group(0)[:8]
-                        hits[cat].append(f"{path}:{lineno}: {frag}…[redacted]")
+                        # never copy ANY part of a credential into the
+                        # committed artifact — a prefix of the match can
+                        # itself be secret material (ADVICE r13). Record
+                        # only path:line + a truncated hash so two runs
+                        # can tell whether it is the same match.
+                        digest = hashlib.sha256(
+                            m.group(0).encode()).hexdigest()[:12]
+                        hits[cat].append(
+                            f"{path}:{lineno}: sha256:{digest}[redacted]")
                     else:
                         hits[cat].append(
                             f"{path}:{lineno}: {line.strip()[:120]}")

@@ -23,8 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Caller contract (matches the PQ encoder by construction): every code
   * must lie in [0, C) and lut.length must be an exact multiple of
-  * codes.length; out-of-range codes read garbage from the unsafe
-  * buffer, exactly like a mis-sized FAISS code table would.
+  * codes.length. Because adc_distance is also registered as a
+  * user-callable SQL function, both eval paths GUARD the contract
+  * (ADVICE r13): a non-multiple lut length or an out-of-range code
+  * raises IllegalArgumentException instead of reading arbitrary
+  * unsafe-buffer memory. Internal PQ callers satisfy the contract by
+  * construction, so the per-code branch predicts true and stays out of
+  * the hot path's way.
   */
 case class ArrayAdcDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,11 +56,17 @@ case class ArrayAdcDistance(left: Expression, right: Expression)
     val nSub = codes.numElements()
     if (nSub == 0) 0.0
     else {
+      if (lut.numElements() % nSub != 0) throw new IllegalArgumentException(
+        s"adc_distance: lut length ${lut.numElements()} is not a " +
+          s"multiple of codes length $nSub")
       val nCent = lut.numElements() / nSub
       var acc = 0.0
       var i = 0
       while (i < nSub) {
-        acc += lut.getDouble(i * nCent + codes.getInt(i)); i += 1
+        val c = codes.getInt(i)
+        if (c < 0 || c >= nCent) throw new IllegalArgumentException(
+          s"adc_distance: code $c at position $i out of range [0, $nCent)")
+        acc += lut.getDouble(i * nCent + c); i += 1
       }
       acc
     }
@@ -68,13 +79,25 @@ case class ArrayAdcDistance(left: Expression, right: Expression)
       val nCent = ctx.freshName("nCent")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
       s"""
          |int $nSub = $a.numElements();
          |double $acc = 0.0;
          |if ($nSub > 0) {
+         |  if ($b.numElements() % $nSub != 0) {
+         |    throw new IllegalArgumentException(
+         |      "adc_distance: lut length " + $b.numElements() +
+         |      " is not a multiple of codes length " + $nSub);
+         |  }
          |  int $nCent = $b.numElements() / $nSub;
          |  for (int $i = 0; $i < $nSub; $i++) {
-         |    $acc += $b.getDouble($i * $nCent + $a.getInt($i));
+         |    int $c = $a.getInt($i);
+         |    if ($c < 0 || $c >= $nCent) {
+         |      throw new IllegalArgumentException(
+         |        "adc_distance: code " + $c + " at position " + $i +
+         |        " out of range [0, " + $nCent + ")");
+         |    }
+         |    $acc += $b.getDouble($i * $nCent + $c);
          |  }
          |}
          |${ev.value} = $acc;

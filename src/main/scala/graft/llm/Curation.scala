@@ -221,8 +221,12 @@ object Curation {
     * md5 aggregate (shuffle bounded by distinct texts, not docs — at
     * 100 TB the fingerprint table is what a pipeline persists anyway,
     * see q_dedup_manifest_update) and probes it with a left_semi join;
-    * the final rollup is a ≤3-group aggregate. At real scale the semi
-    * join shuffles on the 16-byte fingerprint — never full text. */
+    * the final rollup is a ≤3-group aggregate. No broadcast hint: the
+    * train fingerprint set is ~90% of the corpus's distinct texts —
+    * unbounded in corpus size — so the planner must stay free to pick
+    * a shuffled semi-join at scale (it broadcasts at harness scale on
+    * its own, under autoBroadcastJoinThreshold). At real scale the
+    * semi join shuffles on the 16-byte fingerprint — never full text. */
   def qSplitHoldout(s: SparkSession, dir: String): DataFrame = {
     val bucket = expr(
       "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
@@ -237,7 +241,7 @@ object Curation {
     val trainFp = d.filter(col("split") === "train")
       .select(md5(col("text")).as("fp")).distinct()
     val leaked = d.filter(col("split") =!= "train")
-      .join(broadcast(trainFp), md5(col("text")) === col("fp"), "left_semi")
+      .join(trainFp, md5(col("text")) === col("fp"), "left_semi")
       .groupBy("split").agg(count(lit(1)).as("n_leaked"))
     d.groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))

@@ -68,6 +68,28 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("adc_distance rejects malformed inputs instead of reading " +
+      "arbitrary unsafe-buffer memory") {
+    graft.functions.NativeFunctions.register(spark)
+    // a code outside [0, nCent): lut has 2 subspaces × 2 centroids, so
+    // code 5 would index past the buffer without the guard (ADVICE r13)
+    val oob = intercept[Exception] {
+      spark.sql(
+        "SELECT adc_distance(array(5, 0), array(1.0d, 2.0d, 3.0d, 4.0d))")
+        .collect()
+    }
+    assert(oob.getMessage.contains("out of range") ||
+      Option(oob.getCause).exists(_.getMessage.contains("out of range")))
+    // lut length not a multiple of codes length
+    val rem = intercept[Exception] {
+      spark.sql(
+        "SELECT adc_distance(array(0, 0, 0), array(1.0d, 2.0d, 3.0d, 4.0d))")
+        .collect()
+    }
+    assert(rem.getMessage.contains("not a multiple") ||
+      Option(rem.getCause).exists(_.getMessage.contains("not a multiple")))
+  }
+
   test("collect_bounded == collect_list whenever the group is under the " +
     "bound, regardless of partitioning") {
     graft.functions.NativeFunctions.register(spark)

@@ -379,18 +379,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "adc_distance is not inside a WholeStageCodegen stage")
   }
 
-  test("q_split_holdout: the leakage audit is a broadcast fingerprint " +
+  test("q_split_holdout: the leakage audit is a fingerprint " +
       "semi-join and the held-out filter reaches the scan") {
     val df = llm.Curation.qSplitHoldout(spark, sf0001)
     val plan = planOf(df)
-    // the train fingerprint set (16-byte md5s) is what moves — it must
-    // build the broadcast side of a LeftSemi probe, never shuffle the
-    // corpus text
+    // the train fingerprint set (16-byte md5s) is what moves in a
+    // LeftSemi probe — never the corpus text. No broadcast hint in the
+    // query (the train side is unbounded in corpus size, ADVICE r13):
+    // at harness scale the planner broadcasts under the threshold, at
+    // 100 TB it is free to pick a shuffled semi-join on the 16-byte
+    // fingerprint — both join strategies are the correct shape.
     assert(plan.contains("LeftSemi"),
       s"expected a semi-join leakage probe in:\n$plan")
     val semiLine = plan.linesIterator.find(_.contains("LeftSemi")).get
-    assert(semiLine.contains("BroadcastHashJoin"),
-      s"the fingerprint probe must be broadcast, got: $semiLine")
+    assert(semiLine.contains("BroadcastHashJoin") ||
+        semiLine.contains("SortMergeJoin") ||
+        semiLine.contains("ShuffledHashJoin"),
+      s"the fingerprint probe is not a hash/merge semi-join: $semiLine")
     // the split≠train predicate prunes the audit's scan BELOW the join
     // (scan-side assignment: no exchange computes the split column)
     assert(plan.contains("DataFilters: [NOT CASE WHEN") ||
