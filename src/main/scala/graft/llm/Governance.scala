@@ -303,8 +303,148 @@ object Governance {
       .orderBy("tbl")
   }
 
+  /** Output file count for [[qDeleteExecute]]'s ownership-clustered
+    * layouts. 64 files keeps the affected fraction visibly small at every
+    * harness SF (deletion requests touch ~1% of owners → ≲15 of 64
+    * files); production sizes files by bytes like q_write_compact. */
+  private[graft] val DeleteLayoutFiles = 64
+
+  private val rewritePassId = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Build the DELETABLE layouts for [[qDeleteExecute]] if absent:
+    * orders and lineitem copies range-partitioned by the OWNING customer
+    * (lineitem's owner resolved through its order — the one-time
+    * denormalization). Clustering fact tables by owner is what makes
+    * right-to-be-forgotten affordable at 100 TB: a deletion request's
+    * rows live in O(requests) files instead of O(all files). Keyed by
+    * source-data fingerprint with a `_SUCCESS` guard, so repeated
+    * invocations in one JVM mutate ONE layout — which is exactly how the
+    * second invocation proves idempotence (zero affected files). */
+  private[graft] def ensureDeletableLayouts(s: SparkSession, dir: String,
+      variant: String = ""): (String, String) = {
+    val t = variant + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.Scratch.fingerprint(dir, "customer", "orders", "lineitem")
+    val ordPath = graft.Scratch.dir("deleteexec", s"orders_$t")
+    val liPath = graft.Scratch.dir("deleteexec", s"lineitem_$t")
+    if (!new java.io.File(ordPath, "_SUCCESS").exists()) {
+      Tables.orders(s, dir)
+        .withColumn("owner", col("o_custkey"))
+        .repartitionByRange(DeleteLayoutFiles, col("owner"),
+          col("o_orderkey"))
+        .write.mode("overwrite").parquet(ordPath)
+    }
+    if (!new java.io.File(liPath, "_SUCCESS").exists()) {
+      val own = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey").as("owner"))
+      Tables.lineitem(s, dir)
+        .join(own, Seq("l_orderkey"))
+        .repartitionByRange(DeleteLayoutFiles, col("owner"),
+          col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(liPath)
+    }
+    (ordPath, liPath)
+  }
+
+  /** List the layout files holding at least one row of a deleted owner —
+    * the delete's unit of work. One metadata-narrow scan (owner column +
+    * `_metadata.file_path`) semi-joined against the broadcast manifest;
+    * the collect is bounded by the layout's FILE count, never its rows. */
+  private[graft] def affectedFiles(s: SparkSession, path: String,
+      del: DataFrame): Seq[String] =
+    s.read.parquet(path)
+      .select(col("_metadata.file_path").as("f"), col("owner"))
+      .join(broadcast(del), Seq("owner"), "left_semi")
+      .select("f").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** One delete pass over an ownership-clustered layout: discover the
+    * affected files, rewrite ONLY those (read back, anti-join the
+    * broadcast manifest, one output part per input split — the owner
+    * clustering survives for the next request), then swap the rewritten
+    * parts in. Untouched files are never opened, moved, or rewritten —
+    * they stay byte-identical, which LayoutSpec asserts by checksum.
+    * Returns the affected file list (empty ⇒ the pass was a no-op).
+    *
+    * The delete-then-rename swap is per-file, not transactional: a crash
+    * between the two leaves a partial layout, which the public table
+    * formats (Delta/Iceberg) fix with an atomic metadata commit over
+    * immutable files. The scratch layout's fingerprint key plays that
+    * role at harness scale — a corrupted layout is rebuilt, not trusted. */
+  private[graft] def deletePass(s: SparkSession, path: String,
+      del: DataFrame): Seq[String] = {
+    val affected = affectedFiles(s, path, del)
+    if (affected.nonEmpty) {
+      val tmp = graft.Scratch.dir("deleteexec",
+        s"rw_${rewritePassId.incrementAndGet()}")
+      s.read.parquet(affected: _*)
+        .join(broadcast(del), Seq("owner"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit
+      }
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(tmp), false)
+      while (it.hasNext) {
+        val f = it.next()
+        // Spark part names embed a per-job UUID, so renames from distinct
+        // passes can never collide in the layout dir
+        if (f.getPath.getName.startsWith("part-")) {
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(path, f.getPath.getName)): Unit
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    }
+    affected
+  }
+
+  /** q_delete_execute — the right-to-be-forgotten rewrite (round 14):
+    * PERFORMS the delete that [[qDeletePropagate]] only audits. The same
+    * bounded request manifest (c_custkey % 97 == 0) drives an
+    * affected-files-only rewrite of ownership-clustered copies of orders
+    * and lineitem: discover which files hold a deleted owner's rows
+    * (broadcast semi-probe on the owner column), rewrite exactly those
+    * files with the owner's rows anti-joined out, leave every other file
+    * byte-identical. A second pass runs in the SAME invocation and must
+    * find zero affected files — "audit first, rewrite once", proven on
+    * every run, the q_dedup_manifest_update idempotence discipline.
+    *
+    * Scale shape: the request manifest is privacy-queue-bounded →
+    * broadcast everywhere; discovery is one owner-column scan per table
+    * (collect bounded by FILE count); the rewrite reads and writes only
+    * O(requests) files with no shuffle at all (per-split filter, owner
+    * clustering preserved for the next request). At 100 TB this is the
+    * GDPR compliance pass: audit (q_delete_propagate) signs off the
+    * counts, this key rewrites the files, the second discovery proves
+    * convergence. Oracle: the survivor key sets read back from the final
+    * layouts must equal DuckDB's NOT-IN recompute over the source
+    * tables. */
+  def qDeleteExecute(s: SparkSession, dir: String): DataFrame = {
+    val (ordPath, liPath) = ensureDeletableLayouts(s, dir)
+    val del = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("owner"))
+      .localCheckpoint(true)
+    deletePass(s, ordPath, del)
+    deletePass(s, liPath, del)
+    val second = affectedFiles(s, ordPath, del) ++
+      affectedFiles(s, liPath, del)
+    require(second.isEmpty,
+      s"delete did not converge: ${second.length} files still affected")
+    val ord = s.read.parquet(ordPath)
+      .select(lit("orders").as("tbl"), col("o_orderkey").as("k1"),
+        lit(0L).as("k2"))
+    val li = s.read.parquet(liPath)
+      .select(lit("lineitem").as("tbl"), col("l_orderkey").as("k1"),
+        col("l_linenumber").cast("long").as("k2"))
+    li.unionByName(ord).orderBy("tbl", "k1", "k2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_delete_propagate" -> (qDeletePropagate _),
+    "q_delete_execute" -> (qDeleteExecute _),
     "q_decontam_embed" -> (qDecontamEmbed _),
     "q_quality_unigram_lp" -> (qQualityUnigramLp _),
     "q_decontam_ngram" -> (qDecontamNgram _),
@@ -315,6 +455,21 @@ object Governance {
     "q_mix_entropy" -> (qMixEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "q_delete_execute" ->
+      """WITH del AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'lineitem' AS tbl, l_orderkey AS k1,
+        |       CAST(l_linenumber AS BIGINT) AS k2
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)
+        |UNION ALL
+        |SELECT 'orders' AS tbl, o_orderkey AS k1, CAST(0 AS BIGINT) AS k2
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+        |ORDER BY tbl, k1, k2""".stripMargin,
     "q_delete_propagate" ->
       """WITH del AS (
         |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),

@@ -555,8 +555,14 @@ object Similarity {
     * encode under the SAME day-1-trained state, row-for-row (append
     * changes WHERE code rows live, never their values), plus the recall
     * floor vs exact. No oracle (trained quantizers). */
-  def qSimIndexUpdate(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeFunctions.register(s)
+  /** The incremental-index artifact shared by [[qSimIndexUpdate]] and
+    * [[qIndexDrift]]: day-1 trained state + day-1 postings written once
+    * (fingerprint-keyed), today's arrivals encoded under the FROZEN
+    * read-back state and idempotently overwritten as the day-2
+    * partition. Returns (artifact base, read-back coarse centroids,
+    * read-back codebooks). */
+  private[graft] def ensureUpdateArtifact(s: SparkSession, dir: String)
+      : (String, Array[Array[Double]], Seq[Seq[Seq[Double]]]) = {
     val e = unitVectors(s, dir)
     val day1 = e.filter(col("vec_id") % 4 =!= 3)
     val day2 = e.filter(col("vec_id") % 4 === 3)
@@ -577,10 +583,77 @@ object Similarity {
     val (coarse2, cb2) = readIvfPqState(s, base)
     ivfPqEncode(s, day2, coarse2, cb2)
       .write.mode("overwrite").parquet(s"$base/coded/day=2")
+    (base, coarse2, cb2)
+  }
+
+  def qSimIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val e = unitVectors(s, dir)
+    val (base, coarse2, cb2) = ensureUpdateArtifact(s, dir)
     // serve against the UPDATED postings (both day partitions)
     val enc = s.read.parquet(s"$base/coded")
       .select("vec_id", "bucket", "codes")
     ivfPqServe(s, e, coarse2, cb2, enc)
+  }
+
+  /** Drift metric core for [[qIndexDrift]], parameterized over the
+    * postings so ApproxSpec can feed an injected shifted-distribution
+    * day-2 and assert the metric MOVES. Per coarse cell present in the
+    * postings: each day's assignment count and corpus share, the
+    * absolute share shift, and each day's mean squared PQ quantization
+    * error — `adc_distance(codes, lut(own unit))` is exactly
+    * Σ_sub ‖v_sub − codebook[sub][code]‖², so the reconstruction error
+    * falls out of the serving kernel with no extra machinery. A cell
+    * with no rows for a day carries NULL for that day's mqe. */
+  private[graft] def driftMetrics(s: SparkSession,
+      cb: Seq[Seq[Seq[Double]]], postings: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val (_, lutF) = pqKernels(s, cb)
+    def f6(c: Column) = floor(c * 1e6) / 1e6
+    val withErr = postings.join(vectors, Seq("vec_id"))
+      .withColumn("qerr", adcDist(col("codes"), lutF(col("unit"))))
+    val perCell = withErr.groupBy("bucket").agg(
+      sum(when(col("day") === 1, 1L).otherwise(0L)).as("n_day1"),
+      sum(when(col("day") === 2, 1L).otherwise(0L)).as("n_day2"),
+      sum(when(col("day") === 1, col("qerr"))).as("e1"),
+      sum(when(col("day") === 2, col("qerr"))).as("e2"))
+    val tot = perCell.agg(sum("n_day1").as("t1"), sum("n_day2").as("t2"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_day1"), col("n_day2"),
+        f6(col("n_day1") / col("t1")).as("share_day1"),
+        f6(col("n_day2") / col("t2")).as("share_day2"),
+        f6(abs(col("n_day2") / col("t2") - col("n_day1") / col("t1")))
+          .as("share_shift"),
+        f6(col("e1") / col("n_day1")).as("mqe_day1"),
+        f6(col("e2") / col("n_day2")).as("mqe_day2"))
+      .orderBy("bucket")
+  }
+
+  /** q_index_drift — frozen-quantizer drift monitor (round 14): the
+    * rebuild-trigger metric [[qSimIndexUpdate]]'s contract promises.
+    * Between scheduled rebuilds a production vector store ingests under
+    * FROZEN quantizers, so it must measure how far today's data has
+    * drifted from the distribution the quantizers were trained on —
+    * per coarse cell, the day-1 vs day-2 assignment-share shift (cells
+    * gaining or losing traffic ⇒ the coarse partition no longer matches
+    * the data) and each day's mean squared PQ quantization error (the
+    * delta compressing WORSE than the training corpus ⇒ the codebooks
+    * no longer span it). When either crosses the operator's threshold,
+    * the scheduled rebuild runs; until then ingest keeps appending.
+    *
+    * Scale shape: one scan of the persisted postings joined to the
+    * vector table on vec_id (at scale both co-partitioned by vec_id;
+    * the join is the monitor's only shuffle), the trained state rides
+    * the same bounded broadcast as serving, zero refit, and the output
+    * is O(cells). No oracle (two trained quantizers — engine-specific
+    * by design); ApproxSpec pins determinism and that an injected
+    * shifted-distribution day-2 MOVES both metric families. */
+  def qIndexDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val (base, _, cb) = ensureUpdateArtifact(s, dir)
+    val postings = s.read.parquet(s"$base/coded")
+    driftMetrics(s, cb, postings,
+      unitVectors(s, dir).select("vec_id", "unit"))
   }
 
   /** q_knn_classify — majority label among the 5 cosine-nearest neighbors
@@ -650,6 +723,7 @@ object Similarity {
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_index_persist" -> (qSimIndexPersist _),
     "q_sim_index_update" -> (qSimIndexUpdate _),
+    "q_index_drift" -> (qIndexDrift _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_embed_stats" -> (qEmbedStats _))
 

@@ -229,6 +229,58 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"recall=$recall (${(exact & got).size}/${exact.size})")
   }
 
+  test("index drift monitor is deterministic, and an injected " +
+      "shifted-distribution day-2 moves BOTH metric families") {
+    def stats(rs: Array[org.apache.spark.sql.Row]): (Double, Double) = {
+      // (max per-cell share shift, n-weighted mean day-2 quantization
+      // error) — the two rebuild-trigger families
+      val maxShift = rs.map(_.getDouble(5)).max
+      val withD2 = rs.filter(r => r.getLong(2) > 0 && !r.isNullAt(7))
+      val mqe = withD2.map(r => r.getLong(2) * r.getDouble(7)).sum /
+        withD2.map(_.getLong(2)).sum
+      (maxShift, mqe)
+    }
+    val a = llm.Similarity.qIndexDrift(spark, sf001).collect()
+    val b = llm.Similarity.qIndexDrift(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "drift monitor is not deterministic across runs")
+    val (trueShift, trueMqe) = stats(a)
+    // inject drift shaped like an upstream embedding-model swap: day-2
+    // vectors pulled hard toward the all-ones direction AND rescaled to
+    // norm 2, encoded under the SAME frozen state — assignments
+    // concentrate (share family moves) and the frozen codebooks, fit on
+    // unit-norm day-1 data, cannot span the new norm (error family
+    // moves). A pure direction pull is NOT enough: it collapses
+    // variance, which frozen codebooks fit BETTER (measured here —
+    // mqe fell 0.369 → 0.312), so the injection must move the norm too.
+    val (base, coarse, cb) =
+      llm.Similarity.ensureUpdateArtifact(spark, sf001)
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    val shifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("raw", transform(col("unit"), x => x + lit(1.0)))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("raw"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => x * 2.0 / col("nrm")).as("unit"))
+    val day1Post = spark.read.parquet(s"$base/coded")
+      .filter(col("day") === 1)
+      .select("day", "vec_id", "bucket", "codes")
+    val shiftedPost = llm.Similarity.ivfPqEncode(spark, shifted, coarse, cb)
+      .withColumn("day", lit(2))
+      .select("day", "vec_id", "bucket", "codes")
+    val vectors = e.filter(col("vec_id") % 4 =!= 3)
+      .select("vec_id", "unit").unionByName(shifted)
+    val drifted = llm.Similarity.driftMetrics(spark, cb,
+      day1Post.unionByName(shiftedPost), vectors).collect()
+    val (shiftedShift, shiftedMqe) = stats(drifted)
+    info(s"true:   max share_shift=$trueShift, mqe_day2=$trueMqe")
+    info(s"drifted: max share_shift=$shiftedShift, mqe_day2=$shiftedMqe")
+    assert(shiftedShift > trueShift,
+      s"assignment-share drift did not move: $shiftedShift <= $trueShift")
+    assert(shiftedMqe > trueMqe,
+      s"quantization-error drift did not move: $shiftedMqe <= $trueMqe")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()

@@ -31,13 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 171,
-      s"expected the SURVEY §2 171-key inventory (166 as of round 12 + " +
-        s"round 13's q_sim_index_persist, q_join_skew_aqe, " +
-        s"q_sim_index_update, q_split_holdout and q_delete_propagate), " +
+    assert(SparkEntry.queries.size == 173,
+      s"expected the SURVEY §2 173-key inventory (171 as of round 13 + " +
+        s"round 14's q_delete_execute and q_index_drift), " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 149,
-      s"expected 149 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 150,
+      s"expected 150 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -82,6 +82,61 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(readBack.count() == Tables.documents(spark, sf0001).count())
   }
 
+  test("q_delete_execute rewrites ONLY affected files (untouched files " +
+      "byte-identical) and a second pass rewrites zero files") {
+    import org.apache.spark.sql.functions._
+    def md5s(path: String): Map[String, String] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map(b => f"$b%02x").mkString
+        }.toMap
+    // spec-private layout variant: the query key mutates ITS layout in
+    // place (that is the idempotence design), so the spec builds its own
+    // fresh copy to observe the first pass regardless of test order
+    val (ordPath, liPath) =
+      llm.Governance.ensureDeletableLayouts(spark, sf0001, "spec_")
+    val del = Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("owner"))
+      .localCheckpoint(true)
+    for (path <- Seq(ordPath, liPath)) {
+      val before = md5s(path)
+      val affected = llm.Governance.deletePass(spark, path, del)
+      val affectedNames = affected
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      // the pass must touch a strict minority of the layout's files at
+      // sf0.001 (one deleted owner of 150) — affected-files-only is the
+      // whole point of the ownership clustering
+      assert(affected.nonEmpty, s"$path: fixture deleted no files")
+      assert(affectedNames.size < before.size / 2,
+        s"$path: ${affectedNames.size} of ${before.size} files affected " +
+          "— clustering is not localizing the delete")
+      val after = md5s(path)
+      // untouched files byte-identical, affected originals gone
+      before.foreach { case (name, sum) =>
+        if (!affectedNames(name))
+          assert(after.get(name).contains(sum),
+            s"$path: untouched file $name changed bytes")
+        else assert(!after.contains(name),
+          s"$path: affected file $name not removed")
+      }
+      // idempotence: the layout no longer holds any deleted owner's rows
+      val second = llm.Governance.deletePass(spark, path, del)
+      assert(second.isEmpty,
+        s"$path: second pass still rewrites ${second.length} files")
+      assert(md5s(path) == after,
+        s"$path: second pass changed the layout")
+    }
+    // and the survivor rows are exactly the NOT-IN recompute (the
+    // oracle's check, re-stated structurally over the mutated layout)
+    val delKeys = del.collect().map(_.getLong(0)).toSet
+    val survOwners = spark.read.parquet(ordPath).select("owner")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(survOwners.intersect(delKeys).isEmpty)
+  }
+
   test("q_schema_evolution backfills NULL lang exactly for the " +
       "pre-drift drop") {
     val rows = sources.Layout.qSchemaEvolution(spark, sf0001).collect()
