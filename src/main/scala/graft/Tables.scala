@@ -43,7 +43,13 @@ object Tables {
     * inference session-wide (spark.sql.parquet.inferTimestampNTZ.enabled
     * = false, making the scan itself produce LTZ) and partition the
     * table by date, so time slicing is partition pruning rather than a
-    * row filter. */
+    * row filter — DEMONSTRATED end-to-end by q_scan_timeslice
+    * (relational/ScaleOps.scala, round 14): date-partitioned events
+    * layout, the 5-of-30-day slice lands in the scan's PartitionFilters
+    * and the numPartitions metric proves only the sliced directories are
+    * read (PlanSpec pin). This closes the carried debt: the flat-table
+    * non-pushdown is permanent-by-construction on the NTZ fixture shape,
+    * and the partitioned layout is the at-scale answer, in-repo. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -129,6 +129,41 @@ object ScaleOps {
       .orderBy("o_year", "o_month")
   }
 
+  /** q_scan_timeslice — date-partitioned events layout + pruned time
+    * slice (round 14): closes the events loader's carried NTZ debt
+    * (Tables.scala) the way its own doc comment prescribes. The loader's
+    * NTZ→LTZ cast sits above the scan, so a literal ts predicate on the
+    * FLAT table can never reach the parquet reader as a pushed filter;
+    * the at-scale answer is to not filter raw ts at all — partition the
+    * events table by event date once at ingest, and time slicing becomes
+    * PARTITION PRUNING (directories never listed into the scan) with the
+    * residual intra-day predicate evaluated only inside surviving
+    * partitions. Layout is fingerprint-keyed + `_SUCCESS`-guarded like
+    * the other §2.14 layouts; the query slices 5 of 30 days and keeps an
+    * hour-of-day residual to show the two-level shape. PlanSpec asserts
+    * the date bounds land in the scan's PartitionFilters and that the
+    * scan reads exactly the sliced partitions. At 100 TB this is the
+    * difference between listing+reading 30 days and 5 — the standard
+    * event-log layout every telemetry pipeline writes. */
+  def qScanTimeslice(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"events_part_${tag(dir, "events")}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_date").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("event_date")
+        .between(lit("2024-01-10"), lit("2024-01-14")))
+      .filter(hour(col("ts")) < 12)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_date")
+  }
+
   /** q_join_range_binned — range join via grid-cell binning (round 7):
     * events are matched to varying-width value bands (lo = b², hi =
     * (b+1)², b < 23 — quadratic so widths genuinely vary) NOT with the
@@ -428,6 +463,7 @@ object ScaleOps {
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_scan_partitioned" -> (qScanPartitioned _),
+    "q_scan_timeslice" -> (qScanTimeslice _),
     "q_join_range_binned" -> (qJoinRangeBinned _),
     "q_filter_bloom" -> (qFilterBloom _),
     "q_join_cbo" -> (qJoinCbo _),
@@ -435,6 +471,17 @@ object ScaleOps {
     "q_join_bloom_runtime" -> (qJoinBloomRuntime _))
 
   val oracle: Map[String, String] = Map(
+    "q_scan_timeslice" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE)
+        |        BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+        |  AND EXTRACT(hour FROM ts) < 12
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_join_skew_aqe" ->
       """WITH li AS (
         |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0

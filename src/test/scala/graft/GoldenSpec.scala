@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 173,
-      s"expected the SURVEY §2 173-key inventory (171 as of round 13 + " +
-        s"round 14's q_delete_execute and q_index_drift), " +
-        s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 150,
-      s"expected 150 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 174,
+      s"expected the SURVEY §2 174-key inventory (171 as of round 13 + " +
+        s"round 14's q_delete_execute, q_index_drift and " +
+        s"q_scan_timeslice), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 151,
+      s"expected 151 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -262,6 +262,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(years.forall(y => y >= 1995 && y <= 1996))
   }
 
+  test("q_scan_timeslice: the date slice is a PartitionFilter (5 of 30 " +
+      "day directories read), the hour residual stays a data filter") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = relational.ScaleOps.qScanTimeslice(spark, sf0001)
+    df.collect() // materialize so the scan's driver metrics are final
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no FileSourceScanExec in the plan"))
+    val str = scan.toString
+    // the date bounds must be PARTITION filters — pruned at listing
+    // time, before any file IO — not data filters evaluated per row
+    assert(str.contains("PartitionFilters") &&
+      str.indexOf("event_date", str.indexOf("PartitionFilters")) > 0,
+      s"date slice did not land in PartitionFilters:\n$str")
+    // the intra-day residual is NOT a partition predicate: it must not
+    // appear among the PartitionFilters (it is evaluated per row, but
+    // only over rows of the 5 surviving day directories)
+    val partFilters = str.drop(str.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(!partFilters.contains("hour"),
+      s"hour residual leaked into PartitionFilters: $partFilters")
+    // pruning proof: the scan read exactly the 5 sliced day partitions
+    val partMetric = scan.metrics.get("numPartitions")
+    assert(partMetric.isDefined, "partitioned scan exposes numPartitions")
+    assert(partMetric.get.value == 5,
+      s"expected 5 day partitions read, got ${partMetric.get.value}")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     // q_join_range_binned's whole point: the grid-cell rewrite turns the
     // interval predicate into a hashable equi-key; a theta-join here
