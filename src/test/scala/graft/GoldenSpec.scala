@@ -31,10 +31,9 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 174,
-      s"expected the SURVEY §2 174-key inventory (171 as of round 13 + " +
-        s"round 14's q_delete_execute, q_index_drift and " +
-        s"q_scan_timeslice), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 175,
+      s"expected the SURVEY §2 175-key inventory (174 as of round 14 + " +
+        s"round 15's q_index_rebuild), got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 151,
       s"expected 151 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }

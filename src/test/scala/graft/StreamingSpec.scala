@@ -228,6 +228,76 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"got ${admitted.length}")
   }
 
+  test("streaming delete queue: foreachBatch applies micro-batched " +
+      "deletion manifests through deletePass; a replayed batch rewrites " +
+      "zero files and survivors equal the one-shot batch delete " +
+      "(streaming half of q_delete_execute)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a production privacy queue arrives as a STREAM of deletion
+    // requests; each micro-batch manifest is applied through the same
+    // affected-files-only rewrite the batch key runs. The properties
+    // under test: at-least-once safety (re-delivering an already-applied
+    // manifest rewrites ZERO files — deletePass discovery finds nothing,
+    // the q_dedup_manifest_update replay discipline) and batch-boundary
+    // irrelevance (survivors after N micro-batches == one-shot delete
+    // of the union manifest).
+    val (ordS, liS) =
+      llm.Governance.ensureDeletableLayouts(spark, sf0001, "specstream_")
+    val (ordB, liB) =
+      llm.Governance.ensureDeletableLayouts(spark, sf0001, "specbatch_")
+    // %29 keeps ~5 requests at sf0.001 (the %97 batch-key manifest has
+    // only one owner here — not enough to micro-batch)
+    val owners = Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 29 === 0)
+      .select(col("c_custkey")).as[Long].collect().sorted.toSeq
+    assert(owners.length >= 2,
+      s"need >= 2 deletion requests to micro-batch, got ${owners.length}")
+    val rewrites = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("owner")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val del = batch.select("owner").localCheckpoint(true)
+        rewrites += (
+          llm.Governance.deletePass(batch.sparkSession, ordS, del).length +
+          llm.Governance.deletePass(batch.sparkSession, liS, del).length)
+        ()
+      }
+      .start()
+    val (h, t) = owners.splitAt(owners.length / 2)
+    mem.addData(h); q.processAllAvailable()
+    mem.addData(t); q.processAllAvailable()
+    mem.addData(h) // the first manifest batch re-delivered
+    q.processAllAvailable(); q.stop()
+    assert(rewrites.length == 3, s"expected 3 micro-batches, got $rewrites")
+    assert(rewrites(0) + rewrites(1) > 0,
+      "the live manifests never rewrote a file — nothing was deleted")
+    assert(rewrites(2) == 0,
+      s"replayed manifest rewrote ${rewrites(2)} files (not replay-safe)")
+    // batch-boundary irrelevance: one-shot delete of the union manifest
+    // on the reference layout pair must leave the same survivors
+    val delAll = Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 29 === 0)
+      .select(col("c_custkey").as("owner")).localCheckpoint(true)
+    llm.Governance.deletePass(spark, ordB, delAll)
+    llm.Governance.deletePass(spark, liB, delAll)
+    def keysOf(ordPath: String, liPath: String): Set[(String, Long, Long)] =
+      spark.read.parquet(ordPath)
+        .select(lit("o"), col("o_orderkey"), lit(0L)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ++
+      spark.read.parquet(liPath)
+        .select(lit("l"), col("l_orderkey"),
+          col("l_linenumber").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = keysOf(ordS, liS)
+    val oneShot = keysOf(ordB, liB)
+    assert(streamed == oneShot,
+      s"streamed survivors diverge from one-shot delete: " +
+        s"only-stream=${(streamed -- oneShot).take(3)} " +
+        s"only-batch=${(oneShot -- streamed).take(3)}")
+  }
+
   test("streaming index ingest: foreachBatch encodes micro-batches under " +
       "frozen quantizers; final postings == one batch encode of all " +
       "arrivals (streaming half of q_sim_index_update)") {
