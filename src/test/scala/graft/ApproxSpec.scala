@@ -281,6 +281,56 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"quantization-error drift did not move: $shiftedMqe <= $trueMqe")
   }
 
+  test("drift monitor's assigned-centroid error kernel matches an " +
+      "independent driver-side recomputation per cell") {
+    // the round-15 kernel reads only the 16 assigned centroids per row
+    // (the serving-LUT reuse computed all 256 distances); this pins that
+    // it still computes exactly sum_sub ||v_sub - cb[sub][code_sub]||^2
+    // by recomputing every per-cell aggregate from collected rows with
+    // plain Scala. Tolerance 2e-6: the agg's float sum order is
+    // partition-dependent and the output sits on a 1e-6 floor grid.
+    val (base, _, cb) = llm.Similarity.ensureUpdateArtifact(spark, sf001)
+    val vectors = llm.Similarity.unitVectors(spark, sf001)
+      .select("vec_id", "unit")
+    val postings = spark.read.parquet(s"$base/coded")
+    val got = llm.Similarity.driftMetrics(spark, cb, postings, vectors)
+      .collect()
+    val units = vectors.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val books = cb.map(_.map(_.toArray).toArray).toArray
+    val agg = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Double, Double)]
+    postings.select("day", "vec_id", "bucket", "codes").collect()
+      .foreach { r =>
+        val (day, vid, bucket) = (r.getInt(0), r.getLong(1), r.getInt(2))
+        val codes = r.getSeq[Int](3)
+        val u = units(vid)
+        var err = 0.0; var i = 0
+        while (i < books.length) {
+          val cent = books(i)(codes(i)); val d = cent.length
+          var s = 0.0; var k = 0
+          while (k < d) { val t = cent(k) - u(i * d + k); s += t * t; k += 1 }
+          err += s; i += 1
+        }
+        val (n1, n2, e1, e2) = agg.getOrElse(bucket, (0L, 0L, 0.0, 0.0))
+        agg(bucket) =
+          if (day == 1) (n1 + 1, n2, e1 + err, e2)
+          else (n1, n2 + 1, e1, e2 + err)
+      }
+    assert(got.map(_.getInt(0)).toSet == agg.keySet,
+      "cell set diverged from the independent recomputation")
+    got.foreach { r =>
+      val (n1, n2, e1, e2) = agg(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2)) == (n1, n2),
+        s"cell ${r.getInt(0)}: day counts diverged")
+      def close(a: Double, b: Double) = math.abs(a - b) <= 2e-6
+      assert(n1 == 0 || close(r.getDouble(6), e1 / n1),
+        s"cell ${r.getInt(0)}: mqe_day1 ${r.getDouble(6)} != ${e1 / n1}")
+      assert(n2 == 0 || close(r.getDouble(7), e2 / n2),
+        s"cell ${r.getInt(0)}: mqe_day2 ${r.getDouble(7)} != ${e2 / n2}")
+    }
+  }
+
   test("index rebuild: old artifact byte-identical across the swap, " +
       "deterministic serve, and retraining on a drifted corpus keeps " +
       "recall at or above the frozen-state serve") {
