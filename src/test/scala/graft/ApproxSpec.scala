@@ -415,6 +415,37 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(post >= 0.6, s"rebuilt-index recall floor violated: $post")
   }
 
+  test("post-rebuild append: re-encoding arrivals under the REBUILT " +
+      "frozen state serves row-identically (the lifecycle restarts on " +
+      "the new artifact)") {
+    // after a rebuild the train -> persist -> append -> monitor cycle
+    // must RESTART against the rebuilt artifact: ingest keeps appending
+    // under the (new) frozen quantizers. Encode is per-row and stateless
+    // given the state, so re-encoding any slice under the rebuilt
+    // read-back state and unioning it with the untouched rows must serve
+    // row-identically to the rebuilt artifact itself — the
+    // q_sim_index_update equivalence applied to the post-rebuild state.
+    llm.Similarity.qIndexRebuild(spark, sf001).count()
+    val rb = llm.Similarity.updateArtifactBase(sf001) + "_rebuilt"
+    val (coarse, cb) = llm.Similarity.readIvfPqState(spark, rb)
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    val arrivals = e.filter(col("vec_id") % 8 === 7)
+    val appended = spark.read.parquet(s"$rb/coded")
+      .select("vec_id", "bucket", "codes")
+      .filter(col("vec_id") % 8 =!= 7)
+      .unionByName(llm.Similarity.ivfPqEncode(spark, arrivals, coarse, cb))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val served = rows(
+      llm.Similarity.ivfPqServe(spark, e, coarse, cb, appended))
+    val full = rows(llm.Similarity.ivfPqServe(spark, e, coarse, cb,
+      spark.read.parquet(s"$rb/coded").select("vec_id", "bucket", "codes")))
+    assert(served == full,
+      s"append under the rebuilt state diverged from the rebuilt serve; " +
+        s"first diff: ${served.zip(full).find { case (a, b) => a != b }}")
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()
