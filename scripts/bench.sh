@@ -17,4 +17,4 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
 java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench "${@:3}"
+  graft.${GRAFT_MAIN:-Bench} "${@:3}"

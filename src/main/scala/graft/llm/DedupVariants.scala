@@ -279,55 +279,66 @@ object DedupVariants {
   }
 
   /** q_dedup_embed_bucketed — the 100 TB path for q_dedup_embed: the same
-    * cosine ≥ 0.3 pair semantics, but candidates come from an IVF coarse
-    * quantizer instead of the all-pairs join (VERDICT r3 "weak" flag).
+    * cosine ≥ 0.3 pair semantics, but candidates come from a union of
+    * coarse quantizers instead of the all-pairs join (VERDICT r3 "weak"
+    * flag).
     *
-    * Shape: a seeded KMeans (k=8) buckets the corpus; each vector is
-    * multi-assigned to its 3 nearest centroids so a pair straddling a
-    * bucket boundary still co-occurs in at least one bucket; candidate
-    * pairs are generated per bucket (id_a < id_b, distinct), and the
-    * exact cosine filter — literally q_dedup_embed's final predicate —
-    * runs only on candidates. Cost: centroids broadcast (k·dim doubles),
-    * pair space Σ_b |bucket_b|²/2 ≈ (p²/k)·n²/2 instead of n²/2, and
-    * every stage is a keyed shuffle — no driver collect, no cross join.
-    * q_dedup_embed remains the exact calibration twin; ApproxSpec asserts
-    * recall ≥ 0.95 against it at sf0.01 (precision is 1.0 by
-    * construction — the final filter is exact). No oracle (bucketing is
-    * model-dependent). */
+    * Shape (round 16): L=3 INDEPENDENT seeded driver-side Lloyd fits
+    * (the q_sim_* trainer — deterministic, zero scheduler jobs; fit on
+    * the bounded vec_id-ordered sample, the FAISS discipline) each
+    * bucket the corpus; a vector is multi-assigned to its P=4 nearest
+    * centroids PER quantizer, candidate pairs are generated per bucket
+    * (id_a < id_b), and the exact cosine filter — literally
+    * q_dedup_embed's final predicate — runs only on candidates. The
+    * multi-quantizer union is the repetition trick of the randomized
+    * k-means-tree ANN family (FLANN; LSH OR-amplification over
+    * partitions): a true pair is lost only if EVERY fit splits it, so
+    * independent fits trade candidate volume for boundary recall far
+    * better than more probes on one fit. Measured at the r16 retune
+    * (SCALE.md): recall 0.982 at sf0.01 / 0.936 at sf0.1 vs the r15
+    * MLlib single-quantizer's 0.954 / 0.885, candidate ratio 0.61 of
+    * all-pairs at sf0.1 with theoretical L·P²/K = 0.6 falling as K
+    * grows ~√n. Cost: centroids broadcast (L·K·dim doubles), pair
+    * space Σ_b |bucket_b|²/2 per quantizer, every stage a keyed
+    * shuffle — no driver collect beyond the bounded training sample,
+    * no cross join over data. q_dedup_embed remains the exact
+    * calibration twin; ApproxSpec asserts recall ≥ 0.95 against it at
+    * sf0.01 (precision is 1.0 by construction — the final filter is
+    * exact). No oracle (bucketing is model-dependent). */
   def qDedupEmbedBucketed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     graft.functions.NativeFunctions.register(s)
-    // k=24 buckets with p=4 multi-probe: the candidate pair space is
-    // ~ (p²/k)·n²/2 = two-thirds of the all-pairs space at this k, and
-    // the ratio keeps falling as k grows with the corpus (k ~ √n is the
-    // usual IVF sizing; the fixed 24 here matches the harness corpus).
-    val K = 24
-    val P = 4
+    val K = 80 // per-quantizer cells; L·P²/K = 0.6 of all-pairs, shrinking
+    val P = 4  // probes per quantizer
+    val L = 3  // independent quantizers (union of candidates)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val feat = e.withColumn("features", array_to_vector(col("emb")))
-    val km = new KMeans().setK(K).setSeed(42L).setFeaturesCol("features")
-      .setPredictionCol("b0")
-    val model = km.fit(feat)
+    // bounded deterministic training sample (first 4096 by vec_id, the
+    // pqSample discipline): fit cost is scale-free, encode/probe stay
+    // fully distributed
+    val sample = e.orderBy("vec_id").limit(4096).select("emb")
+      .collect().map(_.getSeq[Double](0).toArray)
     val cents = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.toIndexedSeq
-        .map { case (c, i) =>
-          (i, c.toArray.toSeq, c.toArray.map(x => x * x).sum) })
+      (0 until L).flatMap { l =>
+        Similarity.lloydBestSeeded(sample, K, 20, restarts = 1,
+          seedBase = 42L + 1000L * l).zipWithIndex.map { case (c, i) =>
+          (l * K + i, c.toSeq, c.map(x => x * x).sum) }
+      }.toIndexedSeq)
       .toDF("bucket", "cemb", "cnrm2")
-    // multi-probe assignment: P nearest centroids per vector. Distance via
-    // ||v||² + ||c||² − 2·v·c with the codegen'd array_dot — the
-    // interpreted zip_with form makes this n·K scan the bottleneck.
+    // multi-probe assignment: P nearest centroids per (vector, quantizer).
+    // Distance via ||v||² + ||c||² − 2·v·c with the codegen'd array_dot —
+    // the interpreted zip_with form makes this n·L·K scan the bottleneck.
     val assigned = e
       .crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") * col("nrm") + col("cnrm2") -
           lit(2.0) * call_function("array_dot", col("emb"), col("cemb")))
+      .withColumn("quant", floor(col("bucket") / lit(K)))
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id", "quant")
           .orderBy(col("d2").asc, col("bucket").asc)))
       .filter(col("rn") <= P)
       .select("bucket", "vec_id", "emb", "nrm")

@@ -214,13 +214,17 @@ object Similarity {
     * in a poor optimum for the 64-dim coarse fit: 0.56 recall vs the
     * 0.6 floor regardless of iterations). Deterministic: fixed seed
     * sequence, strict < keeps the earliest-seed winner on ties. */
-  private def lloydBest(pts: Array[Array[Double]], k: Int, iters: Int,
-      restarts: Int): Array[Array[Double]] = {
+  private[graft] def lloydBest(pts: Array[Array[Double]], k: Int,
+      iters: Int, restarts: Int): Array[Array[Double]] =
+    lloydBestSeeded(pts, k, iters, restarts, 42L)
+
+  private[graft] def lloydBestSeeded(pts: Array[Array[Double]], k: Int,
+      iters: Int, restarts: Int, seedBase: Long): Array[Array[Double]] = {
     val d = pts(0).length
     var best: Array[Array[Double]] = null; var bestSse = Double.MaxValue
     var r = 0
     while (r < restarts) {
-      val cents = lloyd(pts, k, iters, 42L + r)
+      val cents = lloyd(pts, k, iters, seedBase + r)
       var sse = 0.0; var p = 0
       while (p < pts.length) {
         val pt = pts(p); var bd = Double.MaxValue; var c = 0
