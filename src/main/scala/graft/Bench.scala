@@ -211,16 +211,12 @@ object Bench {
 
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    // Keys whose timed work MUTATES their own input (q_delete_execute
-    // rewrites its ownership-clustered layout in place): any re-run
-    // times a converged NO-OP discovery pass, so min-of-reruns would
-    // silently replace the real rewrite cost with the no-op cost
-    // (ADVICE r14). These keys keep their FIRST invocation's time —
-    // excluded from both the end-of-pass suspect re-run and the
-    // calibration-dirty pass-2 minimum. q_index_rebuild is in the same
-    // class: its done-marker means a re-run serves the already-rebuilt
-    // artifact instead of paying the retrain + re-encode + swap.
-    val firstRunOnly = Set("q_delete_execute", "q_index_rebuild")
+    // Round 16: the firstRunOnly carve-out (ADVICE r14/r15) is gone.
+    // The two self-mutating keys now reset their own state per
+    // invocation — q_delete_execute rewrites a fresh hardlink snapshot
+    // of the pristine layout, q_index_rebuild lands each rebuild in a
+    // fresh versioned dir — so every re-run repays the real work and
+    // min-of-reruns / starved-retry protection applies to all keys.
     /** One full pass over every key, with the end-of-pass re-run of
       * per-key contention suspects (starved JVM: cpu ≪ wall, or ≥3× the
       * key's reference time). cpu may read negative if the JVM doesn't
@@ -234,7 +230,7 @@ object Bench {
         val starved = wall >= 1.0 && cpu >= 0.0 && cpu < 0.6 * wall
         val outlier = ref.get(name)
           .exists(r => wall > 3.0 * r && wall > r + 2.0)
-        val suspect = ok && !firstRunOnly(name) && (starved || outlier)
+        val suspect = ok && (starved || outlier)
         if (!suspect) (name, wall, cpu, ok, false)
         else {
           val (w2, c2, ok2) = timed(fn, name)
@@ -269,10 +265,8 @@ object Bench {
         val byKey2 = pass2.map(r => r._1 -> r).toMap
         pass1.map { case r1 @ (k, w1, _, ok1, rr1) =>
           byKey2.get(k) match {
-            // self-mutating keys: pass 2 timed a no-op, so its (smaller)
-            // wall time is not comparable — keep pass 1 unless it failed
             case Some((_, w2, c2, ok2, rr2))
-                if ok2 && !(firstRunOnly(k) && ok1) && (!ok1 || w2 < w1) =>
+                if ok2 && (!ok1 || w2 < w1) =>
               (k, w2, c2, ok2, rr1 || rr2)
             case Some((_, _, _, _, rr2)) => r1.copy(_5 = rr1 || rr2)
             case None => r1

@@ -756,13 +756,29 @@ object Similarity {
     * design); ApproxSpec pins post-rebuild recall on an injected
     * drifted corpus ≥ the frozen-state serve's recall, and
     * old-artifact immutability. */
+  private val rebuildInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Serving dir of the most recent [[qIndexRebuild]] — each invocation
+    * rebuilds into a fresh versioned dir (see below), so specs that need
+    * the landed artifact read this instead of a fixed path. */
+  private[graft] val lastRebuilt =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def qIndexRebuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     // the index being replaced must exist (read-only guard: no
     // re-ingest; warmed untimed in Bench with the other artifacts)
     ensureUpdateArtifactOnce(s, dir): Unit
     val e = unitVectors(s, dir)
-    val serving = rebuildInto(s, e, updateArtifactBase(dir) + "_rebuilt")
+    // a fresh serving dir per invocation: the rebuild (retrain +
+    // re-encode + swap) IS this key's semantics, so re-runs must pay it
+    // again instead of serving a done-marker (VERDICT r15 item 2 /
+    // ADVICE r15 — restores min-of-reruns protection). Versioned dirs
+    // are also what retention/rollback operate over (q_index_rollback).
+    val serving = rebuildInto(s, e, updateArtifactBase(dir) +
+      s"_rebuilt_v${rebuildInvocation.incrementAndGet()}")
+    lastRebuilt.set(serving)
     val (coarse, cb) = readIvfPqState(s, serving)
     ivfPqServe(s, e, coarse, cb, s.read.parquet(s"$serving/coded"))
   }

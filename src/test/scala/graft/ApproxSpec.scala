@@ -357,8 +357,11 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       "rebuild touched the old incremental artifact")
     // no orphaned staging dir: the atomic move consumed it
     assert(!new java.io.File(
-      llm.Similarity.updateArtifactBase(sf001) + "_rebuilt.staging")
+      llm.Similarity.lastRebuilt.get + ".staging")
       .exists(), "staging dir survived the swap")
+    // each invocation rebuilds into a FRESH versioned dir (r16: re-runs
+    // pay the real retrain+re-encode), so a == b now pins end-to-end
+    // rebuild determinism, not just serve-from-artifact determinism
     val b = llm.Similarity.qIndexRebuild(spark, sf001).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
       "rebuilt-index serve is not deterministic")
@@ -426,7 +429,7 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     // row-identically to the rebuilt artifact itself — the
     // q_sim_index_update equivalence applied to the post-rebuild state.
     llm.Similarity.qIndexRebuild(spark, sf001).count()
-    val rb = llm.Similarity.updateArtifactBase(sf001) + "_rebuilt"
+    val rb = llm.Similarity.lastRebuilt.get
     val (coarse, cb) = llm.Similarity.readIvfPqState(spark, rb)
     val e = llm.Similarity.unitVectors(spark, sf001)
     val arrivals = e.filter(col("vec_id") % 8 === 7)
