@@ -119,7 +119,8 @@ object Bench {
     // timed monitor is then its postings scan; the timed update still
     // re-encodes day-2 every invocation — that IS ingest's semantics.
     if (only.isEmpty || only("q_index_drift") ||
-        only("q_sim_index_update") || only("q_index_rebuild")) {
+        only("q_sim_index_update") || only("q_index_rebuild") ||
+        only("q_index_policy")) {
       warnWarm("setup sim update artifact") {
         llm.Similarity.ensureUpdateArtifact(spark, sfDir): Unit
       }

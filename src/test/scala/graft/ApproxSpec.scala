@@ -21,7 +21,7 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("profileTableApprox matches the exact profiler on every stat and " +
+  test("q_profile_table_approx matches the exact profiler on every stat and " +
       "lands distincts within 10%") {
     def byCol(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getString(0) ->
@@ -29,7 +29,7 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
           r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     val exact = byCol(relational.Stats.qProfileTable(spark, sf001).collect())
     val approx =
-      byCol(relational.Stats.profileTableApprox(spark, sf001).collect())
+      byCol(relational.Stats.qProfileTableApprox(spark, sf001).collect())
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (c, (n, nulls, dist, mn, mx, avg)) =>
       val (an, anulls, adist, amn, amx, aavg) = approx(c)
@@ -449,6 +449,97 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
         s"first diff: ${served.zip(full).find { case (a, b) => a != b }}")
   }
 
+  test("q_index_policy: rebuild=0 on the clean corpus, rebuild=1 under " +
+      "the injected model-swap drift, thresholds hold 2x margin") {
+    def decision(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()
+      assert(r.length == 1, "policy must emit exactly one decision row")
+      (r(0).getDouble(0), r(0).getDouble(3), r(0).getInt(6))
+    }
+    // clean corpus: the key's own path (monitor -> policy), deterministic
+    val a = llm.Similarity.qIndexPolicy(spark, sf001)
+    val (cleanShift, cleanRatio, cleanDecision) = decision(a)
+    assert(cleanDecision == 0,
+      s"clean corpus must not trigger a rebuild " +
+        s"(shift=$cleanShift ratio=$cleanRatio)")
+    // both statistics sit at least 1.5x BELOW their thresholds — the
+    // policy isn't one noise wiggle away from a spurious rebuild.
+    // (1.5x, not 2x: the clean mqe ratio is ~1.21, not ~1.0, because
+    // day-2 is out-of-sample for the day-1-trained codebooks)
+    assert(cleanShift * 1.5 <= llm.Similarity.PolicyShiftThresh,
+      s"clean shift $cleanShift too close to threshold")
+    assert(cleanRatio * 1.5 <= llm.Similarity.PolicyMqeRatioThresh,
+      s"clean mqe ratio $cleanRatio too close to threshold")
+    val b = llm.Similarity.qIndexPolicy(spark, sf001).collect()
+    assert(a.collect().map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "policy decision is not deterministic")
+    // injected drift: the same model-swap injection the monitor test
+    // uses (day-2 pulled toward all-ones, rescaled to norm 2)
+    val (base, coarse, cb) =
+      llm.Similarity.ensureUpdateArtifact(spark, sf001)
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    val shifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("raw", transform(col("unit"), x => x + lit(1.0)))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("raw"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => x * 2.0 / col("nrm")).as("unit"))
+    val day1Post = spark.read.parquet(s"$base/coded")
+      .filter(col("day") === 1)
+      .select("day", "vec_id", "bucket", "codes")
+    val shiftedPost = llm.Similarity.ivfPqEncode(spark, shifted, coarse, cb)
+      .withColumn("day", lit(2))
+      .select("day", "vec_id", "bucket", "codes")
+    val vectors = e.filter(col("vec_id") % 4 =!= 3)
+      .select("vec_id", "unit").unionByName(shifted)
+    val (dShift, dRatio, dDecision) = decision(llm.Similarity.indexPolicy(
+      llm.Similarity.driftMetrics(spark, cb,
+        day1Post.unionByName(shiftedPost), vectors)))
+    info(s"clean: shift=$cleanShift ratio=$cleanRatio; " +
+      s"drifted: shift=$dShift ratio=$dRatio")
+    assert(dDecision == 1,
+      s"injected drift must trigger a rebuild (shift=$dShift ratio=$dRatio)")
+    // and with 2x margin ABOVE at least one threshold
+    assert(dShift >= 2 * llm.Similarity.PolicyShiftThresh ||
+      dRatio >= 2 * llm.Similarity.PolicyMqeRatioThresh,
+      s"drifted stats too close to thresholds: shift=$dShift ratio=$dRatio")
+  }
+
+  test("q_index_rollback: rollback serves the prior artifact " +
+      "row-identically and the retention window prunes") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val served = rows(llm.Similarity.qIndexRollback(spark, sf001))
+    val root = llm.Similarity.lastStore.get
+    // the pointer moved back to the good version
+    assert(llm.Similarity.readCurrent(root) == "v1",
+      s"CURRENT is ${llm.Similarity.readCurrent(root)}, expected v1")
+    // rollback serves the prior (good) artifact row-identically
+    val e = llm.Similarity.unitVectors(spark, sf001)
+    def serveFrom(v: String) = {
+      val (c, cb) = llm.Similarity.readIvfPqState(spark, s"$root/$v")
+      rows(llm.Similarity.ivfPqServe(spark, e, c, cb,
+        spark.read.parquet(s"$root/$v/coded")))
+    }
+    assert(served == serveFrom("v1"),
+      "post-rollback serve diverged from the v1 artifact")
+    // the bad version was genuinely different — rollback changed reality
+    assert(serveFrom("v2") != served,
+      "bad version served identically; the incident fixture is vacuous")
+    // the bad version stays retained (incident evidence), and
+    // publishing past the window prunes the oldest: publish v3, v4 on
+    // a tiny corpus -> v1 must be pruned, CURRENT follows the publishes
+    llm.Similarity.publishVersion(spark, e.filter(col("vec_id") < 50),
+      root): Unit
+    llm.Similarity.publishVersion(spark, e.filter(col("vec_id") < 50),
+      root): Unit
+    assert(llm.Similarity.listVersions(root) == Seq(2, 3, 4),
+      s"retention window broken: ${llm.Similarity.listVersions(root)}")
+    assert(llm.Similarity.readCurrent(root) == "v4")
+    // no torn pointer writes left behind
+    assert(!new java.io.File(root, ".CURRENT.tmp").exists())
+  }
+
   test("IVF-bucketed embed dedup: recall >= 0.95 and exact precision") {
     val exact = llm.DedupVariants.qDedupEmbed(spark, sf001)
       .select("id_a", "id_b").collect()
@@ -460,8 +551,9 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     // pair must also be in the exact twin (precision = 1.0)...
     assert(bucketed.subsetOf(exact),
       s"false positives: ${(bucketed -- exact).take(5)}")
-    // ...and multi-probe assignment (3 nearest of 8 centroids) must keep
-    // recall high even for boundary-straddling pairs
+    // ...and the unioned multi-quantizer assignment (4 nearest per each
+    // of 3 independent fits) must keep recall high even for
+    // boundary-straddling pairs
     val recall = (exact & bucketed).size.toDouble / exact.size
     assert(recall >= 0.95, s"recall=$recall (${bucketed.size}/${exact.size})")
   }

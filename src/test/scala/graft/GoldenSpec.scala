@@ -31,9 +31,10 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 175,
-      s"expected the SURVEY §2 175-key inventory (174 as of round 14 + " +
-        s"round 15's q_index_rebuild), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 178,
+      s"expected the SURVEY §2 178-key inventory (175 as of round 15 + " +
+        s"round 16's q_profile_table_approx/q_index_policy/" +
+        s"q_index_rollback), got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 151,
       s"expected 151 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }

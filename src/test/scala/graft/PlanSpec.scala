@@ -32,7 +32,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "unexpected extra Expand beyond the multi-distinct rewrite")
     // the documented 100 TB swap (approx_count_distinct) must remove the
     // Expand entirely: one scan, one partial-merge aggregate
-    val approxPlan = planOf(relational.Stats.profileTableApprox(
+    val approxPlan = planOf(relational.Stats.qProfileTableApprox(
       spark, sf0001))
     assert(!approxPlan.contains("Expand"),
       "approx profiler should be Expand-free (single-scan HLL)")
