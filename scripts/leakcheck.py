@@ -19,7 +19,6 @@ import re
 import secrets
 import subprocess
 import sys
-import tempfile
 
 # Category -> pattern. Mirrors the harness categories: anything that
 # looks like a non-public import, host, bucket, credential, or tracker
@@ -48,9 +47,21 @@ REDACTED_CATEGORIES = {"api-key", "env-secret"}
 # committed), is generated once, and is stable across runs on the same
 # machine — so two runs can still tell whether a hit is the same match,
 # but the committed digest is useless without the key.
-SALT_PATH = os.environ.get(
-    "GRAFT_LEAKCHECK_SALT",
-    os.path.join(tempfile.gettempdir(), "graft_leakcheck_salt"))
+#
+# ADVICE r15 hardening: the key lives in a per-user state dir (not
+# world-writable /tmp, where another local user could pre-plant a known
+# key or a symlink, and where a reboot wipe would churn every committed
+# digest), and is created with O_CREAT|O_EXCL|O_NOFOLLOW at 0600 so it
+# is never written through a symlink or with a readable window.
+
+
+def default_salt_path():
+    state = os.environ.get("XDG_STATE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".local", "state")
+    return os.path.join(state, "graft", "leakcheck_salt")
+
+
+SALT_PATH = os.environ.get("GRAFT_LEAKCHECK_SALT", default_salt_path())
 
 
 def redaction_key():
@@ -62,9 +73,15 @@ def redaction_key():
     except OSError:
         pass
     key = secrets.token_bytes(32)
-    with open(SALT_PATH, "wb") as fh:
-        fh.write(key)
-    os.chmod(SALT_PATH, 0o600)
+    os.makedirs(os.path.dirname(SALT_PATH), mode=0o700, exist_ok=True)
+    flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    if hasattr(os, "O_NOFOLLOW"):
+        flags |= os.O_NOFOLLOW
+    fd = os.open(SALT_PATH, flags, 0o600)
+    try:
+        os.write(fd, key)
+    finally:
+        os.close(fd)
     return key
 
 
