@@ -558,6 +558,25 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.95, s"recall=$recall (${bucketed.size}/${exact.size})")
   }
 
+  test("IVF-bucketed embed dedup holds recall >= 0.9 at sf0.1 too " +
+      "(the bench corpus — 4x the vectors, same fixed K)") {
+    // the r16 multi-quantizer union measured 0.936 here vs the retired
+    // MLlib single-fit's 0.885: this floor would have FAILED the old
+    // design, so it pins the at-scale advantage, not just the toy-scale
+    // contract, and guards the fixed-K recall decay as n grows
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = llm.DedupVariants.qDedupEmbed(spark, sf01)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = llm.DedupVariants.qDedupEmbedBucketed(spark, sf01)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact),
+      s"false positives: ${(bucketed -- exact).take(5)}")
+    val recall = (exact & bucketed).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
   test("ngram-Jaccard dedup finds the same pairs as MinHash-LSH here") {
     val exact = llm.DedupVariants.qDedupNgram(spark, sf001)
       .select("id_a", "id_b").collect()
