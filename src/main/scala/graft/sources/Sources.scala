@@ -94,6 +94,32 @@ object Sources {
       .orderBy("s_suppkey")
   }
 
+  /** q_scan_xml — part → XML (Spark 4's built-in XML source, the
+    * spark-xml connector merged into sql/core) → read back with explicit
+    * schema and rowTag. XML is the classic enterprise ingest edge
+    * (feeds, exports, config dumps); like CSV/JSON it is a row-oriented
+    * text format read here only to prove the round-trip — at 100 TB it
+    * is converted to parquet at ingest, never stored. Doubles survive
+    * exactly because Java's Double.toString/parse round-trip is
+    * lossless, which the oracle's hash against the parquet original
+    * verifies. */
+  def qScanXml(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s"xml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.part(s, dir)
+      .select("p_partkey", "p_name", "p_size", "p_retailprice")
+      .coalesce(1)
+      .write.mode("overwrite").option("rootTag", "parts")
+      .option("rowTag", "part").format("xml").save(path)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    s.read.schema(schema).option("rowTag", "part").format("xml").load(path)
+      .select("p_partkey", "p_name", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   /** q_scan_binary — the `binaryFile` source: the multimodal ingest edge
     * (an image/audio landing bucket read as whole-file rows). Fixture:
     * each document's synthesized payload (its UTF-8 text — the same
@@ -216,6 +242,7 @@ object Sources {
     "q_scan_csv" -> (qScanCsv _),
     "q_scan_json" -> (qScanJson _),
     "q_scan_orc" -> (qScanOrc _),
+    "q_scan_xml" -> (qScanXml _),
     "q_scan_text" -> (qScanText _),
     "q_scan_binary" -> (qScanBinary _))
 
@@ -232,6 +259,9 @@ object Sources {
     "q_scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q_scan_xml" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q_scan_text" ->
       "SELECT r_name AS value FROM region ORDER BY value",
     "q_scan_binary" ->
