@@ -7,12 +7,13 @@ import graft.{Q, Tables, sessionKey}
 
 /** Source formats (SURVEY §2.1).
   *
-  * q_scan_csv / q_scan_json / q_scan_text materialize a copy of a dimension
-  * table in the target format under a scratch dir, then read it back with
-  * an explicit schema. The oracle is the original parquet table — so the
-  * check verifies Spark's reader+writer round-trip exactly, with no
-  * DuckDB-CSV-dialect coupling. Dimension tables only (region/nation):
-  * at 100 TB these formats are ingest edges, not the storage layout.
+  * q_scan_csv / q_scan_json / q_scan_text / q_scan_xml materialize a
+  * copy of a small table in the target format under a scratch dir, then
+  * read it back with an explicit schema. The oracle is the original
+  * parquet table — so the check verifies Spark's reader+writer
+  * round-trip exactly, with no DuckDB-dialect coupling. Small tables
+  * only (region/nation/part): at 100 TB these formats are ingest edges,
+  * not the storage layout.
   *
   * q_scan_parquet is the real at-scale path: vectorized columnar scan with
   * predicate pushdown + column pruning (ReadSchema restricted to 3 of 11
