@@ -65,24 +65,43 @@ SALT_PATH = os.environ.get("GRAFT_LEAKCHECK_SALT", default_salt_path())
 
 
 def redaction_key():
-    try:
-        with open(SALT_PATH, "rb") as fh:
-            key = fh.read()
-        if key:
-            return key
-    except OSError:
-        pass
-    key = secrets.token_bytes(32)
-    os.makedirs(os.path.dirname(SALT_PATH), mode=0o700, exist_ok=True)
+    def read_existing():
+        try:
+            with open(SALT_PATH, "rb") as fh:
+                return fh.read()
+        except OSError:
+            return b""
+
+    key = read_existing()
+    if key:
+        return key
+    parent = os.path.dirname(SALT_PATH)
+    if parent:
+        os.makedirs(parent, mode=0o700, exist_ok=True)
     flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
     if hasattr(os, "O_NOFOLLOW"):
         flags |= os.O_NOFOLLOW
-    fd = os.open(SALT_PATH, flags, 0o600)
-    try:
-        os.write(fd, key)
-    finally:
-        os.close(fd)
-    return key
+    fresh = secrets.token_bytes(32)
+    # Bounded retry: an empty file (crashed earlier run, stray touch) is
+    # unlinked and recreated; a creation race re-reads the winner's key.
+    for _ in range(3):
+        try:
+            fd = os.open(SALT_PATH, flags, 0o600)
+        except FileExistsError:
+            key = read_existing()
+            if key:
+                return key
+            try:
+                os.unlink(SALT_PATH)
+            except OSError:
+                pass
+            continue
+        try:
+            os.write(fd, fresh)
+        finally:
+            os.close(fd)
+        return fresh
+    raise RuntimeError(f"could not create or read salt at {SALT_PATH}")
 
 
 def tracked_files():

@@ -25,7 +25,10 @@ object Scratch {
   private val root = new java.io.File(
     s"${System.getProperty("java.io.tmpdir")}/graft_scratch/$runNonce")
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete shared by the shutdown hook, the stale-nonce
+    * sweep, and the artifact version stores (kept in ONE place so
+    * deletion semantics never fork). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     val fs = f.listFiles()
     if (fs != null) fs.foreach(deleteRec)
     f.delete(): Unit

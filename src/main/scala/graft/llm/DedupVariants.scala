@@ -315,11 +315,10 @@ object DedupVariants {
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)))
-    // bounded deterministic training sample (first 4096 by vec_id, the
-    // pqSample discipline): fit cost is scale-free, encode/probe stay
-    // fully distributed
-    val sample = e.orderBy("vec_id").limit(4096).select("emb")
-      .collect().map(_.getSeq[Double](0).toArray)
+    // bounded deterministic training sample (first 4096 by vec_id —
+    // Similarity.boundedSample, the shared pqSample discipline): fit
+    // cost is scale-free, encode/probe stay fully distributed
+    val sample = Similarity.boundedSample(e, "emb")
     val cents = s.createDataFrame(
       (0 until L).flatMap { l =>
         Similarity.lloydBestSeeded(sample, K, 20, restarts = 1,

@@ -326,10 +326,15 @@ object Governance {
     val d = new java.io.File(dst)
     d.mkdirs()
     new java.io.File(src).listFiles().foreach { f =>
-      if (f.isFile) {
-        java.nio.file.Files.createLink(
-          new java.io.File(d, f.getName).toPath, f.toPath): Unit
-      }
+      // fail LOUDLY on a nested entry: silently skipping a subdirectory
+      // (e.g. if the layout ever becomes directory-partitioned) would
+      // snapshot an empty table and the delete would converge vacuously
+      // — the exact no-op-masquerading-as-work this snapshot exists to
+      // prevent
+      require(f.isFile,
+        s"linkSnapshot expects a flat layout; found directory ${f.getPath}")
+      java.nio.file.Files.createLink(
+        new java.io.File(d, f.getName).toPath, f.toPath): Unit
     }
   }
 

@@ -158,9 +158,13 @@ object Similarity {
     * Training on a capped sample is how every production PQ/IVF trainer
     * works (FAISS trains codebooks on ~10⁵ vectors regardless of index
     * size); encode/probe stay fully distributed. */
-  private def pqSample(e: DataFrame): Array[Array[Double]] =
-    e.orderBy("vec_id").limit(4096).select("unit")
+  private[graft] def boundedSample(e: DataFrame, column: String)
+      : Array[Array[Double]] =
+    e.orderBy("vec_id").limit(4096).select(column)
       .collect().map(_.getSeq[Double](0).toArray)
+
+  private def pqSample(e: DataFrame): Array[Array[Double]] =
+    boundedSample(e, "unit")
 
   /** Seeded Lloyd's k-means over the driver-side sample — one codebook
     * per subspace. Replaces 16 concurrent MLlib fits: each of those was
@@ -776,9 +780,18 @@ object Similarity {
     // again instead of serving a done-marker (VERDICT r15 item 2 /
     // ADVICE r15 — restores min-of-reruns protection). Versioned dirs
     // are also what retention/rollback operate over (q_index_rollback).
-    val serving = rebuildInto(s, e, updateArtifactBase(dir) +
-      s"_rebuilt_v${rebuildInvocation.incrementAndGet()}")
+    val inv = rebuildInvocation.incrementAndGet()
+    val serving = rebuildInto(s, e,
+      updateArtifactBase(dir) + s"_rebuilt_v$inv")
     lastRebuilt.set(serving)
+    // bound scratch growth: each invocation leaves a full re-encoded
+    // artifact, so prune two versions back (v(inv-1) stays — a spec or
+    // an in-flight reader may still hold plans over the PREVIOUS
+    // artifact; nothing can reference older ones)
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        updateArtifactBase(dir) + s"_rebuilt_v${inv - 2}"))
+    }
     val (coarse, cb) = readIvfPqState(s, serving)
     ivfPqServe(s, e, coarse, cb, s.read.parquet(s"$serving/coded"))
   }
@@ -887,11 +900,7 @@ object Similarity {
     val path = rebuildInto(s, corpus, s"$root/v$n")
     setCurrent(root, s"v$n")
     listVersions(root).dropRight(RetainVersions).foreach { old =>
-      val f = new java.io.File(root, s"v$old")
-      def rec(x: java.io.File): Unit = {
-        Option(x.listFiles()).toSeq.flatten.foreach(rec); x.delete(): Unit
-      }
-      rec(f)
+      graft.Scratch.deleteRec(new java.io.File(root, s"v$old"))
     }
     path
   }
