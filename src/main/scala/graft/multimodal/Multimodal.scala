@@ -54,6 +54,41 @@ object Multimodal {
           "-").as("sampled_hex"))
       .orderBy("doc_id")
 
+  /** q_mm_frames — frame sampling over a fixed-size-record video column
+    * (round 16): raw video is fixed-size frame records (uncompressed
+    * YUV/RGB planes), and the training-data op is "keep every K-th
+    * frame" — this key does it for real, not as a byte-stride stand-in
+    * ([[qMmSample]]): the payload is treated as 48-byte frame records,
+    * the kept-frame INDEX SET is computed first (sequence + explode +
+    * modulo filter — sample-then-slice, so skipped frames' bytes are
+    * never touched), and each kept frame is sliced with binary
+    * `substring` and emitted as (frame_idx, length, sha256). Everything
+    * is codegen'd scan-side projection — no UDF, no shuffle of payload
+    * bytes; at 100 TB the slice offsets become byte-range reads
+    * (parquet/object-store range GETs) and the downstream only ever
+    * carries the kept frames. The last frame may be short
+    * (len % 48) — emitted with its true length, never padded. Oracle:
+    * DuckDB recomputes every kept frame's hash by hex-slicing the same
+    * blob, so the frame boundaries and bytes are verified exactly. */
+  def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    val F = 48 // bytes per frame record
+    val K = 3  // keep every K-th frame
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        explode(expr(
+          s"sequence(0, cast(greatest(n_bytes - 1, 0) / $F as int))"))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % K === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        least(lit(F), col("n_bytes") - col("frame_idx") * F)
+          .cast("int").as("frame_bytes"),
+        sha2(expr(s"substring(payload, frame_idx * $F + 1, $F)"), 256)
+          .as("frame_sha256"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Deterministic synthetic image format ("GRF1") used by [[qMmDecode]].
     * No real codec library exists in this offline environment, so instead
     * of decoding JPEG/WAV the pipeline encodes and decodes a non-trivial
@@ -261,6 +296,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_sample" -> (qMmSample _),
+    "q_mm_frames" -> (qMmFrames _),
     "q_mm_decode" -> (qMmDecodeVerify _),
     "q_mm_resize" -> (qMmResize _))
 
@@ -274,6 +310,23 @@ object Multimodal {
         |  3 AS channels,
         |  (octet_length(text::BLOB) // 32 + 1)::INT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Oracle notes: (a) the 0..255 series bound is a CONSTANT because
+    // DuckDB 1.0 allows neither lateral column args nor subqueries in
+    // table functions — it covers 12 KB payloads (harness docs max
+    // ~0.6 KB, 20x margin) and a doc ever exceeding it fails the hash
+    // gate LOUDLY (missing oracle rows); (b) DuckDB 1.0's sha256 only
+    // takes VARCHAR, so the oracle hashes the CHARACTER substring —
+    // byte-identical to Spark's binary slice because the corpus is
+    // ASCII (octet_length == length, asserted by the same hash gate:
+    // any non-ASCII doc would shift the byte boundaries and mismatch)
+    "q_mm_frames" ->
+      """SELECT doc_id, i AS frame_idx,
+        |  least(48, octet_length(text::BLOB) - i * 48)::INT AS frame_bytes,
+        |  sha256(substring(text, i * 48 + 1, 48)) AS frame_sha256
+        |FROM documents, generate_series(0, 255) AS t(i)
+        |WHERE i % 3 = 0
+        |  AND i <= greatest(octet_length(text::BLOB) - 1, 0) // 48
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_sample" ->
       """SELECT doc_id,
         |  octet_length(text::BLOB) AS n_bytes,

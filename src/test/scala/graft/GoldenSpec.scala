@@ -31,12 +31,13 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 179,
-      s"expected the SURVEY §2 179-key inventory (175 as of round 15 + " +
+    assert(SparkEntry.queries.size == 180,
+      s"expected the SURVEY §2 180-key inventory (175 as of round 15 + " +
         s"round 16's q_profile_table_approx/q_index_policy/" +
-        s"q_index_rollback/q_scan_xml), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 152,
-      s"expected 152 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+        s"q_index_rollback/q_scan_xml/q_mm_frames), " +
+        s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 153,
+      s"expected 153 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {
