@@ -81,27 +81,21 @@ def redaction_key():
     flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
     if hasattr(os, "O_NOFOLLOW"):
         flags |= os.O_NOFOLLOW
+    # Write-to-tmp + atomic replace: the salt file is never observable
+    # empty or half-written, a crashed earlier run's zero-byte file is
+    # simply replaced, and two racing first runs each land a COMPLETE
+    # key with the last writer winning — both re-read the final file so
+    # later runs correlate against the surviving key (r16 review: the
+    # unlink-and-retry variant could orphan a racer's key).
     fresh = secrets.token_bytes(32)
-    # Bounded retry: an empty file (crashed earlier run, stray touch) is
-    # unlinked and recreated; a creation race re-reads the winner's key.
-    for _ in range(3):
-        try:
-            fd = os.open(SALT_PATH, flags, 0o600)
-        except FileExistsError:
-            key = read_existing()
-            if key:
-                return key
-            try:
-                os.unlink(SALT_PATH)
-            except OSError:
-                pass
-            continue
-        try:
-            os.write(fd, fresh)
-        finally:
-            os.close(fd)
-        return fresh
-    raise RuntimeError(f"could not create or read salt at {SALT_PATH}")
+    tmp = f"{SALT_PATH}.{os.getpid()}.tmp"
+    fd = os.open(tmp, flags, 0o600)
+    try:
+        os.write(fd, fresh)
+    finally:
+        os.close(fd)
+    os.replace(tmp, SALT_PATH)
+    return read_existing() or fresh
 
 
 def tracked_files():

@@ -760,8 +760,11 @@ object Similarity {
     * design); ApproxSpec pins post-rebuild recall on an injected
     * drifted corpus ≥ the frozen-state serve's recall, and
     * old-artifact immutability. */
-  private val rebuildInvocation =
-    new java.util.concurrent.atomic.AtomicInteger
+  // PER-DIR invocation counts: a JVM-global counter with per-dir paths
+  // would let interleaved rebuilds over two data dirs prune a dir's
+  // immediately-previous artifact (r16 review finding)
+  private val rebuildInvocations = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]
 
   /** Serving dir of the most recent [[qIndexRebuild]] — each invocation
     * rebuilds into a fresh versioned dir (see below), so specs that need
@@ -780,7 +783,8 @@ object Similarity {
     // again instead of serving a done-marker (VERDICT r15 item 2 /
     // ADVICE r15 — restores min-of-reruns protection). Versioned dirs
     // are also what retention/rollback operate over (q_index_rollback).
-    val inv = rebuildInvocation.incrementAndGet()
+    val inv = rebuildInvocations.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
     val serving = rebuildInto(s, e,
       updateArtifactBase(dir) + s"_rebuilt_v$inv")
     lastRebuilt.set(serving)

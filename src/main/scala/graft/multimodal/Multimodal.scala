@@ -76,11 +76,15 @@ object Multimodal {
     withPayload(Tables.documents(s, dir))
       .select(col("doc_id"), col("payload"),
         octet_length(col("payload")).as("n_bytes"))
+      // empty payloads have ZERO frames (not one empty phantom frame),
+      // and the sequence STEP generates only the kept indices directly —
+      // no per-skipped-frame row ever materializes the payload copy the
+      // modulo-filter form paid for
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("n_bytes"), col("payload"),
         explode(expr(
-          s"sequence(0, cast(greatest(n_bytes - 1, 0) / $F as int))"))
+          s"sequence(0, cast((n_bytes - 1) / $F as int), $K)"))
           .as("frame_idx"))
-      .filter(col("frame_idx") % K === 0)
       .select(col("doc_id"), col("frame_idx"),
         least(lit(F), col("n_bytes") - col("frame_idx") * F)
           .cast("int").as("frame_bytes"),
@@ -323,9 +327,9 @@ object Multimodal {
       """SELECT doc_id, i AS frame_idx,
         |  least(48, octet_length(text::BLOB) - i * 48)::INT AS frame_bytes,
         |  sha256(substring(text, i * 48 + 1, 48)) AS frame_sha256
-        |FROM documents, generate_series(0, 255) AS t(i)
-        |WHERE i % 3 = 0
-        |  AND i <= greatest(octet_length(text::BLOB) - 1, 0) // 48
+        |FROM documents, generate_series(0, 255, 3) AS t(i)
+        |WHERE octet_length(text::BLOB) > 0
+        |  AND i <= (octet_length(text::BLOB) - 1) // 48
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_sample" ->
       """SELECT doc_id,
