@@ -95,7 +95,7 @@ object Bench {
     // and the tokenizer is trained by a separate scheduled job.
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
         "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
-        "q_sim_index_persist")
+        "q_sim_index_persist", "q_ml_persist")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
         warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())

@@ -182,7 +182,43 @@ object Pipelines {
       .orderBy("word")
   }
 
+  /** q_ml_persist — the model-ARTIFACT half of the reference's
+    * workflow (round 16): a classifier is trained once by a scheduled
+    * job, written to storage, and served by processes that never see
+    * the trainer — exactly the lifecycle q_sim_index_persist closes
+    * for the ANN index, here for the MLlib PipelineModel. The full
+    * text pipeline (tokenize → stopwords → TF-IDF → label-index → NB)
+    * is fit on the seeded train split and SAVED once
+    * (fingerprint-keyed, done-marker; Bench warms the build like the
+    * other artifacts); every invocation then LOADS the artifact from
+    * disk and scores the test split — zero refit, the trainer object
+    * is never referenced after the save. MlSpec pins the persisted
+    * model's predictions row-identical to the in-memory twin
+    * (q_ml_tfidf_nb) and load-determinism across invocations. At
+    * 100 TB the artifact is the contract between the training
+    * pipeline and every serving/backfill job. No oracle (✗-ml:
+    * hashing-TF + NB internals are engine-specific). */
+  def qMlPersist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed)
+    val base = graft.Scratch.dir("ml",
+      s"nbmodel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        graft.Scratch.fingerprint(dir, "documents"))
+    val marker = new java.io.File(base, "_GRAFT_DONE")
+    if (!marker.exists()) {
+      textPipeline().fit(train).write.overwrite().save(s"$base/model")
+      marker.createNewFile(): Unit
+    }
+    // serve phase: ONLY the read-back artifact is used from here on
+    val model = org.apache.spark.ml.PipelineModel.load(s"$base/model")
+    model.transform(test)
+      .select(col("doc_id"), col("lang"), col("label").cast("int"),
+        col("prediction").cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_persist" -> (qMlPersist _),
     "q_ml_word2vec" -> (qMlWord2vec _),
     "q_ml_tfidf_nb" -> (qMlTfidfNb _),
     "q_ml_lr_vec" -> (qMlLrVec _),

@@ -31,10 +31,10 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 180,
-      s"expected the SURVEY §2 180-key inventory (175 as of round 15 + " +
+    assert(SparkEntry.queries.size == 181,
+      s"expected the SURVEY §2 181-key inventory (175 as of round 15 + " +
         s"round 16's q_profile_table_approx/q_index_policy/" +
-        s"q_index_rollback/q_scan_xml/q_mm_frames), " +
+        s"q_index_rollback/q_scan_xml/q_mm_frames/q_ml_persist), " +
         s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 153,
       s"expected 153 oracle-checked keys, got ${SparkEntry.oracleSql.size}")

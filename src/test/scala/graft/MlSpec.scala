@@ -83,4 +83,19 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     val b = ml.Pipelines.qMlWord2vec(spark, sf0001).collect()
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
+
+  test("q_ml_persist: the persisted model's predictions are " +
+      "row-identical to the in-memory twin, and load is deterministic") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val persisted = rows(ml.Pipelines.qMlPersist(spark, sf0001))
+    // save -> load loses nothing: the artifact serves exactly what the
+    // in-memory PipelineModel (q_ml_tfidf_nb, same seed/split) serves
+    val inMemory = rows(ml.Pipelines.qMlTfidfNb(spark, sf0001))
+    assert(persisted == inMemory,
+      "persisted-model predictions diverged from the in-memory twin")
+    // and a second load serves identically (artifact reuse, no refit)
+    assert(rows(ml.Pipelines.qMlPersist(spark, sf0001)) == persisted,
+      "second load of the model artifact diverged")
+  }
 }
