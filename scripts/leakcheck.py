@@ -89,12 +89,28 @@ def redaction_key():
     # unlink-and-retry variant could orphan a racer's key).
     fresh = secrets.token_bytes(32)
     tmp = f"{SALT_PATH}.{os.getpid()}.tmp"
-    fd = os.open(tmp, flags, 0o600)
+    # a crashed earlier run under a since-recycled pid may have left this
+    # exact tmp name behind; the parent dir is 0700 (ours alone), so
+    # removing it is safe and keeps O_EXCL meaningful for the create
     try:
-        os.write(fd, fresh)
-    finally:
-        os.close(fd)
-    os.replace(tmp, SALT_PATH)
+        os.unlink(tmp)
+    except FileNotFoundError:
+        pass
+    try:
+        fd = os.open(tmp, flags, 0o600)
+        try:
+            os.write(fd, fresh)
+        finally:
+            os.close(fd)
+        os.replace(tmp, SALT_PATH)
+    except OSError:
+        # never leak a half-written tmp: remove it before surfacing the
+        # failure (ADVICE r16)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return read_existing() or fresh
 
 

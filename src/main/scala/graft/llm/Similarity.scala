@@ -806,7 +806,7 @@ object Similarity {
     * corpus. Calibrated against the harness corpus (ApproxSpec): clean
     * reads ~0.07 / ~1.21 (the ratio is above 1 even clean — day-2 is
     * out-of-sample for the day-1-trained codebooks), the injected
-    * model-swap drift reads ~0.43 / ~4.8; the clean side clears both
+    * model-swap drift reads ~0.43 / ~5.8; the clean side clears both
     * thresholds with ≥ 1.5× margin and the drifted side crosses with
     * ≥ 2× margin. */
   private[graft] val PolicyShiftThresh = 0.2
@@ -836,9 +836,15 @@ object Similarity {
         f6(col("m2") / col("m1")).as("mqe_ratio"),
         lit(PolicyShiftThresh).as("shift_thresh"),
         lit(PolicyMqeRatioThresh).as("mqe_ratio_thresh"),
-        (col("ms") > PolicyShiftThresh ||
-          col("m2") / col("m1") > PolicyMqeRatioThresh)
-          .cast("int").as("rebuild"))
+        // degenerate monitor output (no day-1 or day-2 weighted mass →
+        // NULL means) must fail LOUDLY, not emit a NULL decision a
+        // scheduler would silently skip (ADVICE r16)
+        when(col("ms").isNull || col("m1").isNull || col("m2").isNull,
+          raise_error(lit("indexPolicy: degenerate drift metrics — no " +
+            "day-1/day-2 posting mass to decide on")).cast("int"))
+          .otherwise((col("ms") > PolicyShiftThresh ||
+            col("m2") / col("m1") > PolicyMqeRatioThresh).cast("int"))
+          .as("rebuild"))
   }
 
   /** q_index_policy — the drift→rebuild decision (round 16, VERDICT

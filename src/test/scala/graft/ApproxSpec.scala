@@ -451,13 +451,17 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
 
   test("q_index_policy: rebuild=0 on the clean corpus, rebuild=1 under " +
       "the injected model-swap drift, thresholds hold 2x margin") {
-    def decision(df: org.apache.spark.sql.DataFrame) = {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = {
       val r = df.collect()
       assert(r.length == 1, "policy must emit exactly one decision row")
-      (r(0).getDouble(0), r(0).getDouble(3), r(0).getInt(6))
+      r
     }
-    // clean corpus: the key's own path (monitor -> policy), deterministic
-    val a = llm.Similarity.qIndexPolicy(spark, sf001)
+    def decision(r: Array[org.apache.spark.sql.Row]) =
+      (r(0).getDouble(0), r(0).getDouble(3), r(0).getInt(6))
+    // clean corpus: the key's own path (monitor -> policy), deterministic;
+    // collected ONCE and reused for both the decision tuple and the
+    // determinism compare (ADVICE r16)
+    val a = rowsOf(llm.Similarity.qIndexPolicy(spark, sf001))
     val (cleanShift, cleanRatio, cleanDecision) = decision(a)
     assert(cleanDecision == 0,
       s"clean corpus must not trigger a rebuild " +
@@ -470,8 +474,8 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       s"clean shift $cleanShift too close to threshold")
     assert(cleanRatio * 1.5 <= llm.Similarity.PolicyMqeRatioThresh,
       s"clean mqe ratio $cleanRatio too close to threshold")
-    val b = llm.Similarity.qIndexPolicy(spark, sf001).collect()
-    assert(a.collect().map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+    val b = rowsOf(llm.Similarity.qIndexPolicy(spark, sf001))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
       "policy decision is not deterministic")
     // injected drift: the same model-swap injection the monitor test
     // uses (day-2 pulled toward all-ones, rescaled to norm 2)
@@ -492,9 +496,9 @@ class ApproxSpec extends AnyFunSuite with SparkFixture {
       .select("day", "vec_id", "bucket", "codes")
     val vectors = e.filter(col("vec_id") % 4 =!= 3)
       .select("vec_id", "unit").unionByName(shifted)
-    val (dShift, dRatio, dDecision) = decision(llm.Similarity.indexPolicy(
+    val (dShift, dRatio, dDecision) = decision(rowsOf(llm.Similarity.indexPolicy(
       llm.Similarity.driftMetrics(spark, cb,
-        day1Post.unionByName(shiftedPost), vectors)))
+        day1Post.unionByName(shiftedPost), vectors))))
     info(s"clean: shift=$cleanShift ratio=$cleanRatio; " +
       s"drifted: shift=$dShift ratio=$dRatio")
     assert(dDecision == 1,
