@@ -24,6 +24,7 @@ object SparkEntry {
     (relational.TimeSeries.queries, relational.TimeSeries.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (sources.Layout.queries, sources.Layout.oracle),
+    (sources.TxTable.queries, sources.TxTable.oracle),
     (text.TextOps.queries, text.TextOps.oracle),
     (text.Analysis.queries, text.Analysis.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),

@@ -1,0 +1,411 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Native transactional table layer (round 17, VERDICT r16 item 1): a
+  * manifest-file-listed parquet table where a COMMIT atomically publishes
+  * a complete file list, readers pin a snapshot, and retained historical
+  * snapshots stay readable (time travel). This generalizes the proven
+  * index-artifact discipline (staging + atomic rename + retain-last-N +
+  * atomic CURRENT pointer, llm/Similarity.scala) from opaque artifacts to
+  * the DATA layouts, converting the three places the code previously
+  * documented a non-transactional swap as an IOU (the GDPR delete's
+  * per-file rename, the index staging, the manifest write-back) into one
+  * verified mechanism — the minimal native equivalent of the public table
+  * formats (Delta/Iceberg), which are environment-absent here.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<part>.parquet   — immutable data files (never mutated;
+  *                                  part names embed Spark's per-job UUID
+  *                                  so names can never collide)
+  *   <root>/_txlog/v<N>           — commit N's manifest: one header line
+  *                                  of key=value props, then the COMPLETE
+  *                                  relative file list of snapshot N
+  * }}}
+  *
+  * Invariants that make every read old-or-new, never torn:
+  *  1. data files become visible ONLY by being listed in a committed
+  *     manifest, and are written (staging dir + rename into data/) BEFORE
+  *     the manifest that lists them — a manifest never names a missing or
+  *     partial file;
+  *  2. the manifest itself lands via write-tmp + hardlink-create
+  *     ([[tryCommit]]): `link(2)` is atomic and FAILS if v<N> exists, so a
+  *     commit appears complete-or-not-at-all AND exactly one committer can
+  *     win each version — the optimistic-concurrency primitive. (This is
+  *     the LogStore role in Delta: on HDFS it maps to
+  *     rename-without-overwrite, on S3 to a conditional PUT; the
+  *     filesystem primitive changes, the protocol does not.)
+  *  3. a rewrite (delete) commit never unlinks the files it replaces — it
+  *     just stops listing them — so a reader pinned at an older version
+  *     keeps reading intact files until [[vacuum]]'s retention window
+  *     passes (the same reader-lease contract as Delta's VACUUM).
+  *
+  * Scale shape: a commit is O(1) data (the manifest lists file names, not
+  * rows; at 100 TB the list itself would page into Iceberg-style manifest
+  * files — the protocol is unchanged), snapshot reads are a planned scan
+  * over exactly the listed files, and time travel / rollback are pure
+  * metadata. LayoutSpec pins the old-or-new reader proof, the
+  * delete-under-commit file minimality, commit-race exclusion, retention
+  * prune, and time-travel recompute equality.
+  */
+object TxTable {
+
+  private def logDir(root: String) = new java.io.File(root, "_txlog")
+  private def dataDir(root: String) = new java.io.File(root, "data")
+
+  /** A committed snapshot: version, header props, complete file list
+    * (root-relative). */
+  private[graft] case class Manifest(version: Int,
+      props: Map[String, String], files: Seq[String])
+
+  private[graft] def init(root: String): Unit = {
+    logDir(root).mkdirs(): Unit
+    dataDir(root).mkdirs(): Unit
+  }
+
+  /** Committed versions, ascending. A version exists iff its manifest
+    * file does — there is no separate pointer to get out of sync. */
+  private[graft] def versions(root: String): Seq[Int] =
+    Option(logDir(root).list()).toSeq.flatten
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
+
+  /** Current version; 0 = an initialized table with no commits yet. */
+  private[graft] def currentVersion(root: String): Int =
+    versions(root).lastOption.getOrElse(0)
+
+  private[graft] def readManifest(root: String, v: Int): Manifest = {
+    val lines = java.nio.file.Files.readAllLines(
+      logDir(root).toPath.resolve(s"v$v"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val props = lines.get(0).split("\\s+").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, rest) = kv.split("=", 2); k -> rest
+      }.toMap
+    import scala.jdk.CollectionConverters._
+    Manifest(v, props, lines.asScala.toSeq.tail.filter(_.nonEmpty))
+  }
+
+  /** Attempt to land version `v`. Write-tmp + atomic hardlink-create:
+    * the manifest is never observable half-written, and if a concurrent
+    * committer already landed v<N> the link fails (EEXIST) and this
+    * returns false — the loser re-reads the new current and retries
+    * ([[commit]]). NOT Files.move(ATOMIC_MOVE): POSIX rename REPLACES an
+    * existing target, which would let a losing committer silently clobber
+    * the winner. */
+  private[graft] def tryCommit(root: String, v: Int,
+      props: Map[String, String], files: Seq[String]): Boolean = {
+    val content =
+      (props.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(" ")
+        +: files).mkString("\n")
+    val tmp = java.nio.file.Files.createTempFile(
+      logDir(root).toPath, s".v$v", ".tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    try {
+      java.nio.file.Files.createLink(
+        logDir(root).toPath.resolve(s"v$v"), tmp): Unit
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
+  /** Commit with optimistic-concurrency retry: `update` maps the current
+    * snapshot's file list to the new COMPLETE list (and may `require` its
+    * own conflict invariants — a rewrite asserts its victims are still
+    * current, [[rewriteCommit]]). On a lost race only the tiny manifest
+    * write repeats; already-staged data files in data/ stay valid because
+    * their names are collision-free. Returns the committed version. */
+  private[graft] def commit(root: String, op: String,
+      update: Seq[String] => Seq[String],
+      extraProps: Map[String, String] = Map.empty): Int = {
+    var attempt = 0
+    while (attempt < 50) {
+      val cur = currentVersion(root)
+      val curFiles =
+        if (cur == 0) Seq.empty[String] else readManifest(root, cur).files
+      val props = Map("op" -> op, "parent" -> cur.toString) ++ extraProps
+      if (tryCommit(root, cur + 1, props, update(curFiles))) return cur + 1
+      attempt += 1
+    }
+    sys.error(s"commit lost 50 consecutive races at $root")
+  }
+
+  /** Stage df's rows as immutable files in data/, returning their
+    * root-relative names. NOT yet part of any snapshot — files become
+    * visible only when a commit's manifest lists them, which is what
+    * makes a concurrent reader's world old-or-new. Staged via a write to
+    * a dot-dir (never matched by any manifest) + per-file rename into
+    * data/ (same filesystem → metadata-only). */
+  private[graft] def writeData(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val staging = new java.io.File(root,
+      s".staging-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(staging.getPath)
+    val names = staging.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map { f =>
+        java.nio.file.Files.move(f.toPath,
+          dataDir(root).toPath.resolve(f.getName)): Unit
+        s"data/${f.getName}"
+      }.toSeq.sorted
+    graft.Scratch.deleteRec(staging)
+    names
+  }
+
+  /** Snapshot read pinned at `version` (−1 = current). The manifest's
+    * complete file list IS the table: immutable files + complete lists
+    * isolate a pinned reader from every later commit. */
+  private[graft] def snapshot(s: SparkSession, root: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(root) else version
+    require(v > 0, s"no committed version at $root")
+    val m = readManifest(root, v)
+    require(m.files.nonEmpty, s"snapshot v$v of $root lists no files")
+    s.read.parquet(m.files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Append commit: stage df, publish prev ++ staged. */
+  private[graft] def append(s: SparkSession, root: String, df: DataFrame,
+      extraProps: Map[String, String] = Map.empty): Int = {
+    val added = writeData(s, root, df)
+    commit(root, "append", _ ++ added, extraProps)
+  }
+
+  /** First commit over pre-staged files (e.g. hardlinked-in snapshots of
+    * an existing layout — the GDPR delete's v1). */
+  private[graft] def commitInit(root: String, files: Seq[String]): Int =
+    commit(root, "init", { prev =>
+      require(prev.isEmpty, s"commitInit on a non-empty table at $root")
+      files
+    })
+
+  /** Rewrite-commit core (the delete): `matching` filters a snapshot
+    * frame to the rows being removed, `surviving` is its complement.
+    * Discovers the files holding ≥1 matching row via the scan's
+    * `_metadata.file_path` (collect bounded by FILE count), rewrites ONLY
+    * those without the matching rows, and commits (prev − affected) ∪
+    * rewritten. The affected files are NOT unlinked — a reader pinned on
+    * the pre-delete snapshot keeps reading them until [[vacuum]]; the
+    * update closure asserts the victims are still current, so a
+    * concurrent rewrite of the same files fails loudly instead of losing
+    * a delete (the table-format conflict check). Returns (version,
+    * affected relative names); no matching rows → no commit, version
+    * unchanged. */
+  private[graft] def rewriteCommit(s: SparkSession, root: String,
+      matching: DataFrame => DataFrame,
+      surviving: DataFrame => DataFrame): (Int, Seq[String]) = {
+    val affAbs = matching(snapshot(s, root))
+      .select(col("_metadata.file_path").as("f")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
+    else {
+      val rewritten =
+        writeData(s, root, surviving(s.read.parquet(affAbs: _*)))
+      val affRel = affAbs.map(p =>
+        "data/" + p.substring(p.lastIndexOf('/') + 1))
+      val affSet = affRel.toSet
+      val v = commit(root, "delete", { prev =>
+        require(affRel.forall(prev.toSet),
+          s"concurrent rewrite conflict at $root: an affected file is " +
+            "no longer in the current snapshot")
+        prev.filterNot(affSet) ++ rewritten
+      })
+      (v, affRel)
+    }
+  }
+
+  /** Delete-under-commit by predicate. */
+  private[graft] def deleteWhere(s: SparkSession, root: String,
+      pred: Column): (Int, Seq[String]) =
+    rewriteCommit(s, root, _.filter(pred), _.filter(!pred))
+
+  /** Delete-under-commit by key manifest (the privacy-queue shape): the
+    * bounded key set rides a broadcast for both the file discovery
+    * (left_semi) and the survivor rewrite (left_anti). */
+  private[graft] def deleteMatching(s: SparkSession, root: String,
+      keys: DataFrame, keyCol: String): (Int, Seq[String]) =
+    rewriteCommit(s, root,
+      _.join(broadcast(keys), Seq(keyCol), "left_semi"),
+      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+
+  /** Retention prune: keep the newest `retain` manifests, delete older
+    * ones, then delete data files referenced by NO retained manifest.
+    * Manifests go first so a crash mid-vacuum can only leave orphaned
+    * data files (swept with the table), never a retained snapshot that
+    * lists a missing file. Returns (pruned versions, removed files). */
+  private[graft] def vacuum(root: String, retain: Int)
+      : (Seq[Int], Seq[String]) = {
+    val vs = versions(root)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retain))
+    val live = keep.flatMap(readManifest(root, _).files).toSet
+    val dead = drop.flatMap(readManifest(root, _).files).distinct
+      .filterNot(live)
+    drop.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        logDir(root).toPath.resolve(s"v$v")): Unit
+    }
+    dead.foreach { f =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, f)): Unit
+    }
+    (drop, dead)
+  }
+
+  /** Idempotent micro-batch append for a Structured Streaming
+    * foreachBatch sink: the commit carries batch=<id>; a REPLAYED batch
+    * (failure after the commit landed but before the checkpoint's commit
+    * log recorded it) finds its id already in the log and becomes a
+    * no-op — zero new files, zero new versions. Together with the
+    * checkpoint's offset log this closes the sink half of the
+    * exactly-once contract (StreamingSpec). The id scan is O(versions)
+    * here; a table format stores the latest txn id per writer in its
+    * checkpoint — same protocol, indexed. Structured Streaming runs ONE
+    * active query per checkpoint, so the check-then-commit pair has a
+    * single writer per batch id by construction. */
+  private[graft] def commitBatch(s: SparkSession, root: String,
+      batchId: Long, df: DataFrame): Boolean = {
+    val seen = versions(root).exists(v =>
+      readManifest(root, v).props.get("batch").contains(batchId.toString))
+    if (seen) false
+    else {
+      append(s, root, df, Map("batch" -> batchId.toString)): Unit
+      true
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Declared keys. Both replay the same three-commit history over orders:
+  //   v1 append  = initial load  (o_orderkey % 3 = 0), owner-clustered
+  //   v2 append  = day-2 ingest  (o_orderkey % 3 = 1)
+  //   v3 delete  = GDPR delete-under-commit (o_custkey % 97 = 0)
+  // so both oracles are pure recomputes from the source table.
+  // ---------------------------------------------------------------------
+
+  /** Owner-clustered staging shape shared by both keys: range-partitioned
+    * by o_custkey so the v3 delete is file-local — the q_delete_execute
+    * clustering argument, here under commits. 8 files per commit keeps
+    * the affected fraction visibly small at every harness SF. */
+  private def ownerClustered(df: DataFrame): DataFrame =
+    df.repartitionByRange(8, col("o_custkey"), col("o_orderkey"))
+
+  /** Build the three-commit history into an initialized `root`. */
+  private[graft] def buildDemoHistory(s: SparkSession, root: String,
+      dir: String): Unit = {
+    init(root)
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    append(s, root,
+      ownerClustered(orders.filter(col("o_orderkey") % 3 === 0))): Unit
+    append(s, root,
+      ownerClustered(orders.filter(col("o_orderkey") % 3 === 1))): Unit
+    deleteWhere(s, root, col("o_custkey") % 97 === 0): Unit
+  }
+
+  // per-dir invocation counters (a global counter with per-dir paths
+  // could prune another dir's previous root — the rebuild's r16 lesson)
+  private val commitInvocations = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]
+
+  /** Root of the most recent [[qTableCommit]] invocation (spec hook). */
+  private[graft] val lastCommitRoot =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** q_table_commit — the transactional commit lifecycle (round 17):
+    * append, append, DELETE-UNDER-COMMIT, then read the current
+    * snapshot. Every invocation replays the full history into a fresh
+    * root (the commits ARE the semantics, so re-runs repay the real
+    * work — the q_delete_execute min-of-reruns discipline), pruning the
+    * two-back invocation's root. Oracle: the final snapshot must equal
+    * DuckDB's recompute of (load ∪ ingest) − deleted from the source
+    * table. The structural halves an identity oracle can't see —
+    * old-or-new reader isolation, commit-race exclusion, affected-file
+    * minimality — are pinned by LayoutSpec. */
+  def qTableCommit(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val inv = commitInvocations.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    val root = graft.Scratch.dir("txtable", s"commit_${tag}_i$inv")
+    buildDemoHistory(s, root, dir)
+    lastCommitRoot.set(root)
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        graft.Scratch.dir("txtable", s"commit_${tag}_i${inv - 2}")))
+    }
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
+  /** Build-once demo table for the time-travel read (fingerprint-keyed,
+    * staged + atomically renamed so a half-built table is never
+    * adopted — the rebuildInto discipline). The READ is q_table_timetravel's
+    * semantics; the build is the one-time layout cost Bench warms. */
+  private[graft] def ensureDemoTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.Scratch.fingerprint(dir, "orders")
+    val root = graft.Scratch.dir("txtable", s"demo_$tag")
+    if (!new java.io.File(root, "_GRAFT_DONE").exists()) {
+      val staging = root + ".staging"
+      buildDemoHistory(s, staging, dir)
+      new java.io.File(staging, "_GRAFT_DONE").createNewFile(): Unit
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    root
+  }
+
+  /** q_table_timetravel — snapshot-pinned historical reads (round 17):
+    * every retained version of the committed table is read AS OF its
+    * manifest and reduced to one audit row — the "what did the table
+    * hold when model X trained" question a 100 TB pipeline answers from
+    * snapshots instead of backups. Time travel is O(1) metadata (pick
+    * manifest N) + a planned scan of exactly its files; the per-version
+    * aggregates are exact integer arithmetic (counts + bigint key sum),
+    * so the oracle recomputes each historical state from the source
+    * table bit-for-bit. */
+  def qTableTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    versions(root).map { v =>
+      snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_cust"),
+          col("key_sum"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_table_commit" -> (qTableCommit _),
+    "q_table_timetravel" -> (qTableTimetravel _))
+
+  val oracle: Map[String, String] = Map(
+    "q_table_commit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE o_custkey % 97 <> 0)
+        |SELECT 1 AS version, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v1
+        |UNION ALL
+        |SELECT 2, COUNT(*), COUNT(DISTINCT o_custkey),
+        |  CAST(SUM(o_orderkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, COUNT(*), COUNT(DISTINCT o_custkey),
+        |  CAST(SUM(o_orderkey) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin)
+}

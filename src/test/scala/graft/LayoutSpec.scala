@@ -137,6 +137,135 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(survOwners.intersect(delKeys).isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // TxTable: the transactional commit protocol (round 17). These pin the
+  // structural halves the identity oracles can't see.
+  // ------------------------------------------------------------------
+
+  private def mkTable(sub: String): String = {
+    val root = graft.Scratch.dir("txtable", s"spec_$sub")
+    sources.TxTable.init(root)
+    root
+  }
+
+  test("TxTable: staged data files are invisible until the commit lands, " +
+      "and a reader pinned on an old version sees it unchanged across a " +
+      "later delete commit (old-or-new, never torn)") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("oldnew")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 0))
+    // STAGE day-2 without committing: the current snapshot must not move
+    val preStage = sources.TxTable.snapshot(spark, root).count()
+    val staged = sources.TxTable.writeData(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 1))
+    assert(staged.nonEmpty)
+    assert(sources.TxTable.currentVersion(root) == 1 &&
+      sources.TxTable.snapshot(spark, root).count() == preStage,
+      "staged-but-uncommitted files leaked into the snapshot")
+    // now commit them; v2 appears complete
+    sources.TxTable.commit(root, "append", _ ++ staged)
+    val v2Files = sources.TxTable.readManifest(root, 2).files
+    val v2Rows = sources.TxTable.snapshot(spark, root, 2)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    // a delete commit lands v3; the pinned v2 reader is untouched:
+    // same manifest, all files still on disk, identical rows on re-read
+    val (v3, affected) = sources.TxTable.deleteWhere(spark, root,
+      col("o_custkey") % 97 === 0)
+    assert(v3 == 3 && affected.nonEmpty)
+    assert(sources.TxTable.readManifest(root, 2).files == v2Files)
+    assert(v2Files.forall(f => new java.io.File(root, f).isFile),
+      "a delete commit unlinked files a retained snapshot still lists")
+    assert(sources.TxTable.snapshot(spark, root, 2)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == v2Rows,
+      "pinned v2 read changed across the v3 commit")
+    // and v3 is exactly v2 minus the deleted owners
+    val expect = sources.TxTable.snapshot(spark, root, 2)
+      .filter(col("o_custkey") % 97 =!= 0)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(sources.TxTable.snapshot(spark, root, 3)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == expect)
+  }
+
+  test("TxTable: the delete commit rewrites ONLY affected files and a " +
+      "second pass is a no-op (no new version)") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("minimal")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    val v2 = sources.TxTable.readManifest(root, 2).files.toSet
+    val v3 = sources.TxTable.readManifest(root, 3).files.toSet
+    val dropped = v2 -- v3
+    // affected-files-only: the owner clustering keeps the delete's file
+    // footprint a strict minority of the snapshot
+    assert(dropped.nonEmpty && dropped.size < v2.size / 2,
+      s"${dropped.size} of ${v2.size} files rewritten — the delete is " +
+        "not file-local")
+    // carried-over files are THE SAME file entries (never copied): bytes
+    // untouched by identity
+    assert((v3 -- (v3 -- v2)) == (v2 -- dropped))
+    // convergence: re-running the delete finds nothing and commits nothing
+    val (vAgain, affAgain) = sources.TxTable.deleteWhere(spark, root,
+      col("o_custkey") % 97 === 0)
+    assert(vAgain == 3 && affAgain.isEmpty,
+      "second delete pass was not a no-op")
+  }
+
+  test("TxTable: commit race — exactly one committer lands a version; " +
+      "the loser retries onto the next") {
+    val root = mkTable("race")
+    assert(sources.TxTable.tryCommit(root, 1, Map("op" -> "a"), Seq("data/x")))
+    // the losing committer of v1 must NOT clobber the winner
+    assert(!sources.TxTable.tryCommit(root, 1, Map("op" -> "b"), Seq("data/y")))
+    assert(sources.TxTable.readManifest(root, 1).props("op") == "a")
+    // commit() retries past the taken version
+    val v = sources.TxTable.commit(root, "b", _ :+ "data/y")
+    assert(v == 2 &&
+      sources.TxTable.readManifest(root, 2).files == Seq("data/x", "data/y"))
+  }
+
+  test("TxTable: vacuum prunes old versions and exactly their " +
+      "exclusively-referenced files; retained snapshots still read") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("vacuum")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    val v1Only = sources.TxTable.readManifest(root, 1).files.toSet --
+      sources.TxTable.readManifest(root, 2).files.toSet --
+      sources.TxTable.readManifest(root, 3).files.toSet
+    val keep3 = sources.TxTable.snapshot(spark, root, 3).count()
+    val (pruned, removed) = sources.TxTable.vacuum(root, 2)
+    assert(pruned == Seq(1))
+    // v1 append wrote fresh files that v2 re-lists (append keeps prev),
+    // so only files NO retained manifest lists may go
+    assert(removed.toSet == v1Only)
+    assert(removed.forall(f => !new java.io.File(root, f).exists()))
+    assert(sources.TxTable.versions(root) == Seq(2, 3))
+    assert(sources.TxTable.snapshot(spark, root, 3).count() == keep3)
+    intercept[Exception] {
+      sources.TxTable.snapshot(spark, root, 1).count()
+    }
+  }
+
+  test("TxTable: time-travel reads equal the historical recompute at " +
+      "every version") {
+    import org.apache.spark.sql.functions._
+    val root = sources.TxTable.ensureDemoTable(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val hist = Seq(
+      1 -> orders.filter(col("o_orderkey") % 3 === 0),
+      2 -> orders.filter(col("o_orderkey") % 3 < 2),
+      3 -> orders.filter(col("o_orderkey") % 3 < 2 &&
+        col("o_custkey") % 97 =!= 0))
+    hist.foreach { case (v, expect) =>
+      assert(rows(sources.TxTable.snapshot(spark, root, v)) == rows(expect),
+        s"snapshot v$v diverged from the historical recompute")
+    }
+  }
+
   test("q_schema_evolution backfills NULL lang exactly for the " +
       "pre-drift drop") {
     val rows = sources.Layout.qSchemaEvolution(spark, sf0001).collect()
