@@ -57,14 +57,15 @@ object Dedup {
       .select("keeper_id", "h", "dup_count")
       .orderBy("keeper_id")
 
-  /** q_dedup_near — MinHash-LSH near-duplicate pairs with Jaccard ≥ 0.8
-    * over distinct 3-token shingle sets. Unigram sets are useless on a
-    * small vocabulary (nearly all pairs collide); 3-gram shingles separate
-    * the corpus's constructed near-dups (Jaccard ≈ 0.99) from everything
-    * else (< 0.2). No oracle (LSH banding is not reproducible in DuckDB);
-    * the scalatest suite asserts recall/precision on the constructed
-    * pairs. */
-  def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+  /** The featured cache + the LSH pair-join PLAN (pre-checkpoint), split
+    * out so PlanSpec can pin the load-bearing broadcast (VERDICT r16
+    * item 4): the cache's InMemoryRelation statistics are what let the
+    * exploded bucket join plan as BroadcastHashJoin — a refactor or a
+    * Spark upgrade that silently degrades it to sort-merge is the
+    * documented 6 s → 230 s cliff. Caller owns unpersisting `featured`
+    * once the pairs are materialized. */
+  private[graft] def nearDupPairsPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("tokens", expr(
@@ -97,9 +98,21 @@ object Dedup {
         col("datasetB.doc_id").as("id_b"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
       .filter(col("id_a") < col("id_b"))
-      // eager: the tiny pair set is materialized while `featured` is still
-      // cached; the cache is then released (Q cache-ownership contract)
-      .localCheckpoint(true)
+    (featured, pairs)
+  }
+
+  /** q_dedup_near — MinHash-LSH near-duplicate pairs with Jaccard ≥ 0.8
+    * over distinct 3-token shingle sets. Unigram sets are useless on a
+    * small vocabulary (nearly all pairs collide); 3-gram shingles separate
+    * the corpus's constructed near-dups (Jaccard ≈ 0.99) from everything
+    * else (< 0.2). No oracle (LSH banding is not reproducible in DuckDB);
+    * the scalatest suite asserts recall/precision on the constructed
+    * pairs. */
+  def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val (featured, plan) = nearDupPairsPlan(s, dir)
+    // eager: the tiny pair set is materialized while `featured` is still
+    // cached; the cache is then released (Q cache-ownership contract)
+    val pairs = plan.localCheckpoint(true)
     featured.unpersist()
     pairs.orderBy("id_a", "id_b")
   }

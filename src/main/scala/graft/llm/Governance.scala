@@ -309,23 +309,23 @@ object Governance {
     * files); production sizes files by bytes like q_write_compact. */
   private[graft] val DeleteLayoutFiles = 64
 
-  private val rewritePassId = new java.util.concurrent.atomic.AtomicInteger
-
   private val execInvocation = new java.util.concurrent.atomic.AtomicInteger
 
-  /** Hardlink snapshot of a flat layout dir — the per-invocation working
-    * copy [[qDeleteExecute]] mutates, so every invocation (bench re-runs
-    * included) starts from the pristine layout and times a REAL rewrite
-    * instead of a converged no-op (VERDICT r15 item 2). Hardlinks are
-    * sound here because [[deletePass]] only ever unlinks whole files and
-    * renames fresh ones in — file contents are never modified in place —
-    * so the pristine copy's bytes are untouchable through the snapshot.
-    * Cost is O(files) metadata ops, the same O(1)-data snapshot a table
-    * format's metadata commit gives at 100 TB. */
-  private def linkSnapshot(src: String, dst: String): Unit = {
+  /** Hardlink the pristine layout's parquet parts into a TxTable's data
+    * dir — the per-invocation v1 snapshot [[qDeleteExecute]] deletes
+    * from, so every invocation (bench re-runs included) starts from the
+    * pristine layout and times a REAL rewrite instead of a converged
+    * no-op (VERDICT r15 item 2). Hardlinks are sound because the commit
+    * protocol never modifies a data file in place — a rewrite commit only
+    * stops LISTING its victims — so the pristine copy's bytes are
+    * untouchable through the table. Cost is O(files) metadata ops, the
+    * same O(1)-data snapshot a table format's metadata commit gives at
+    * 100 TB. Returns the linked files' table-relative names (v1's
+    * manifest). */
+  private def linkSnapshot(src: String, dst: String): Seq[String] = {
     val d = new java.io.File(dst)
     d.mkdirs()
-    new java.io.File(src).listFiles().foreach { f =>
+    new java.io.File(src).listFiles().toSeq.sortBy(_.getName).flatMap { f =>
       // fail LOUDLY on a nested entry: silently skipping a subdirectory
       // (e.g. if the layout ever becomes directory-partitioned) would
       // snapshot an empty table and the delete would converge vacuously
@@ -333,8 +333,12 @@ object Governance {
       // prevent
       require(f.isFile,
         s"linkSnapshot expects a flat layout; found directory ${f.getPath}")
-      java.nio.file.Files.createLink(
-        new java.io.File(d, f.getName).toPath, f.toPath): Unit
+      if (!f.getName.endsWith(".parquet")) None
+      else {
+        java.nio.file.Files.createLink(
+          new java.io.File(d, f.getName).toPath, f.toPath): Unit
+        Some(s"data/${f.getName}")
+      }
     }
   }
 
@@ -374,105 +378,87 @@ object Governance {
     (ordPath, liPath)
   }
 
-  /** List the layout files holding at least one row of a deleted owner —
-    * the delete's unit of work. One metadata-narrow scan (owner column +
-    * `_metadata.file_path`) semi-joined against the broadcast manifest;
-    * the collect is bounded by the layout's FILE count, never its rows. */
-  private[graft] def affectedFiles(s: SparkSession, path: String,
-      del: DataFrame): Seq[String] =
-    s.read.parquet(path)
-      .select(col("_metadata.file_path").as("f"), col("owner"))
-      .join(broadcast(del), Seq("owner"), "left_semi")
-      .select("f").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-
-  /** One delete pass over an ownership-clustered layout: discover the
-    * affected files, rewrite ONLY those (read back, anti-join the
-    * broadcast manifest, one output part per input split — the owner
-    * clustering survives for the next request), then swap the rewritten
-    * parts in. Untouched files are never opened, moved, or rewritten —
-    * they stay byte-identical, which LayoutSpec asserts by checksum.
-    * Returns the affected file list (empty ⇒ the pass was a no-op).
-    *
-    * The delete-then-rename swap is per-file, not transactional: a crash
-    * between the two leaves a partial layout, which the public table
-    * formats (Delta/Iceberg) fix with an atomic metadata commit over
-    * immutable files. The scratch layout's fingerprint key plays that
-    * role at harness scale — a corrupted layout is rebuilt, not trusted. */
-  private[graft] def deletePass(s: SparkSession, path: String,
-      del: DataFrame): Seq[String] = {
-    val affected = affectedFiles(s, path, del)
-    if (affected.nonEmpty) {
-      val tmp = graft.Scratch.dir("deleteexec",
-        s"rw_${rewritePassId.incrementAndGet()}")
-      s.read.parquet(affected: _*)
-        .join(broadcast(del), Seq("owner"), "left_anti")
-        .write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      affected.foreach { f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit
-      }
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(tmp), false)
-      while (it.hasNext) {
-        val f = it.next()
-        // Spark part names embed a per-job UUID, so renames from distinct
-        // passes can never collide in the layout dir
-        if (f.getPath.getName.startsWith("part-")) {
-          fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(path, f.getPath.getName)): Unit
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
-    }
-    affected
+  /** Wrap a pristine flat layout as a fresh [[graft.sources.TxTable]]:
+    * hardlink its parquet parts in as the v1 commit. Shared by
+    * [[qDeleteExecute]] and the specs' stream/batch twins. */
+  private[graft] def layoutAsTable(pristine: String, root: String)
+      : String = {
+    graft.sources.TxTable.init(root)
+    graft.sources.TxTable.commitInit(root,
+      linkSnapshot(pristine, s"$root/data")): Unit
+    root
   }
 
-  /** q_delete_execute — the right-to-be-forgotten rewrite (round 14):
-    * PERFORMS the delete that [[qDeletePropagate]] only audits. The same
-    * bounded request manifest (c_custkey % 97 == 0) drives an
-    * affected-files-only rewrite of ownership-clustered copies of orders
-    * and lineitem: discover which files hold a deleted owner's rows
-    * (broadcast semi-probe on the owner column), rewrite exactly those
-    * files with the owner's rows anti-joined out, leave every other file
-    * byte-identical. A second pass runs in the SAME invocation and must
-    * find zero affected files — "audit first, rewrite once", proven on
-    * every run, the q_dedup_manifest_update idempotence discipline.
+  /** TxTable roots of the most recent [[qDeleteExecute]] invocation
+    * (orders, lineitem) — the spec reads these to pin the commit
+    * discipline on the key's own run. */
+  private[graft] val lastDeleteRoots =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  /** q_delete_execute — the right-to-be-forgotten rewrite (round 14;
+    * round 17 runs it THROUGH TRANSACTIONAL COMMITS): PERFORMS the
+    * delete that [[qDeletePropagate]] only audits. The same bounded
+    * request manifest (c_custkey % 97 == 0) drives an affected-files-only
+    * rewrite of ownership-clustered copies of orders and lineitem, each
+    * wrapped as a [[graft.sources.TxTable]]: v1 commits the pristine
+    * layout's parts (hardlinked in — O(files) metadata), the delete is
+    * ONE rewrite commit per table (discover affected files via a
+    * broadcast semi-probe on the owner column, rewrite exactly those
+    * with the owner's rows anti-joined out, publish survivors + rewrites
+    * atomically), and a second pass over the NEW snapshot must find zero
+    * affected files and commit nothing — "audit first, rewrite once",
+    * proven on every run. A concurrent reader pinned on v1 sees the
+    * complete pre-delete table throughout; one that opens after the
+    * commit sees the complete post-delete table; a torn layout is
+    * unobservable by construction (closing the r14–r16 caveat that the
+    * per-file delete-then-rename swap was non-transactional).
     *
     * Scale shape: the request manifest is privacy-queue-bounded →
     * broadcast everywhere; discovery is one owner-column scan per table
     * (collect bounded by FILE count); the rewrite reads and writes only
-    * O(requests) files with no shuffle at all (per-split filter, owner
-    * clustering preserved for the next request). At 100 TB this is the
-    * GDPR compliance pass: audit (q_delete_propagate) signs off the
-    * counts, this key rewrites the files, the second discovery proves
-    * convergence. Oracle: the survivor key sets read back from the final
-    * layouts must equal DuckDB's NOT-IN recompute over the source
-    * tables. */
+    * O(requests) files with no shuffle at all; the commit itself is O(1)
+    * data. At 100 TB this is the GDPR compliance pass a table format
+    * runs: audit signs off the counts, one commit rewrites the files,
+    * the second discovery proves convergence, and vacuum retires the
+    * pre-delete snapshot once its retention lease expires. Oracle: the
+    * survivor key sets read back from the final snapshots must equal
+    * DuckDB's NOT-IN recompute over the source tables. */
   def qDeleteExecute(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
     // pristine fingerprint-keyed layouts (built once, warmed by Bench)
-    // are NEVER mutated; each invocation rewrites its own hardlink
-    // snapshot, so re-runs measure the same real delete, not a no-op
+    // are NEVER mutated; each invocation deletes from its own
+    // hardlink-seeded table, so re-runs measure the same real delete,
+    // not a no-op
     val (ordPristine, liPristine) = ensureDeletableLayouts(s, dir)
     val inv = execInvocation.incrementAndGet()
-    val ordPath = graft.Scratch.dir("deleteexec", s"inv${inv}_orders")
-    val liPath = graft.Scratch.dir("deleteexec", s"inv${inv}_lineitem")
-    linkSnapshot(ordPristine, ordPath)
-    linkSnapshot(liPristine, liPath)
+    val ordRoot = layoutAsTable(ordPristine,
+      graft.Scratch.dir("deleteexec", s"inv${inv}_orders"))
+    val liRoot = layoutAsTable(liPristine,
+      graft.Scratch.dir("deleteexec", s"inv${inv}_lineitem"))
+    lastDeleteRoots.set((ordRoot, liRoot))
     val del = Tables.customer(s, dir)
       .filter(col("c_custkey") % 97 === 0)
       .select(col("c_custkey").as("owner"))
       .localCheckpoint(true)
-    deletePass(s, ordPath, del)
-    deletePass(s, liPath, del)
-    val second = affectedFiles(s, ordPath, del) ++
-      affectedFiles(s, liPath, del)
+    TxTable.deleteMatching(s, ordRoot, del, "owner"): Unit
+    TxTable.deleteMatching(s, liRoot, del, "owner"): Unit
+    val second = TxTable.deleteMatching(s, ordRoot, del, "owner")._2 ++
+      TxTable.deleteMatching(s, liRoot, del, "owner")._2
     require(second.isEmpty,
       s"delete did not converge: ${second.length} files still affected")
-    val ord = s.read.parquet(ordPath)
+    // bound scratch growth across invocations (ADVICE r16): the two-back
+    // invocation's tables can no longer be referenced by any spec or
+    // in-flight reader — mirror the index rebuild's retention discipline
+    if (inv > 2) {
+      Seq("orders", "lineitem").foreach { n =>
+        graft.Scratch.deleteRec(new java.io.File(
+          graft.Scratch.dir("deleteexec", s"inv${inv - 2}_$n")))
+      }
+    }
+    val ord = TxTable.snapshot(s, ordRoot)
       .select(lit("orders").as("tbl"), col("o_orderkey").as("k1"),
         lit(0L).as("k2"))
-    val li = s.read.parquet(liPath)
+    val li = TxTable.snapshot(s, liRoot)
       .select(lit("lineitem").as("tbl"), col("l_orderkey").as("k1"),
         col("l_linenumber").cast("long").as("k2"))
     li.unionByName(ord).orderBy("tbl", "k1", "k2")

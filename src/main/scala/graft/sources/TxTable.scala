@@ -201,8 +201,12 @@ object TxTable {
   private[graft] def rewriteCommit(s: SparkSession, root: String,
       matching: DataFrame => DataFrame,
       surviving: DataFrame => DataFrame): (Int, Seq[String]) = {
-    val affAbs = matching(snapshot(s, root))
-      .select(col("_metadata.file_path").as("f")).distinct()
+    // the hidden _metadata column resolves only against the file-source
+    // relation itself — materialize the path BEFORE `matching` wraps the
+    // scan in joins/filters
+    val affAbs = matching(snapshot(s, root)
+        .withColumn("__tx_file", col("_metadata.file_path")))
+      .select(col("__tx_file").as("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
     else {

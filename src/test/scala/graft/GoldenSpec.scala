@@ -31,13 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 181,
-      s"expected the SURVEY §2 181-key inventory (175 as of round 15 + " +
-        s"round 16's q_profile_table_approx/q_index_policy/" +
-        s"q_index_rollback/q_scan_xml/q_mm_frames/q_ml_persist), " +
+    assert(SparkEntry.queries.size == 183,
+      s"expected the SURVEY §2 183-key inventory (181 as of round 16 + " +
+        s"round 17's q_table_commit/q_table_timetravel), " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 153,
-      s"expected 153 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 155,
+      s"expected 155 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -82,59 +82,56 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(readBack.count() == Tables.documents(spark, sf0001).count())
   }
 
-  test("q_delete_execute rewrites ONLY affected files (untouched files " +
-      "byte-identical) and a second pass rewrites zero files") {
+  test("q_delete_execute runs through TxTable commits: pristine layout " +
+      "untouchable (hardlink identity), pre-delete snapshot intact after " +
+      "the commit, affected-file minimality, survivors clean") {
     import org.apache.spark.sql.functions._
-    def md5s(path: String): Map[String, String] =
-      new java.io.File(path).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map { f =>
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          f.getName -> java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map(b => f"$b%02x").mkString
-        }.toMap
-    // spec-private layout variant: the query key mutates ITS layout in
-    // place (that is the idempotence design), so the spec builds its own
-    // fresh copy to observe the first pass regardless of test order
-    val (ordPath, liPath) =
-      llm.Governance.ensureDeletableLayouts(spark, sf0001, "spec_")
-    val del = Tables.customer(spark, sf0001)
+    assert(llm.Governance.qDeleteExecute(spark, sf0001).count() > 0)
+    val (ordRoot, liRoot) = llm.Governance.lastDeleteRoots.get
+    val (ordPristine, liPristine) =
+      llm.Governance.ensureDeletableLayouts(spark, sf0001)
+    val delKeys = Tables.customer(spark, sf0001)
       .filter(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey").as("owner"))
-      .localCheckpoint(true)
-    for (path <- Seq(ordPath, liPath)) {
-      val before = md5s(path)
-      val affected = llm.Governance.deletePass(spark, path, del)
-      val affectedNames = affected
-        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-      // the pass must touch a strict minority of the layout's files at
-      // sf0.001 (one deleted owner of 150) — affected-files-only is the
-      // whole point of the ownership clustering
-      assert(affected.nonEmpty, s"$path: fixture deleted no files")
-      assert(affectedNames.size < before.size / 2,
-        s"$path: ${affectedNames.size} of ${before.size} files affected " +
-          "— clustering is not localizing the delete")
-      val after = md5s(path)
-      // untouched files byte-identical, affected originals gone
-      before.foreach { case (name, sum) =>
-        if (!affectedNames(name))
-          assert(after.get(name).contains(sum),
-            s"$path: untouched file $name changed bytes")
-        else assert(!after.contains(name),
-          s"$path: affected file $name not removed")
+      .collect().map(_.getLong(0)).toSet
+    for ((root, pristine) <- Seq(ordRoot -> ordPristine,
+        liRoot -> liPristine)) {
+      // exactly two commits: the pristine init and ONE delete commit
+      // (the converged second pass committed nothing)
+      assert(sources.TxTable.versions(root) == Seq(1, 2),
+        s"$root: expected versions 1,2, got " +
+          sources.TxTable.versions(root).mkString(","))
+      val v1 = sources.TxTable.readManifest(root, 1).files
+      val v2 = sources.TxTable.readManifest(root, 2).files.toSet
+      // v1's data files ARE the pristine parts (same inode) — the
+      // pristine layout's bytes are untouchable through the table
+      v1.foreach { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        assert(java.nio.file.Files.isSameFile(
+          new java.io.File(root, f).toPath,
+          new java.io.File(pristine, name).toPath),
+          s"$root: $f is not a hardlink of the pristine part")
       }
-      // idempotence: the layout no longer holds any deleted owner's rows
-      val second = llm.Governance.deletePass(spark, path, del)
-      assert(second.isEmpty,
-        s"$path: second pass still rewrites ${second.length} files")
-      assert(md5s(path) == after,
-        s"$path: second pass changed the layout")
+      // affected-files-only: the delete commit dropped a strict minority
+      // of v1's files (one deleted owner of 150 at sf0.001 — the
+      // ownership clustering is what localizes the delete)
+      val dropped = v1.toSet -- v2
+      assert(dropped.nonEmpty, s"$root: fixture deleted no files")
+      assert(dropped.size < v1.size / 2,
+        s"$root: ${dropped.size} of ${v1.size} files affected — " +
+          "clustering is not localizing the delete")
+      // the pre-delete snapshot is INTACT after the commit: every v1
+      // file still on disk, row count equal to the pristine layout
+      assert(v1.forall(f => new java.io.File(root, f).isFile),
+        s"$root: a v1 file was unlinked by the delete commit")
+      assert(sources.TxTable.snapshot(spark, root, 1).count() ==
+        spark.read.parquet(pristine).count(),
+        s"$root: pinned v1 read diverged from the pristine layout")
+      // survivors are exactly the NOT-IN recompute (the oracle's check,
+      // re-stated structurally over the committed snapshot)
+      val survOwners = sources.TxTable.snapshot(spark, root)
+        .select("owner").distinct().collect().map(_.getLong(0)).toSet
+      assert(survOwners.intersect(delKeys).isEmpty)
     }
-    // and the survivor rows are exactly the NOT-IN recompute (the
-    // oracle's check, re-stated structurally over the mutated layout)
-    val delKeys = del.collect().map(_.getLong(0)).toSet
-    val survOwners = spark.read.parquet(ordPath).select("owner")
-      .distinct().collect().map(_.getLong(0)).toSet
-    assert(survOwners.intersect(delKeys).isEmpty)
   }
 
   // ------------------------------------------------------------------

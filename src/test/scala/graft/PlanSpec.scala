@@ -688,6 +688,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"probe filter must run before the probe-side exchange:\n$physical")
   }
 
+  test("q_dedup_near's exploded bucket join plans as BroadcastHashJoin " +
+      "(the load-bearing cache's InMemoryRelation statistics)") {
+    // The cache() in nearDupPairsPlan is what gives the planner size
+    // statistics for approxSimilarityJoin's self-join of the exploded
+    // hash buckets; losing it (e.g. a localCheckpoint swap, or a Spark
+    // upgrade changing LogicalRDD stats) degrades the join to sort-merge
+    // over interpreted vector-key ordering — the documented 6 s → 230 s
+    // cliff at sf0.1 (VERDICT r16 item 4 pins it here instead of in a
+    // comment).
+    val (featured, pairs) = llm.Dedup.nearDupPairsPlan(spark, sf0001)
+    try {
+      pairs.count() // materialize so any adaptive re-plan is final
+      val plan = planOf(pairs)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bucket self-join lost its broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"bucket self-join degraded to sort-merge:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"featured cache is not feeding the join:\n$plan")
+    } finally { featured.unpersist(): Unit }
+  }
+
   test("ts_resample aggregates the corpus before touching the grid (the " +
       "LOCF window runs over O(calendar) rows)") {
     val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))

@@ -186,6 +186,71 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(v == Seq(14.0))
   }
 
+  test("exactly-once streaming sink INTO the committed table: " +
+      "batchId-idempotent commits, a replayed batch commits zero new " +
+      "files, kill+resume continues the log, final table equals the " +
+      "batch run (VERDICT r16 item 2)") {
+    // Closes the sink half of the pinned Kafka contract: the source half
+    // (durable offsets, restart-from-checkpoint, rate limiting) is the
+    // test above; here the sink is TxTable.commitBatch — each micro-batch
+    // lands as ONE atomic, batchId-tagged commit, so the crash window
+    // exactly-once exists for (batch committed, checkpoint commit log not
+    // yet written → Spark REPLAYS the same batchId on restart) dedupes to
+    // a no-op instead of double-writing.
+    import spark.implicits._
+    val root = graft.Scratch.dir("txtable", "stream_sink")
+    sources.TxTable.init(root)
+    val base = graft.Scratch.dir("stream", "tx_sink")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    def addFile(ids: Range): Unit =
+      ids.map(i => Ev(i.toLong, ts(i), i.toLong % 3, "click", i.toDouble))
+        .toDF().coalesce(1).write.mode("append").parquet(src)
+    val sch = Seq.empty[Ev].toDF().schema
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"),
+        (col("value") * 2).as("v2"))
+    def startQuery() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .transform(transform)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sources.TxTable.commitBatch(b.sparkSession, root, id, b): Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    def dataFiles(): Int = new java.io.File(root, "data").list().length
+    // run 1: three files, one per rate-limited micro-batch → 3 commits
+    addFile(0 until 4); addFile(4 until 8); addFile(8 until 12)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(sources.TxTable.versions(root) == Seq(1, 2, 3))
+    // REPLAY: re-delivering an already-committed batchId (the
+    // crash-between-commit-and-checkpoint window) must commit NOTHING —
+    // zero new versions, zero new data files
+    val before = (sources.TxTable.currentVersion(root), dataFiles())
+    val committed = sources.TxTable.commitBatch(spark, root, 2L,
+      transform(spark.read.schema(sch).parquet(src)))
+    assert(!committed, "replayed batchId was committed again")
+    assert((sources.TxTable.currentVersion(root), dataFiles()) == before,
+      "replayed batch changed the table")
+    // kill + resume: more data arrives while the query is down; the
+    // restarted query continues the offset log (batchIds 3, 4) and each
+    // lands exactly one further commit
+    addFile(12 until 16); addFile(16 until 20)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    assert(sources.TxTable.versions(root) == Seq(1, 2, 3, 4, 5))
+    assert(sources.TxTable.versions(root).map(v =>
+      sources.TxTable.readManifest(root, v).props("batch")) ==
+      Seq("0", "1", "2", "3", "4"),
+      "batchIds did not continue across the restart")
+    // exactly-once end-to-end: the committed table equals the BATCH run
+    // of the same transform over the full source
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(rows(sources.TxTable.snapshot(spark, root)) ==
+      rows(transform(spark.read.schema(sch).parquet(src))),
+      "streamed table diverged from the batch run")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -295,23 +360,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("streaming delete queue: foreachBatch applies micro-batched " +
-      "deletion manifests through deletePass; a replayed batch rewrites " +
-      "zero files and survivors equal the one-shot batch delete " +
+      "deletion manifests through rewrite COMMITS; a replayed batch " +
+      "rewrites zero files and survivors equal the one-shot batch delete " +
       "(streaming half of q_delete_execute)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // a production privacy queue arrives as a STREAM of deletion
     // requests; each micro-batch manifest is applied through the same
-    // affected-files-only rewrite the batch key runs. The properties
-    // under test: at-least-once safety (re-delivering an already-applied
-    // manifest rewrites ZERO files — deletePass discovery finds nothing,
-    // the q_dedup_manifest_update replay discipline) and batch-boundary
-    // irrelevance (survivors after N micro-batches == one-shot delete
-    // of the union manifest).
-    val (ordS, liS) =
+    // affected-files-only rewrite commit the batch key runs (round 17:
+    // TxTable.deleteMatching — each micro-batch lands one atomic
+    // version). The properties under test: at-least-once safety
+    // (re-delivering an already-applied manifest rewrites ZERO files and
+    // commits NOTHING — the discovery over the new snapshot finds
+    // nothing, the q_dedup_manifest_update replay discipline) and
+    // batch-boundary irrelevance (survivors after N micro-batches ==
+    // one-shot delete of the union manifest).
+    val (ordP, liP) =
       llm.Governance.ensureDeletableLayouts(spark, sf0001, "specstream_")
-    val (ordB, liB) =
-      llm.Governance.ensureDeletableLayouts(spark, sf0001, "specbatch_")
+    val ordS = llm.Governance.layoutAsTable(ordP,
+      graft.Scratch.dir("txtable", "specstream_orders"))
+    val liS = llm.Governance.layoutAsTable(liP,
+      graft.Scratch.dir("txtable", "specstream_lineitem"))
+    val ordB = llm.Governance.layoutAsTable(ordP,
+      graft.Scratch.dir("txtable", "specbatch_orders"))
+    val liB = llm.Governance.layoutAsTable(liP,
+      graft.Scratch.dir("txtable", "specbatch_lineitem"))
     // %29 keeps ~5 requests at sf0.001 (the %97 batch-key manifest has
     // only one owner here — not enough to micro-batch)
     val owners = Tables.customer(spark, sf0001)
@@ -325,9 +398,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val del = batch.select("owner").localCheckpoint(true)
+        val bs = batch.sparkSession
         rewrites += (
-          llm.Governance.deletePass(batch.sparkSession, ordS, del).length +
-          llm.Governance.deletePass(batch.sparkSession, liS, del).length)
+          sources.TxTable.deleteMatching(bs, ordS, del, "owner")._2.length +
+          sources.TxTable.deleteMatching(bs, liS, del, "owner")._2.length)
         ()
       }
       .start()
@@ -346,13 +420,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val delAll = Tables.customer(spark, sf0001)
       .filter(col("c_custkey") % 29 === 0)
       .select(col("c_custkey").as("owner")).localCheckpoint(true)
-    llm.Governance.deletePass(spark, ordB, delAll)
-    llm.Governance.deletePass(spark, liB, delAll)
-    def keysOf(ordPath: String, liPath: String): Set[(String, Long, Long)] =
-      spark.read.parquet(ordPath)
+    sources.TxTable.deleteMatching(spark, ordB, delAll, "owner")
+    sources.TxTable.deleteMatching(spark, liB, delAll, "owner")
+    def keysOf(ordRoot: String, liRoot: String): Set[(String, Long, Long)] =
+      sources.TxTable.snapshot(spark, ordRoot)
         .select(lit("o"), col("o_orderkey"), lit(0L)).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ++
-      spark.read.parquet(liPath)
+      sources.TxTable.snapshot(spark, liRoot)
         .select(lit("l"), col("l_orderkey"),
           col("l_linenumber").cast("long")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
