@@ -304,7 +304,16 @@ object DedupVariants {
     * no cross join over data. q_dedup_embed remains the exact
     * calibration twin; ApproxSpec asserts recall ≥ 0.95 against it at
     * sf0.01 (precision is 1.0 by construction — the final filter is
-    * exact). No oracle (bucketing is model-dependent). */
+    * exact). No oracle (bucketing is model-dependent).
+    *
+    * Scale sizing (round-17 sf1 rehearsal, SCALE.md): at FIXED K the
+    * candidate term (L·P²/K)·n²/2 is still quadratic in n — the 10×
+    * corpus read only 4.3× because the bounded fit + linear encode
+    * dominate there, but by ~100× the pair join takes over. The
+    * deployment discipline is to scale K with the corpus (K ∝ n /
+    * target cell size; FAISS sizes √n–16√n cells) so per-cell
+    * occupancy, hence candidates per vector, stays constant → linear
+    * end-to-end; the sample-based fit stays bounded regardless of K. */
   def qDedupEmbedBucketed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val K = 80 // per-quantizer cells; L·P²/K = 0.6 of all-pairs, shrinking
