@@ -345,14 +345,18 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
-  /** Build-once demo table for the time-travel read (fingerprint-keyed,
+  /** Build-once three-commit table under `sub` (fingerprint-keyed,
     * staged + atomically renamed so a half-built table is never
-    * adopted — the rebuildInto discipline). The READ is q_table_timetravel's
-    * semantics; the build is the one-time layout cost Bench warms. */
-  private[graft] def ensureDemoTable(s: SparkSession, dir: String): String = {
+    * adopted — the rebuildInto discipline). Shared by the read-side keys
+    * (time travel, CDC) and, under separate roots, by the keys that
+    * append further commits (compact, rollback) so their version
+    * sequences never interfere. The build is the one-time layout cost
+    * Bench warms; the reads/commits on top are the timed semantics. */
+  private[graft] def ensureDemoTable(s: SparkSession, dir: String,
+      sub: String = "demo"): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       graft.Scratch.fingerprint(dir, "orders")
-    val root = graft.Scratch.dir("txtable", s"demo_$tag")
+    val root = graft.Scratch.dir("txtable", s"${sub}_$tag")
     if (!new java.io.File(root, "_GRAFT_DONE").exists()) {
       val staging = root + ".staging"
       buildDemoHistory(s, staging, dir)
@@ -386,14 +390,146 @@ object TxTable {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** File-diff change sets between two consecutive manifests: rows in
+    * added-only files are candidate inserts, rows in removed-only files
+    * candidate deletes; keys present on both sides are carried (a rewrite
+    * copies survivors), so each side anti-joins the other — broadcast,
+    * because both sides are COMMIT-sized, never table-sized. Returns
+    * (inserts, deletes) as optional frames of (o_orderkey, o_custkey). */
+  private[graft] def changeSets(s: SparkSession, root: String,
+      prev: Int, cur: Int): (Option[DataFrame], Option[DataFrame]) = {
+    val pf = readManifest(root, prev).files.toSet
+    val cf = readManifest(root, cur).files.toSet
+    def rd(fs: Set[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(s.read.parquet(fs.toSeq.sorted.map(f => s"$root/$f"): _*)
+        .select("o_orderkey", "o_custkey"))
+    val added = rd(cf -- pf)
+    val removed = rd(pf -- cf)
+    val ins = (added, removed) match {
+      case (Some(a), Some(r)) =>
+        Some(a.join(broadcast(r.select("o_orderkey")),
+          Seq("o_orderkey"), "left_anti"))
+      case (a, _) => a
+    }
+    val del = (added, removed) match {
+      case (Some(a), Some(r)) =>
+        Some(r.join(broadcast(a.select("o_orderkey")),
+          Seq("o_orderkey"), "left_anti"))
+      case (_, r) => r
+    }
+    (ins, del)
+  }
+
+  /** q_table_changes — incremental read / change-data-feed between
+    * versions (round 17): the Delta-CDF / Iceberg-incremental-read shape,
+    * derived from the commit log alone. For each consecutive manifest
+    * pair, the file DIFF bounds the work: rows of added-only files are
+    * inserts, rows of removed-only files deletes, and keys on both sides
+    * are carried rewrites (so a pure compaction diffs to ZERO changes —
+    * LayoutSpec pins that). This is what lets the incremental dedup /
+    * decontamination keys consume "what changed since v" instead of
+    * re-scanning the corpus: CDC cost is O(commit size), never O(table).
+    * Oracle recomputes both change sets from the source table (v2's
+    * inserts = the day-2 ingest; v3's deletes = the GDPR'd rows). */
+  def qTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    val vs = versions(root)
+    val parts = vs.zip(vs.tail).flatMap { case (p, c) =>
+      val (ins, del) = changeSets(s, root, p, c)
+      def shape(df: DataFrame, kind: String) =
+        df.select(lit(c).as("version"), lit(kind).as("change"),
+          col("o_orderkey"), col("o_custkey"))
+      ins.map(shape(_, "insert")) ++ del.map(shape(_, "delete"))
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy("version", "change", "o_orderkey")
+  }
+
+  // versions bounded across invocations by the in-key vacuum below
+  private[graft] val CompactRetain = 3
+
+  /** q_table_compact — compaction under a conflict-checked commit (round
+    * 17): rewrite the CURRENT snapshot's files (15-ish commit-sized
+    * parts after the demo history) into 4 owner-range files and publish
+    * them as one atomic `compact` commit whose update closure REQUIRES
+    * the manifest it read is still current — a concurrent commit aborts
+    * the compaction instead of being silently dropped (the table-format
+    * conflict check; rows are never lost to a race). Readers pinned on
+    * pre-compact versions are untouched; the file diff of a compaction
+    * is content-neutral (CDC = zero changes, LayoutSpec). Each
+    * invocation re-compacts and then VACUUMS to the newest
+    * [[CompactRetain]] versions, exercising retention in the key itself.
+    * Oracle: identity — compaction must change bytes-on-disk shape ONLY. */
+  def qTableCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "compacttbl")
+    val v0 = currentVersion(root)
+    val f0 = readManifest(root, v0).files
+    val rewritten = writeData(s, root,
+      snapshot(s, root, v0).repartitionByRange(4, col("o_custkey"),
+        col("o_orderkey")))
+    commit(root, "compact", { prev =>
+      require(prev == f0,
+        s"concurrent commit during compaction of $root — aborting " +
+          "instead of dropping it")
+      rewritten
+    }): Unit
+    vacuum(root, CompactRetain): Unit
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
+  /** Rollback commit: re-publish version `v`'s complete file list as the
+    * NEW current version — O(1) metadata, no data movement; the rolled-
+    * back-over versions stay readable as incident evidence (the index
+    * store's rollback discipline lifted to the data table). Requires v's
+    * manifest (and hence its files — no vacuum runs on rollback tables)
+    * to be retained. */
+  private[graft] def rollbackTo(root: String, v: Int): Int =
+    commit(root, "rollback", _ => readManifest(root, v).files,
+      Map("restores" -> v.toString))
+
+  /** q_table_rollback — snapshot restore under a commit (round 17): the
+    * v3 GDPR delete is declared wrong (the incident rollback exists
+    * for), and the table is restored to the v2 snapshot by committing
+    * v2's file list as a new version — a pointer-flip in data-table
+    * form: O(1) metadata, zero data movement, the bad v3 retained as
+    * evidence (LayoutSpec pins both). Every invocation replays the
+    * restore (one manifest write — honest O(1) cost) and serves the
+    * standard read from the restored snapshot. Oracle: the v2 recompute
+    * (load ∪ ingest, no delete). */
+  def qTableRollback(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "rbtbl")
+    rollbackTo(root, 2): Unit
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_table_commit" -> (qTableCommit _),
-    "q_table_timetravel" -> (qTableTimetravel _))
+    "q_table_timetravel" -> (qTableTimetravel _),
+    "q_table_changes" -> (qTableChanges _),
+    "q_table_compact" -> (qTableCompact _),
+    "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
     "q_table_commit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_changes" ->
+      """SELECT 2 AS version, 'insert' AS change, o_orderkey, o_custkey
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 = 0
+        |ORDER BY version, change, o_orderkey""".stripMargin,
+    "q_table_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_rollback" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
         |ORDER BY o_orderkey""".stripMargin,
     "q_table_timetravel" ->
       """WITH v1 AS (

@@ -244,6 +244,66 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("TxTable: CDC reads only commit-sized file sets, and a pure " +
+      "compaction diffs to ZERO changes") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("cdc")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    // file-diff boundedness: the append step removes nothing; the delete
+    // step's diff is a strict minority of the snapshot on both sides
+    val m = (1 to 3).map(v => sources.TxTable.readManifest(root, v).files.toSet)
+    assert((m(0) -- m(1)).isEmpty, "append must remove no files")
+    assert((m(1) -- m(2)).size < m(1).size / 2 &&
+      (m(2) -- m(1)).size < m(1).size / 2,
+      "delete CDC must touch commit-sized file sets, not the table")
+    // compact: full rewrite, conflict-checked commit
+    val preRows = sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val rewritten = sources.TxTable.writeData(spark, root,
+      sources.TxTable.snapshot(spark, root)
+        .repartitionByRange(2, col("o_custkey"), col("o_orderkey")))
+    val v4 = sources.TxTable.commit(root, "compact", _ => rewritten)
+    assert(v4 == 4 && rewritten.size == 2)
+    // content-neutral: the compaction commit's change sets are EMPTY on
+    // both sides (every key is carried) — the CDC law that lets an
+    // incremental consumer skip compactions entirely
+    val (ins, del) = sources.TxTable.changeSets(spark, root, 3, 4)
+    assert(ins.map(_.count()).getOrElse(0L) == 0L,
+      "compaction emitted phantom inserts")
+    assert(del.map(_.count()).getOrElse(0L) == 0L,
+      "compaction emitted phantom deletes")
+    assert(sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == preRows)
+  }
+
+  test("q_table_compact bounds versions via in-key vacuum and " +
+      "q_table_rollback keeps the bad version as evidence") {
+    import org.apache.spark.sql.functions._
+    // two invocations: versions grow then retention clamps to the window
+    sources.TxTable.qTableCompact(spark, sf0001).count()
+    sources.TxTable.qTableCompact(spark, sf0001).count()
+    val cRoot = sources.TxTable.ensureDemoTable(spark, sf0001, "compacttbl")
+    assert(sources.TxTable.versions(cRoot).size <=
+      sources.TxTable.CompactRetain,
+      s"vacuum did not clamp versions: ${sources.TxTable.versions(cRoot)}")
+    // rollback: O(1) metadata — commits a manifest, creates NO data files
+    val rRoot = sources.TxTable.ensureDemoTable(spark, sf0001, "rbtbl")
+    def nData = new java.io.File(rRoot, "data").list().length
+    val before = nData
+    val out = sources.TxTable.qTableRollback(spark, sf0001)
+    assert(out.count() > 0 && nData == before,
+      "rollback must not move data")
+    // the bad v3 (the wrong delete) is retained as incident evidence and
+    // still time-travels to the deleted state
+    val v3 = sources.TxTable.snapshot(spark, rRoot, 3)
+    assert(v3.filter(col("o_custkey") % 97 === 0).count() == 0,
+      "v3 should be the (bad) post-delete state")
+    // while CURRENT serves the restored v2 snapshot (deleted rows back)
+    assert(sources.TxTable.snapshot(spark, rRoot)
+      .filter(col("o_custkey") % 97 === 0).count() > 0,
+      "rollback did not restore the deleted rows")
+  }
+
   test("TxTable: time-travel reads equal the historical recompute at " +
       "every version") {
     import org.apache.spark.sql.functions._
