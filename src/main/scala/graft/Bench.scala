@@ -101,7 +101,7 @@ object Bench {
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
         "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
         "q_sim_index_persist", "q_ml_persist", "q_table_timetravel",
-        "q_table_compact", "q_table_rollback")
+        "q_table_compact", "q_table_merge", "q_table_rollback")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
         warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())

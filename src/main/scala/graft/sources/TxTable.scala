@@ -478,6 +478,84 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
+  /** MERGE (upsert) under ONE commit: matched table rows take the
+    * source's payload (rewrite of only their files), unmatched source
+    * rows append — both land atomically in a single manifest, so a
+    * reader never sees the update without the insert or vice versa (the
+    * MERGE INTO contract). Discovery is one table scan with a broadcast
+    * semi-probe on the source keys (doubling as affected-file listing);
+    * everything else — matched keys, rewrite inputs, appends — is
+    * commit-bounded and rides broadcasts. The update closure requires
+    * the victims are still current (conflict check). Returns (version,
+    * affected files, inserted-row count). */
+  private[graft] def mergeCommit(s: SparkSession, root: String,
+      source: DataFrame, keyCol: String, payloadCol: String)
+      : (Int, Seq[String], Long) = {
+    val v0 = currentVersion(root)
+    val snap = snapshot(s, root, v0)
+      .withColumn("__tx_file", col("_metadata.file_path"))
+    val srcKeys = source.select(keyCol)
+    // one scan: matched keys + the files that hold them
+    val matched = snap
+      .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
+      .select(col(keyCol), col("__tx_file"))
+      .localCheckpoint(true)
+    val affAbs = matched.select(col("__tx_file").as("f")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val matchedKeys = matched.select(keyCol).distinct()
+    val inserts = source
+      .join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+    val nIns = inserts.count()
+    val cols = snapshot(s, root, v0).columns
+    val newPayload = source
+      .select(col(keyCol), col(payloadCol).as("__tx_new"))
+    val rewritten =
+      if (affAbs.isEmpty) Seq.empty[String]
+      else writeData(s, root,
+        s.read.parquet(affAbs: _*)
+          .join(broadcast(newPayload), Seq(keyCol), "left")
+          .withColumn(payloadCol,
+            coalesce(col("__tx_new"), col(payloadCol)))
+          .select(cols.map(col): _*))
+    val appended =
+      if (nIns == 0) Seq.empty[String]
+      else writeData(s, root, inserts.select(cols.map(col): _*))
+    val affRel = affAbs.map(p =>
+      "data/" + p.substring(p.lastIndexOf('/') + 1))
+    val affSet = affRel.toSet
+    val v = commit(root, "merge", { prev =>
+      require(affRel.forall(prev.toSet),
+        s"concurrent rewrite conflict at $root: a merge victim is no " +
+          "longer in the current snapshot")
+      prev.filterNot(affSet) ++ rewritten ++ appended
+    })
+    (v, affRel, nIns)
+  }
+
+  /** q_table_merge — MERGE INTO under one atomic commit (round 17): the
+    * headline table-format write op. The source batch carries an
+    * idempotent payload (price := f(key), a pure key function, so the
+    * final state is invocation-count-independent): keys already in the
+    * table update in place (their files rewritten), new keys append —
+    * published together in ONE manifest, so no reader can observe the
+    * update without the insert. Each invocation re-merges the same
+    * batch (real rewrite work — upserts re-applied are the at-least-
+    * once delivery case a MERGE sink absorbs) and vacuums to the
+    * retention window. Oracle: base LEFT JOIN source for the updates ∪
+    * source anti base for the inserts. */
+  def qTableMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "mergetbl")
+    val source = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 2 ||
+        (col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 === 0))
+      .select(col("o_orderkey"), col("o_custkey"),
+        ((col("o_orderkey") % 1000).cast("double") + 0.5)
+          .as("o_totalprice"))
+    mergeCommit(s, root, source, "o_orderkey", "o_totalprice"): Unit
+    vacuum(root, CompactRetain): Unit
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
   /** Rollback commit: re-publish version `v`'s complete file list as the
     * NEW current version — O(1) metadata, no data movement; the rolled-
     * back-over versions stay readable as incident evidence (the index
@@ -508,6 +586,7 @@ object TxTable {
     "q_table_timetravel" -> (qTableTimetravel _),
     "q_table_changes" -> (qTableChanges _),
     "q_table_compact" -> (qTableCompact _),
+    "q_table_merge" -> (qTableMerge _),
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +609,24 @@ object TxTable {
     "q_table_rollback" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_orderkey % 1000 AS DOUBLE) + 0.5 AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 2
+        |     OR (o_orderkey % 3 = 0 AND o_orderkey % 30 = 0))
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  COALESCE(s.p, b.o_totalprice) AS o_totalprice
+        |FROM base b LEFT JOIN src s USING (o_orderkey)
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.p
+        |FROM src s
+        |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
         |ORDER BY o_orderkey""".stripMargin,
     "q_table_timetravel" ->
       """WITH v1 AS (

@@ -304,6 +304,44 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       "rollback did not restore the deleted rows")
   }
 
+  test("TxTable: merge is ONE atomic commit (update + insert together) " +
+      "and re-merging the same batch is state-idempotent") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("merge")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    val src = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 === 2 ||
+        (col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 === 0))
+      .select(col("o_orderkey"), col("o_custkey"),
+        ((col("o_orderkey") % 1000).cast("double") + 0.5)
+          .as("o_totalprice"))
+    val (v, aff, nIns) = sources.TxTable.mergeCommit(spark, root, src,
+      "o_orderkey", "o_totalprice")
+    // exactly one commit carries BOTH halves: no intermediate version
+    // where the updates exist without the inserts
+    assert(v == 4, s"merge landed as version $v, expected one commit (4)")
+    assert(aff.nonEmpty && nIns > 0,
+      s"fixture must exercise both paths (affected=$aff inserts=$nIns)")
+    val rows1 = sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    // matched rows carry the source payload; unmatched keep their own
+    val updated = sources.TxTable.snapshot(spark, root)
+      .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 === 0)
+      .withColumn("want",
+        (col("o_orderkey") % 1000).cast("double") + 0.5)
+    assert(updated.filter(col("o_totalprice") =!= col("want")).count() == 0,
+      "a matched row did not take the source payload")
+    // re-merge: the at-least-once redelivery case — zero inserts, the
+    // state is unchanged (payload is a pure key function)
+    val (v2, _, nIns2) = sources.TxTable.mergeCommit(spark, root, src,
+      "o_orderkey", "o_totalprice")
+    assert(v2 == 5 && nIns2 == 0,
+      s"re-merge must insert nothing (v=$v2, inserts=$nIns2)")
+    assert(sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == rows1,
+      "re-merging the same batch changed the table state")
+  }
+
   test("TxTable: time-travel reads equal the historical recompute at " +
       "every version") {
     import org.apache.spark.sql.functions._
