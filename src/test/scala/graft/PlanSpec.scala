@@ -710,6 +710,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally { featured.unpersist(): Unit }
   }
 
+  test("TxTable CDC and delete keep their commit-bounded sides on " +
+      "broadcasts (never a table-sized shuffle)") {
+    // the scale claim behind q_table_changes / the delete rewrite: every
+    // join partner is COMMIT-sized (changed files, request manifest), so
+    // it must ride a broadcast — a sort-merge here would mean a
+    // table-sized shuffle snuck into what is sold as O(commit) work
+    val changes = planOf(sources.TxTable.qTableChanges(spark, sf0001))
+    assert(changes.contains("BroadcastHashJoin"),
+      s"CDC anti-joins lost their broadcast:\n$changes")
+    assert(!changes.contains("SortMergeJoin"),
+      s"CDC anti-join degraded to sort-merge:\n$changes")
+    // the delete/merge rewrites execute eagerly inside their commits, so
+    // their join plans are pinned structurally in LayoutSpec instead;
+    // their broadcast() hints are explicit in rewriteCommit/mergeCommit
+  }
+
   test("ts_resample aggregates the corpus before touching the grid (the " +
       "LOCF window runs over O(calendar) rows)") {
     val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))
