@@ -93,11 +93,12 @@ object Bench {
     // warm-ups: each is a once-per-run build whose cost the timed run
     // should not re-measure — at scale the binary files ARE the input
     // and the tokenizer is trained by a separate scheduled job.
-    // q_table_timetravel/compact/rollback join the list for their
-    // build-once committed tables (the read / compact-commit / rollback-
-    // commit is each key's timed semantics; the three-commit history
-    // underneath is the one-time layout a deployment writes at ingest;
-    // q_table_changes shares q_table_timetravel's table)
+    // q_table_timetravel/compact/merge/rollback join the list for their
+    // build-once committed tables (demo/compacttbl/mergetbl/rbtbl; the
+    // read / compact-commit / merge-commit / rollback-commit is each
+    // key's timed semantics; the three-commit history underneath is the
+    // one-time layout a deployment writes at ingest; q_table_changes
+    // shares q_table_timetravel's table)
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
         "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
         "q_sim_index_persist", "q_ml_persist", "q_table_timetravel",

@@ -63,6 +63,32 @@ object Scratch {
     d.getPath
   }
 
+  /** Build-once-then-adopt: if `root/_GRAFT_DONE` exists the artifact is
+    * complete — serve it. Otherwise run `build` against `<root>.staging`
+    * (any STALE staging left by a crashed earlier attempt is deleted
+    * FIRST — adopting one would double whatever the build appends, e.g.
+    * a committed table's history; r17 review), drop the done marker,
+    * and ATOMIC_MOVE the whole dir into place: a reader sees the
+    * complete artifact or none, never a partial one. The one home of
+    * the staging discipline, shared by the index rebuild
+    * (llm/Similarity.rebuildInto) and the transactional demo tables
+    * (sources/TxTable.ensureDemoTable) so the crash-safety behavior
+    * can never fork again. Returns `root`. */
+  def buildOnce(root: String)(build: String => Unit): String = {
+    if (!new java.io.File(root, "_GRAFT_DONE").exists()) {
+      val staging = root + ".staging"
+      deleteRec(new java.io.File(staging))
+      new java.io.File(staging).mkdirs(): Unit
+      build(staging)
+      new java.io.File(staging, "_GRAFT_DONE").createNewFile(): Unit
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    root
+  }
+
   /** Fingerprint of source tables' files (name, size, mtime) — the key
     * for scratch layouts/artifacts derived from testdata (bucketed
     * copies, persisted tokenizers, binary fixtures): if the testdata is

@@ -721,21 +721,13 @@ object Similarity {
     * complete artifact, never a half-written one. Idempotent per
     * serving path (done-marker). */
   private[graft] def rebuildInto(s: SparkSession, corpus: DataFrame,
-      serving: String): String = {
-    if (!new java.io.File(serving, "_GRAFT_DONE").exists()) {
+      serving: String): String =
+    graft.Scratch.buildOnce(serving) { staging =>
       val (coarse, cb) = ivfPqTrain(corpus)
-      val staging = serving + ".staging"
       writeIvfPqState(s, staging, coarse, cb)
       ivfPqEncode(s, corpus, coarse, cb)
         .write.mode("overwrite").parquet(s"$staging/coded")
-      new java.io.File(staging, "_GRAFT_DONE").createNewFile(): Unit
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(staging),
-        java.nio.file.Paths.get(serving),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-    serving
-  }
 
   /** q_index_rebuild — the scheduled rebuild [[qIndexDrift]]'s
     * threshold triggers (round 15): the last step of the index

@@ -161,14 +161,41 @@ object TxTable {
 
   /** Snapshot read pinned at `version` (−1 = current). The manifest's
     * complete file list IS the table: immutable files + complete lists
-    * isolate a pinned reader from every later commit. */
+    * isolate a pinned reader from every later commit. An EMPTY file list
+    * is a legitimate state (a delete can remove every row); it reads as
+    * zero rows with the schema of the nearest retained version that
+    * still lists files (schema lives in parquet footers here — honest
+    * limit: an empty table ALL of whose ancestors were vacuumed away is
+    * unreadable, where a real format would consult its schema metadata). */
   private[graft] def snapshot(s: SparkSession, root: String,
       version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(root) else version
     require(v > 0, s"no committed version at $root")
     val m = readManifest(root, v)
-    require(m.files.nonEmpty, s"snapshot v$v of $root lists no files")
-    s.read.parquet(m.files.map(f => s"$root/$f"): _*)
+    if (m.files.nonEmpty) s.read.parquet(m.files.map(f => s"$root/$f"): _*)
+    else {
+      val donor = versions(root).sortBy(dv => (math.abs(dv - v), dv))
+        .map(readManifest(root, _)).find(_.files.nonEmpty)
+        .getOrElse(sys.error(s"snapshot v$v of $root is empty and no " +
+          "retained version carries a schema-bearing file"))
+      val schema = s.read
+        .parquet(donor.files.map(f => s"$root/$f"): _*).schema
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
+  }
+
+  /** Snapshot plus a `__tx_file` provenance column for rewrite/merge
+    * discovery. `_metadata.file_path` resolves only against a file-source
+    * relation, so the empty-table snapshot (a local relation) gets a
+    * typed NULL column instead — discovery over it correctly finds no
+    * affected files. */
+  private def snapshotWithPath(s: SparkSession, root: String,
+      v: Int): DataFrame = {
+    val snap = snapshot(s, root, v)
+    if (readManifest(root, v).files.isEmpty)
+      snap.withColumn("__tx_file", lit(null).cast("string"))
+    else snap.withColumn("__tx_file", col("_metadata.file_path"))
   }
 
   /** Append commit: stage df, publish prev ++ staged. */
@@ -204,8 +231,7 @@ object TxTable {
     // the hidden _metadata column resolves only against the file-source
     // relation itself — materialize the path BEFORE `matching` wraps the
     // scan in joins/filters
-    val affAbs = matching(snapshot(s, root)
-        .withColumn("__tx_file", col("_metadata.file_path")))
+    val affAbs = matching(snapshotWithPath(s, root, currentVersion(root)))
       .select(col("__tx_file").as("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
@@ -225,10 +251,17 @@ object TxTable {
     }
   }
 
-  /** Delete-under-commit by predicate. */
+  /** Delete-under-commit by predicate: rows where `pred` is TRUE go;
+    * everything else — including rows where `pred` evaluates to NULL —
+    * survives (the SQL DELETE WHERE contract). The survivor filter must
+    * therefore be NOT(coalesce(pred, false)), not `!pred`: a bare
+    * negation is also NULL on NULL, which would silently drop any
+    * NULL-predicate row that shares a file with a matching one (r17
+    * review; LayoutSpec pins the NULL-row survival). */
   private[graft] def deleteWhere(s: SparkSession, root: String,
       pred: Column): (Int, Seq[String]) =
-    rewriteCommit(s, root, _.filter(pred), _.filter(!pred))
+    rewriteCommit(s, root, _.filter(pred),
+      _.filter(!coalesce(pred, lit(false))))
 
   /** Delete-under-commit by key manifest (the privacy-queue shape): the
     * bounded key set rides a broadcast for both the file discovery
@@ -272,7 +305,15 @@ object TxTable {
     * here; a table format stores the latest txn id per writer in its
     * checkpoint — same protocol, indexed. Structured Streaming runs ONE
     * active query per checkpoint, so the check-then-commit pair has a
-    * single writer per batch id by construction. */
+    * single writer per batch id by construction.
+    *
+    * Retention contract: the replay check can only see RETAINED
+    * manifests, so [[vacuum]]'s `retain` must exceed the stream's replay
+    * horizon (the number of batches a restart can re-deliver — with
+    * Structured Streaming's commit log, one). Pruning the manifest that
+    * carried batch=K re-opens the double-append window for K — the same
+    * bound Delta places on its per-writer txn retention vs
+    * `setTransaction` idempotence. */
   private[graft] def commitBatch(s: SparkSession, root: String,
       batchId: Long, df: DataFrame): Boolean = {
     val seen = versions(root).exists(v =>
@@ -333,7 +374,12 @@ object TxTable {
     * minimality — are pinned by LayoutSpec. */
   def qTableCommit(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val inv = commitInvocations.computeIfAbsent(dir,
+    // counter keyed by the SANITIZED tag, the same key the scratch path
+    // uses: keying by raw `dir` would give two dirs that sanitize
+    // identically independent counters colliding on one root (the exact
+    // bug class the per-dir-counter comment above warns about; r17
+    // review)
+    val inv = commitInvocations.computeIfAbsent(tag,
       _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
     val root = graft.Scratch.dir("txtable", s"commit_${tag}_i$inv")
     buildDemoHistory(s, root, dir)
@@ -346,27 +392,20 @@ object TxTable {
   }
 
   /** Build-once three-commit table under `sub` (fingerprint-keyed,
-    * staged + atomically renamed so a half-built table is never
-    * adopted — the rebuildInto discipline). Shared by the read-side keys
-    * (time travel, CDC) and, under separate roots, by the keys that
-    * append further commits (compact, rollback) so their version
-    * sequences never interfere. The build is the one-time layout cost
-    * Bench warms; the reads/commits on top are the timed semantics. */
+    * staged + atomically renamed via [[graft.Scratch.buildOnce]] so a
+    * half-built OR stale-staging table is never adopted). Shared by the
+    * read-side keys (time travel, CDC) and, under separate roots, by
+    * the keys that append further commits (compact, rollback, merge) so
+    * their version sequences never interfere. The build is the one-time
+    * layout cost Bench warms; the reads/commits on top are the timed
+    * semantics. */
   private[graft] def ensureDemoTable(s: SparkSession, dir: String,
       sub: String = "demo"): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       graft.Scratch.fingerprint(dir, "orders")
-    val root = graft.Scratch.dir("txtable", s"${sub}_$tag")
-    if (!new java.io.File(root, "_GRAFT_DONE").exists()) {
-      val staging = root + ".staging"
-      buildDemoHistory(s, staging, dir)
-      new java.io.File(staging, "_GRAFT_DONE").createNewFile(): Unit
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(staging),
-        java.nio.file.Paths.get(root),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    graft.Scratch.buildOnce(graft.Scratch.dir("txtable", s"${sub}_$tag")) {
+      staging => buildDemoHistory(s, staging, dir)
     }
-    root
   }
 
   /** q_table_timetravel — snapshot-pinned historical reads (round 17):
@@ -492,8 +531,7 @@ object TxTable {
       source: DataFrame, keyCol: String, payloadCol: String)
       : (Int, Seq[String], Long) = {
     val v0 = currentVersion(root)
-    val snap = snapshot(s, root, v0)
-      .withColumn("__tx_file", col("_metadata.file_path"))
+    val snap = snapshotWithPath(s, root, v0)
     val srcKeys = source.select(keyCol)
     // one scan: matched keys + the files that hold them
     val matched = snap

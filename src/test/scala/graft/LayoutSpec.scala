@@ -361,6 +361,78 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("TxTable: DELETE WHERE keeps NULL-predicate rows (the SQL " +
+      "not-TRUE contract), even co-located with matching rows") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("nullpred")
+    // one file holding both matching rows and NULL-predicate rows: even
+    // ids carry v=id (pred TRUE → deleted), odd ids carry v=NULL (pred
+    // NULL → MUST survive; a bare !pred filter would drop them too)
+    sources.TxTable.append(spark, root,
+      spark.range(10).select(col("id").as("k"),
+        when(col("id") % 2 === 0, col("id")).as("v"))
+        .repartition(1))
+    val (v, aff) = sources.TxTable.deleteWhere(spark, root,
+      col("v") % 2 === 0)
+    assert(v == 2 && aff.nonEmpty)
+    val left = sources.TxTable.snapshot(spark, root)
+      .orderBy("k").collect()
+    assert(left.length == 5 && left.forall(_.isNullAt(1)),
+      s"NULL-predicate rows were deleted: ${left.mkString(",")}")
+  }
+
+  test("TxTable: a delete that empties the table leaves a READABLE " +
+      "empty snapshot (schema from a retained version) that appends and " +
+      "merges can rebuild") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("emptytbl")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(20)
+    sources.TxTable.append(spark, root, orders.repartition(1))
+    val schema0 = sources.TxTable.snapshot(spark, root).schema
+    val (v, _) = sources.TxTable.deleteWhere(spark, root, lit(true))
+    assert(v == 2)
+    // the empty current version reads as zero rows, same schema — not an
+    // exception (empty is a legitimate post-delete state)
+    val empty = sources.TxTable.snapshot(spark, root)
+    assert(empty.count() == 0 && empty.schema == schema0)
+    // rewrites on the empty table are no-ops, not crashes
+    val (vNoop, affNoop) = sources.TxTable.deleteWhere(spark, root,
+      lit(true))
+    assert(vNoop == sources.TxTable.currentVersion(root) && affNoop.isEmpty)
+    // a merge into the empty table appends every source row in one commit
+    val (vM, affM, nIns) = sources.TxTable.mergeCommit(spark, root,
+      orders, "o_orderkey", "o_totalprice")
+    assert(affM.isEmpty && nIns == orders.count(),
+      s"merge-into-empty must be pure insert (aff=$affM ins=$nIns)")
+    assert(sources.TxTable.snapshot(spark, root, vM).count() == nIns)
+  }
+
+  test("Scratch.buildOnce never adopts a stale staging dir and is " +
+      "idempotent once adopted") {
+    val root = graft.Scratch.dir("misc", "buildonce_spec")
+    // simulate a crashed earlier builder: a staging dir with leftovers
+    val staging = new java.io.File(root + ".staging")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("junk.txt"),
+      "stale".getBytes("UTF-8")): Unit
+    var builds = 0
+    def build(st: String): Unit = {
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(st, "real.txt"), "ok".getBytes("UTF-8")): Unit
+    }
+    graft.Scratch.buildOnce(root)(build)
+    assert(new java.io.File(root, "real.txt").isFile &&
+      !new java.io.File(root, "junk.txt").exists(),
+      "stale staging content was adopted into the artifact")
+    assert(new java.io.File(root, "_GRAFT_DONE").isFile &&
+      !staging.exists())
+    // adopted artifacts are never rebuilt
+    graft.Scratch.buildOnce(root)(build)
+    assert(builds == 1, s"done-marked artifact rebuilt ($builds builds)")
+  }
+
   test("q_schema_evolution backfills NULL lang exactly for the " +
       "pre-drift drop") {
     val rows = sources.Layout.qSchemaEvolution(spark, sf0001).collect()
