@@ -93,16 +93,18 @@ object Bench {
     // warm-ups: each is a once-per-run build whose cost the timed run
     // should not re-measure — at scale the binary files ARE the input
     // and the tokenizer is trained by a separate scheduled job.
-    // q_table_timetravel/compact/merge/rollback join the list for their
-    // build-once committed tables (demo/compacttbl/mergetbl/rbtbl; the
-    // read / compact-commit / merge-commit / rollback-commit is each
-    // key's timed semantics; the three-commit history underneath is the
-    // one-time layout a deployment writes at ingest; q_table_changes
-    // shares q_table_timetravel's table)
+    // q_table_timetravel/compact/merge/schema_evolution/rollback join
+    // the list for their build-once committed tables (demo/compacttbl/
+    // mergetbl/evotbl/rbtbl; the read / compact-commit / merge-commit /
+    // merged-schema read / rollback-commit is each key's timed
+    // semantics; the commit history underneath is the one-time layout a
+    // deployment writes at ingest; q_table_changes shares
+    // q_table_timetravel's table)
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
         "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
         "q_sim_index_persist", "q_ml_persist", "q_table_timetravel",
-        "q_table_compact", "q_table_merge", "q_table_rollback")
+        "q_table_compact", "q_table_merge", "q_table_rollback",
+        "q_table_schema_evolution")
       .filter(k => only.isEmpty || only(k))
       .foreach { k =>
         warnWarm(s"setup $k")(SparkEntry.queries(k)(spark, sfDir).count())

@@ -124,8 +124,13 @@ object TxTable {
   private[graft] def commit(root: String, op: String,
       update: Seq[String] => Seq[String],
       extraProps: Map[String, String] = Map.empty): Int = {
+    // the retry bound only guards against a pathological store (e.g. a
+    // version file that can never be created); it must comfortably
+    // exceed any real contention level — every lost race means some
+    // OTHER writer committed, so N writers cost at most N−1 losses per
+    // writer per round of progress (LayoutSpec's 8-writer stress)
     var attempt = 0
-    while (attempt < 50) {
+    while (attempt < 1000) {
       val cur = currentVersion(root)
       val curFiles =
         if (cur == 0) Seq.empty[String] else readManifest(root, cur).files
@@ -133,7 +138,7 @@ object TxTable {
       if (tryCommit(root, cur + 1, props, update(curFiles))) return cur + 1
       attempt += 1
     }
-    sys.error(s"commit lost 50 consecutive races at $root")
+    sys.error(s"commit lost 1000 consecutive races at $root")
   }
 
   /** Stage df's rows as immutable files in data/, returning their
@@ -161,18 +166,27 @@ object TxTable {
 
   /** Snapshot read pinned at `version` (−1 = current). The manifest's
     * complete file list IS the table: immutable files + complete lists
-    * isolate a pinned reader from every later commit. An EMPTY file list
+    * isolate a pinned reader from every later commit. `mergeSchema =
+    * true` unions footer schemas across the listed files — schema
+    * EVOLUTION on read: pre-drift files NULL-backfill columns added by
+    * later commits, while a version pinned before the drift keeps the
+    * base schema (its manifest only lists base-schema files). The
+    * footer union costs a planning-time read per file at real file
+    * counts; a format tracks schema in table metadata instead (honest
+    * limit, [[qTableSchemaEvolution]]). An EMPTY file list
     * is a legitimate state (a delete can remove every row); it reads as
     * zero rows with the schema of the nearest retained version that
     * still lists files (schema lives in parquet footers here — honest
     * limit: an empty table ALL of whose ancestors were vacuumed away is
     * unreadable, where a real format would consult its schema metadata). */
   private[graft] def snapshot(s: SparkSession, root: String,
-      version: Int = -1): DataFrame = {
+      version: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) currentVersion(root) else version
     require(v > 0, s"no committed version at $root")
     val m = readManifest(root, v)
-    if (m.files.nonEmpty) s.read.parquet(m.files.map(f => s"$root/$f"): _*)
+    if (m.files.nonEmpty)
+      s.read.option("mergeSchema", mergeSchema)
+        .parquet(m.files.map(f => s"$root/$f"): _*)
     else {
       val donor = versions(root).sortBy(dv => (math.abs(dv - v), dv))
         .map(readManifest(root, _)).find(_.files.nonEmpty)
@@ -594,6 +608,45 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
+  /** Build-once two-commit EVOLUTION table for
+    * [[qTableSchemaEvolution]]: v1 = base-schema drop (even orderkeys:
+    * key, custkey, price), v2 = drifted drop (odd orderkeys, plus an
+    * `o_prio` column) — the multi-day schema drift of
+    * q_schema_evolution, under commits. */
+  private[graft] def ensureEvoTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.Scratch.fingerprint(dir, "orders")
+    graft.Scratch.buildOnce(graft.Scratch.dir("txtable", s"evotbl_$tag")) {
+      staging =>
+        init(staging)
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        append(s, staging,
+          ownerClustered(orders.filter(col("o_orderkey") % 2 === 0))): Unit
+        append(s, staging,
+          ownerClustered(orders.filter(col("o_orderkey") % 2 === 1))
+            .withColumn("o_prio",
+              (col("o_orderkey") % 5).cast("int"))): Unit
+    }
+  }
+
+  /** q_table_schema_evolution — schema evolution under commits (round
+    * 17): a later commit appends files carrying an ADDED column, and the
+    * current snapshot reads with a footer-union (`mergeSchema`) so
+    * pre-drift files NULL-backfill the new column — while a reader
+    * pinned BEFORE the drift still sees the base schema, because its
+    * manifest lists only base-schema files (time travel across a schema
+    * change; LayoutSpec pins both). This is the add-column half of what
+    * a table format's schema metadata provides; the residual limits
+    * stay honest: no rename/drop tracking, no type promotion policy,
+    * and the footer union is a planning-time read per file at real file
+    * counts where a format consults its metadata once. Oracle
+    * recomputes the union + CASE-NULL backfill from the source table. */
+  def qTableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureEvoTable(s, dir)
+    snapshot(s, root, mergeSchema = true).orderBy("o_orderkey")
+  }
+
   /** Rollback commit: re-publish version `v`'s complete file list as the
     * NEW current version — O(1) metadata, no data movement; the rolled-
     * back-over versions stay readable as incident evidence (the index
@@ -625,6 +678,7 @@ object TxTable {
     "q_table_changes" -> (qTableChanges _),
     "q_table_compact" -> (qTableCompact _),
     "q_table_merge" -> (qTableMerge _),
+    "q_table_schema_evolution" -> (qTableSchemaEvolution _),
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
@@ -666,6 +720,11 @@ object TxTable {
         |FROM src s
         |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_table_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_orderkey % 5 AS INT) END AS o_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_table_timetravel" ->
       """WITH v1 AS (
         |  SELECT * FROM orders WHERE o_orderkey % 3 = 0),

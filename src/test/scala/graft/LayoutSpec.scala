@@ -408,6 +408,61 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(sources.TxTable.snapshot(spark, root, vM).count() == nIns)
   }
 
+  test("TxTable: schema evolution under commits — the merged current " +
+      "read NULL-backfills exactly the pre-drift commit while a pinned " +
+      "pre-drift snapshot keeps the base schema") {
+    import org.apache.spark.sql.functions._
+    val root = sources.TxTable.ensureEvoTable(spark, sf0001)
+    // time travel ACROSS the schema change: v1 predates o_prio and must
+    // not grow it — its manifest lists only base-schema files
+    assert(sources.TxTable.snapshot(spark, root, 1).columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    val cur = sources.TxTable.snapshot(spark, root, mergeSchema = true)
+    assert(cur.columns.contains("o_prio"))
+    // the backfill lands exactly on the pre-drift drop: NULL iff even key
+    assert(cur.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_prio").isNotNull).count() == 0,
+      "a pre-drift row grew a non-NULL o_prio")
+    assert(cur.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_prio").isNull).count() == 0,
+      "a post-drift row lost its o_prio")
+  }
+
+  test("TxTable: 8 concurrent committers — gapless versions, every " +
+      "entry exactly once, parent chain intact (optimistic concurrency)") {
+    val root = mkTable("mt")
+    val writers = 8
+    val perWriter = 25
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futs = (0 until writers).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until perWriter).foreach { i =>
+            sources.TxTable.commit(root, "append",
+              _ :+ s"data/t${t}_$i"): Unit
+          }
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally { pool.shutdown(): Unit }
+    val total = writers * perWriter
+    // exactly one winner per version, no gaps, no lost commits
+    assert(sources.TxTable.versions(root) == (1 to total),
+      "version sequence has gaps or extras under contention")
+    (1 to total).foreach { v =>
+      val m = sources.TxTable.readManifest(root, v)
+      assert(m.props("parent").toInt == v - 1,
+        s"v$v's parent chain broken: ${m.props}")
+      assert(m.files.size == v,
+        s"v$v lost a concurrent writer's entry (${m.files.size} files)")
+    }
+    val fin = sources.TxTable.readManifest(root, total).files
+    assert(fin.distinct.size == total &&
+      fin.toSet == (0 until writers).flatMap(t =>
+        (0 until perWriter).map(i => s"data/t${t}_$i")).toSet,
+      "the final manifest is not exactly the union of all writers")
+  }
+
   test("Scratch.buildOnce never adopts a stale staging dir and is " +
       "idempotent once adopted") {
     val root = graft.Scratch.dir("misc", "buildonce_spec")
