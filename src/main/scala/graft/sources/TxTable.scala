@@ -647,6 +647,50 @@ object TxTable {
     snapshot(s, root, mergeSchema = true).orderBy("o_orderkey")
   }
 
+  // memory-sink views are per-invocation (a name can't be reused while
+  // its query is active); two-back views dropped to bound catalog growth
+  private val streamInvocations =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** q_table_stream — the table as a Structured Streaming SOURCE (round
+    * 17): `readStream.format("txtable")` over the committed demo table
+    * drains its commit log under `Trigger.AvailableNow` — each append
+    * commit arrives as one micro-batch tagged with `_commit_version`,
+    * and the v3 GDPR delete (a change commit) is SKIPPED under
+    * `skipChangeCommits` (without it the stream fails loudly — the
+    * append-only contract, StreamingSpec). This is the subscription the
+    * CDC key's scaladoc promises: an incremental consumer receives
+    * "what was appended since my checkpoint" instead of re-scanning the
+    * corpus, with offsets = versions so a restart resumes exactly
+    * (StreamingSpec pins no-loss/no-dup across a stop/append/restart).
+    * The full-backlog drain IS the timed semantics. Oracle: the two
+    * append slices with their version tags, recomputed from orders. */
+  def qTableStream(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType)))
+    val inv = streamInvocations.incrementAndGet()
+    val qn = s"graft_txstream_$inv"
+    val q = s.readStream.format("txtable").schema(sch)
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (inv > 2) s.catalog.dropTempView(s"graft_txstream_${inv - 2}"): Unit
+    s.table(qn)
+      .select(col("_commit_version").as("commit_version"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("commit_version", "o_orderkey")
+  }
+
   /** Rollback commit: re-publish version `v`'s complete file list as the
     * NEW current version — O(1) metadata, no data movement; the rolled-
     * back-over versions stay readable as incident evidence (the index
@@ -679,6 +723,7 @@ object TxTable {
     "q_table_compact" -> (qTableCompact _),
     "q_table_merge" -> (qTableMerge _),
     "q_table_schema_evolution" -> (qTableSchemaEvolution _),
+    "q_table_stream" -> (qTableStream _),
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
@@ -725,6 +770,13 @@ object TxTable {
         |  CASE WHEN o_orderkey % 2 = 1
         |    THEN CAST(o_orderkey % 5 AS INT) END AS o_prio
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_table_stream" ->
+      """SELECT 1 AS commit_version, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY commit_version, o_orderkey""".stripMargin,
     "q_table_timetravel" ->
       """WITH v1 AS (
         |  SELECT * FROM orders WHERE o_orderkey % 3 = 0),

@@ -251,6 +251,126 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "streamed table diverged from the batch run")
   }
 
+  test("txtable streaming SOURCE: offsets are versions — a restart " +
+      "resumes after new appends with no loss and no duplicates, and " +
+      "_commit_version tags each row's commit") {
+    // the read half of the table's streaming contract (the sink half is
+    // the test above): readStream.format("txtable") drains the commit
+    // log; the checkpoint's offset log stores the last version, so a
+    // stopped consumer picks up EXACTLY the commits that landed while it
+    // was down
+    import org.apache.spark.sql.types._
+    val root = graft.Scratch.dir("txtable", "stream_src")
+    sources.TxTable.init(root)
+    import org.apache.spark.sql.functions._
+    def appendIds(lo: Int, hi: Int): Unit =
+      sources.TxTable.append(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(2)): Unit
+    appendIds(0, 10); appendIds(10, 20)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val base = graft.Scratch.dir("stream", "tx_src")
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("txtable").schema(sch).load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val r1 = spark.read.schema(sch).parquet(sink)
+    assert(r1.count() == 20)
+    // version tagging: the commit that added each row
+    assert(r1.filter((col("k") < 10 && col("_commit_version") =!= 1) ||
+      (col("k") >= 10 && col("_commit_version") =!= 2)).count() == 0,
+      "_commit_version does not match the adding commit")
+    // consumer down; a new commit lands; restart drains ONLY it
+    appendIds(20, 25)
+    drain()
+    val r2 = spark.read.schema(sch).parquet(sink)
+    assert(r2.count() == 25, s"restart lost or duplicated rows: ${r2.count()}")
+    assert(r2.select("k").distinct().count() == 25)
+    assert(r2.filter(col("k") >= 20 && col("_commit_version") =!= 3)
+      .count() == 0)
+  }
+
+  test("txtable streaming SOURCE: maxVersionsPerTrigger admits one " +
+      "commit per micro-batch and AvailableNow still drains the " +
+      "pinned head") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_rate")
+    sources.TxTable.init(root)
+    (0 until 3).foreach { c =>
+      sources.TxTable.append(spark, root,
+        spark.range(c * 10, c * 10 + 10).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(1)): Unit
+    }
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    val q = spark.readStream.format("txtable").schema(sch)
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val vs = b.select("_commit_version").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        batches.add((id, b.count(), vs.size.toLong)): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.sortBy(_._1)
+    // one commit per admitted batch, and the drain reaches the head
+    assert(bs.map(_._2).sum == 30, s"rows lost/duplicated: $bs")
+    assert(bs.count(_._2 > 0) == 3 && bs.forall(_._3 <= 1),
+      s"rate limit admitted more than one commit per batch: $bs")
+  }
+
+  test("txtable streaming SOURCE: a change commit fails the stream " +
+      "loudly unless skipChangeCommits, which skips it entirely") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    // the demo table's v3 is the GDPR delete — a commit that REMOVES
+    // files (rows already streamed changed): append-only reads must fail
+    val root = sources.TxTable.ensureDemoTable(spark, sf0001)
+    val sch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    def run(skip: Boolean): Long = {
+      val qn = s"txsrc_chg_$skip"
+      val q = spark.readStream.format("txtable").schema(sch)
+        .option("skipChangeCommits", skip.toString).load(root)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = spark.table(qn).count()
+      spark.catalog.dropTempView(qn): Unit
+      n
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(skip = false)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("append-only"))),
+      s"wrong failure: $e")
+    // skipChangeCommits: v1+v2 appends stream, the v3 delete is skipped —
+    // deleted rows were already emitted, so the count is the PRE-delete one
+    val n = run(skip = true)
+    val expect = sources.TxTable.snapshot(spark, root, 2).count()
+    assert(n == expect, s"skip-mode streamed $n rows, expected $expect")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
