@@ -98,8 +98,9 @@ object Bench {
     // mergetbl/evotbl/rbtbl; the read / compact-commit / merge-commit /
     // merged-schema read / rollback-commit is each key's timed
     // semantics; the commit history underneath is the one-time layout a
-    // deployment writes at ingest; q_table_changes shares
-    // q_table_timetravel's table)
+    // deployment writes at ingest; q_table_changes AND q_table_stream
+    // share q_table_timetravel's table — under an --only filter either
+    // would pay the cold three-commit build inside the key)
     Seq("q_join_cbo", "q_join_bucketed", "q_scan_partitioned",
         "q_scan_timeslice", "q_scan_binary", "q_text_bpe",
         "q_sim_index_persist", "q_ml_persist", "q_table_timetravel",

@@ -414,11 +414,13 @@ object TxTable {
     * layout cost Bench warms; the reads/commits on top are the timed
     * semantics. */
   private[graft] def ensureDemoTable(s: SparkSession, dir: String,
-      sub: String = "demo"): String = {
+      sub: String = "demo",
+      build: (SparkSession, String, String) => Unit = buildDemoHistory)
+      : String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       graft.Scratch.fingerprint(dir, "orders")
     graft.Scratch.buildOnce(graft.Scratch.dir("txtable", s"${sub}_$tag")) {
-      staging => buildDemoHistory(s, staging, dir)
+      staging => build(s, staging, dir)
     }
   }
 
@@ -608,27 +610,24 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
-  /** Build-once two-commit EVOLUTION table for
-    * [[qTableSchemaEvolution]]: v1 = base-schema drop (even orderkeys:
-    * key, custkey, price), v2 = drifted drop (odd orderkeys, plus an
-    * `o_prio` column) — the multi-day schema drift of
-    * q_schema_evolution, under commits. */
-  private[graft] def ensureEvoTable(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      graft.Scratch.fingerprint(dir, "orders")
-    graft.Scratch.buildOnce(graft.Scratch.dir("txtable", s"evotbl_$tag")) {
-      staging =>
-        init(staging)
-        val orders = Tables.orders(s, dir)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-        append(s, staging,
-          ownerClustered(orders.filter(col("o_orderkey") % 2 === 0))): Unit
-        append(s, staging,
-          ownerClustered(orders.filter(col("o_orderkey") % 2 === 1))
-            .withColumn("o_prio",
-              (col("o_orderkey") % 5).cast("int"))): Unit
-    }
+  /** Two-commit EVOLUTION history for [[qTableSchemaEvolution]]: v1 =
+    * base-schema drop (even orderkeys: key, custkey, price), v2 =
+    * drifted drop (odd orderkeys, plus an `o_prio` column) — the
+    * multi-day schema drift of q_schema_evolution, under commits. */
+  private[graft] def buildEvoHistory(s: SparkSession, root: String,
+      dir: String): Unit = {
+    init(root)
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    append(s, root,
+      ownerClustered(orders.filter(col("o_orderkey") % 2 === 0))): Unit
+    append(s, root,
+      ownerClustered(orders.filter(col("o_orderkey") % 2 === 1))
+        .withColumn("o_prio", (col("o_orderkey") % 5).cast("int"))): Unit
   }
+
+  private[graft] def ensureEvoTable(s: SparkSession, dir: String): String =
+    ensureDemoTable(s, dir, "evotbl", buildEvoHistory)
 
   /** q_table_schema_evolution — schema evolution under commits (round
     * 17): a later commit appends files carrying an ADDED column, and the

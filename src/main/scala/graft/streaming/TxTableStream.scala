@@ -33,8 +33,12 @@ import graft.sources.TxTable
   *    double-count and silently dropping them would lie, so the stream
   *    FAILS LOUDLY on such a commit unless `skipChangeCommits=true`
   *    (then the whole commit is skipped, appends included — exactly
-  *    Delta's option of the same name). A pure-append commit never
-  *    removes files, so the common ingest path streams clean.
+  *    Delta's option of the same name). A ROLLBACK commit re-adds files
+  *    streamed long ago without removing anything — by file diff alone
+  *    it looks like a fresh append — so the manifest's op header
+  *    classifies it as a change commit too (the role Delta's typed log
+  *    actions play). A pure-append commit never removes or republishes
+  *    files, so the common ingest path streams clean.
   *  - EXACTLY-ONCE ACROSS RESTARTS. The checkpoint's offset log stores
   *    the last committed version; a restart resumes from it, re-planning
   *    only unfinished batches (Structured Streaming's replay contract —
@@ -62,10 +66,13 @@ import graft.sources.TxTable
   * commits that existed when it started even while writers keep
   * appending.
   *
-  * Honest limits: no starting-version option (streams from the table's
-  * first retained commit), and the example Group materialization in the
-  * reader is row-at-a-time, not vectorized — each the simplest faithful
-  * subset of the public sources' behavior.
+  * Honest limits: no user-settable startingVersion (an unvacuumed table
+  * streams from v1; a vacuumed table subscribes to commits AFTER its
+  * first retained version, whose diff base is pruned — bootstrap is a
+  * batch snapshot read, the standard lakehouse pattern), and the
+  * example Group materialization in the reader is row-at-a-time, not
+  * vectorized — each the simplest faithful subset of the public
+  * sources' behavior.
   */
 class TxTableSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "txtable"
@@ -125,7 +132,21 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(TxTable.currentVersion(root))
 
-  override def initialOffset(): Offset = TxVersionOffset(0)
+  /** A fresh stream on an UNVACUUMED table starts before v1 and sees
+    * every commit. On a vacuumed table the first retained manifest is a
+    * mid-history state whose diff base is pruned, so the stream starts
+    * AT it — subscribing to commits after it, no snapshot backfill (the
+    * bootstrap is a batch [[TxTable.snapshot]] read, the standard
+    * lakehouse pattern). Only a RESUMED consumer whose checkpointed
+    * offset predates the retention window fails (loudly, on the pruned
+    * manifest) — the reader-lease contract. */
+  override def initialOffset(): Offset = {
+    val vs = TxTable.versions(root)
+    TxVersionOffset(vs.headOption match {
+      case Some(1) | None => 0 // nothing pruned: stream from v1
+      case Some(first) => first // pruned: subscribe after the base
+    })
+  }
   // admission control: cap each micro-batch at maxVersionsPerTrigger
   // commits past the start offset (commit-granular rate limiting — the
   // maxFilesPerTrigger analogue for a commit log), never past the
@@ -153,30 +174,42 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
 
   /** One commit → its manifest diff; each added file is one partition.
     * Planning is driver-side manifest arithmetic (commit-sized name
-    * lists); no data moves until executors open the files. */
+    * lists, each manifest read ONCE with the previous file set carried
+    * forward); no data moves until executors open the files.
+    *
+    * A CHANGE commit is one that removed files (delete/compact/merge —
+    * rows already streamed were rewritten) OR whose op header says
+    * `rollback`: a rollback RE-ADDS files streamed long ago without
+    * removing anything, so its diff is indistinguishable from a fresh
+    * append by file names alone — the op classification is what stops
+    * it replaying old rows (r17 review). */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[TxVersionOffset].v
     val e = end.asInstanceOf[TxVersionOffset].v
-    (s + 1 to e).iterator.flatMap { v =>
-      val prev: Set[String] =
-        if (v == 1) Set.empty
-        else TxTable.readManifest(root, v - 1).files.toSet
-      val cur = TxTable.readManifest(root, v).files.toSet
+    val out = Array.newBuilder[InputPartition]
+    var prev: Set[String] =
+      if (s == 0) Set.empty else TxTable.readManifest(root, s).files.toSet
+    (s + 1 to e).foreach { v =>
+      val m = TxTable.readManifest(root, v)
+      val cur = m.files.toSet
       val removed = prev -- cur
-      if (removed.nonEmpty) {
-        if (skipChangeCommits) Iterator.empty
-        else throw new IllegalStateException(
-          s"commit v$v of $root removed ${removed.size} file(s) — a " +
-            "delete/compact/merge rewrote rows already streamed. " +
+      val isChange = removed.nonEmpty || m.props.get("op").contains("rollback")
+      if (isChange) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"commit v$v of $root (op=${m.props.getOrElse("op", "?")}) " +
+            s"removed ${removed.size} file(s) or republished " +
+            "already-streamed ones — rows already emitted changed. " +
             "Streaming reads are append-only; set " +
             "option(\"skipChangeCommits\", \"true\") to skip such " +
             "commits entirely")
       } else {
-        (cur -- prev).toSeq.sorted.iterator
-          .map(f => TxFilePartition(v, s"$root/$f"): InputPartition)
+        (cur -- prev).toSeq.sorted.foreach(f =>
+          out += TxFilePartition(v, s"$root/$f"))
       }
-    }.toArray
+      prev = cur
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

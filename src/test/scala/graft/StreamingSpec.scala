@@ -334,6 +334,78 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"rate limit admitted more than one commit per batch: $bs")
   }
 
+  test("txtable streaming SOURCE: a fresh stream on a VACUUMED table " +
+      "subscribes after the first retained version instead of crashing " +
+      "on pruned manifests") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_vac")
+    sources.TxTable.init(root)
+    def appendIds(lo: Int, hi: Int): Unit =
+      sources.TxTable.append(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(1)): Unit
+    appendIds(0, 10); appendIds(10, 20); appendIds(20, 30)
+    sources.TxTable.vacuum(root, 2): Unit // v1 pruned; base = v2
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val qn = "txsrc_vac"
+    val q = spark.readStream.format("txtable").schema(sch).load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // only commits AFTER the retained base stream (v3's appends); the
+    // bootstrap is the batch snapshot read at the base
+    val got = spark.table(qn).collect()
+    assert(got.length == 10 && got.forall(r =>
+      r.getLong(0) >= 20 && r.getInt(2) == 3),
+      s"vacuumed-base stream emitted the wrong slice: ${got.length} rows")
+    assert(sources.TxTable.snapshot(spark, root, 2).count() == 20,
+      "the batch bootstrap read at the base must still work")
+    spark.catalog.dropTempView(qn): Unit
+  }
+
+  test("txtable streaming SOURCE: a rollback commit re-adding " +
+      "already-streamed files is a CHANGE commit (op-classified), " +
+      "never a silent replay") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_rb")
+    sources.TxTable.init(root)
+    def appendIds(lo: Int, hi: Int): Unit =
+      sources.TxTable.append(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(1)): Unit
+    appendIds(0, 10) // v1: file A
+    appendIds(10, 20) // v2: file B
+    // v3: whole-file delete of A — drop it from the list, rewrite nothing
+    val fA = sources.TxTable.readManifest(root, 1).files.head
+    sources.TxTable.commit(root, "delete", _.filterNot(_ == fA)): Unit
+    // v4: rollback to v2 — RE-ADDS file A, removes nothing: by file diff
+    // alone this is indistinguishable from a fresh append
+    sources.TxTable.rollbackTo(root, 2): Unit
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val qn = "txsrc_rb"
+    val q = spark.readStream.format("txtable").schema(sch)
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // v1+v2 stream; v3 (removal) and v4 (rollback re-add) are both
+    // skipped — every key exactly once, no row replayed under v4
+    val got = spark.table(qn).collect()
+    assert(got.length == 20, s"rollback replayed rows: ${got.length}")
+    assert(got.map(_.getLong(0)).distinct.length == 20)
+    assert(got.forall(_.getInt(2) <= 2),
+      "a row was emitted from the rollback commit")
+    spark.catalog.dropTempView(qn): Unit
+  }
+
   test("txtable streaming SOURCE: a change commit fails the stream " +
       "loudly unless skipChangeCommits, which skips it entirely") {
     import org.apache.spark.sql.types._
