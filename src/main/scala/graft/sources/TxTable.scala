@@ -55,6 +55,17 @@ object TxTable {
 
   private def logDir(root: String) = new java.io.File(root, "_txlog")
   private def dataDir(root: String) = new java.io.File(root, "data")
+  private def deletesDir(root: String) = new java.io.File(root, "deletes")
+
+  /** Manifest entries are prefix-classified: `data/` files hold rows,
+    * `deletes/` files hold POSITION DELETES — (file name, row index)
+    * addresses of rows deleted merge-on-read style ([[deleteVector]]).
+    * Every pre-DV manifest lists only `data/` entries, so the split is
+    * backward-compatible by construction. */
+  private[graft] def dataEntries(files: Seq[String]): Seq[String] =
+    files.filter(_.startsWith("data/"))
+  private[graft] def deleteEntries(files: Seq[String]): Seq[String] =
+    files.filter(_.startsWith("deletes/"))
 
   /** A committed snapshot: version, header props, complete file list
     * (root-relative). */
@@ -64,6 +75,7 @@ object TxTable {
   private[graft] def init(root: String): Unit = {
     logDir(root).mkdirs(): Unit
     dataDir(root).mkdirs(): Unit
+    deletesDir(root).mkdirs(): Unit
   }
 
   /** Committed versions, ascending. A version exists iff its manifest
@@ -147,22 +159,30 @@ object TxTable {
     * makes a concurrent reader's world old-or-new. Staged via a write to
     * a dot-dir (never matched by any manifest) + per-file rename into
     * data/ (same filesystem → metadata-only). */
-  private[graft] def writeData(s: SparkSession, root: String,
-      df: DataFrame): Seq[String] = {
+  private def writeStaged(s: SparkSession, root: String,
+      df: DataFrame, sub: String): Seq[String] = {
     val staging = new java.io.File(root,
       s".staging-${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").parquet(staging.getPath)
+    val target = new java.io.File(root, sub)
     val names = staging.listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .map { f =>
         java.nio.file.Files.move(f.toPath,
-          dataDir(root).toPath.resolve(f.getName)): Unit
-        s"data/${f.getName}"
+          target.toPath.resolve(f.getName)): Unit
+        s"$sub/${f.getName}"
       }.toSeq.sorted
     graft.Scratch.deleteRec(staging)
     names
   }
+
+  private[graft] def writeData(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = writeStaged(s, root, df, "data")
+
+  /** Stage position-delete files (rows of `fname` string, `pos` long). */
+  private[graft] def writeDeletes(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = writeStaged(s, root, df, "deletes")
 
   /** Snapshot read pinned at `version` (−1 = current). The manifest's
     * complete file list IS the table: immutable files + complete lists
@@ -180,37 +200,67 @@ object TxTable {
     * limit: an empty table ALL of whose ancestors were vacuumed away is
     * unreadable, where a real format would consult its schema metadata). */
   private[graft] def snapshot(s: SparkSession, root: String,
-      version: Int = -1, mergeSchema: Boolean = false): DataFrame = {
-    val v = if (version < 0) currentVersion(root) else version
+      version: Int = -1, mergeSchema: Boolean = false): DataFrame =
+    snapshotCore(s, root,
+      if (version < 0) currentVersion(root) else version,
+      mergeSchema, withAddress = false)
+
+  /** Core read behind [[snapshot]] and the rewrite/merge/DV discovery
+    * paths. Reads the manifest's `data/` entries, applies its position
+    * deletes if any (anti-join on the (file name, row index) address —
+    * delete sets are commit-sized, so they ride a broadcast; a format
+    * additionally indexes them per file), and optionally KEEPS the
+    * `__tx_file`/`__tx_pos` address columns — they must be attached at
+    * the scan (`_metadata` resolves only against a file-source
+    * relation), so a caller cannot bolt them on after the DV join. */
+  private def snapshotCore(s: SparkSession, root: String, v: Int,
+      mergeSchema: Boolean, withAddress: Boolean): DataFrame = {
     require(v > 0, s"no committed version at $root")
     val m = readManifest(root, v)
-    if (m.files.nonEmpty)
-      s.read.option("mergeSchema", mergeSchema)
-        .parquet(m.files.map(f => s"$root/$f"): _*)
-    else {
+    val data = dataEntries(m.files)
+    val dvs = deleteEntries(m.files)
+    if (data.isEmpty) {
       val donor = versions(root).sortBy(dv => (math.abs(dv - v), dv))
-        .map(readManifest(root, _)).find(_.files.nonEmpty)
+        .map(readManifest(root, _)).find(dm => dataEntries(dm.files).nonEmpty)
         .getOrElse(sys.error(s"snapshot v$v of $root is empty and no " +
           "retained version carries a schema-bearing file"))
       val schema = s.read
-        .parquet(donor.files.map(f => s"$root/$f"): _*).schema
-      s.createDataFrame(
+        .parquet(dataEntries(donor.files).map(f => s"$root/$f"): _*).schema
+      val empty = s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      if (!withAddress) empty
+      else empty.withColumn("__tx_file", lit(null).cast("string"))
+        .withColumn("__tx_pos", lit(null).cast("long"))
+    } else {
+      val plain = s.read.option("mergeSchema", mergeSchema)
+        .parquet(data.map(f => s"$root/$f"): _*)
+      if (dvs.isEmpty && !withAddress) plain
+      else {
+        val addressed = plain
+          .withColumn("__tx_file", col("_metadata.file_path"))
+          .withColumn("__tx_pos", col("_metadata.row_index"))
+        val applied = applyDeletes(s, root, addressed, dvs)
+        if (withAddress) applied else applied.drop("__tx_file", "__tx_pos")
+      }
     }
   }
 
-  /** Snapshot plus a `__tx_file` provenance column for rewrite/merge
-    * discovery. `_metadata.file_path` resolves only against a file-source
-    * relation, so the empty-table snapshot (a local relation) gets a
-    * typed NULL column instead — discovery over it correctly finds no
-    * affected files. */
-  private def snapshotWithPath(s: SparkSession, root: String,
-      v: Int): DataFrame = {
-    val snap = snapshot(s, root, v)
-    if (readManifest(root, v).files.isEmpty)
-      snap.withColumn("__tx_file", lit(null).cast("string"))
-    else snap.withColumn("__tx_file", col("_metadata.file_path"))
-  }
+  /** Anti-join an addressed frame (`__tx_file`/`__tx_pos`) against the
+    * given position-delete entries. Addresses match on file NAME (the
+    * UUID-embedded basename is unique), so a table whose root moved
+    * still resolves its own deletes. */
+  private def applyDeletes(s: SparkSession, root: String,
+      addressed: DataFrame, dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) addressed
+    else {
+      val dv = s.read.parquet(dvs.map(f => s"$root/$f"): _*)
+        .select(col("fname").as("__tx_fname"), col("pos").as("__tx_pos"))
+      addressed
+        .withColumn("__tx_fname",
+          regexp_extract(col("__tx_file"), "[^/]+$", 0))
+        .join(broadcast(dv), Seq("__tx_fname", "__tx_pos"), "left_anti")
+        .drop("__tx_fname")
+    }
 
   /** Append commit: stage df, publish prev ++ staged. */
   private[graft] def append(s: SparkSession, root: String, df: DataFrame,
@@ -245,13 +295,14 @@ object TxTable {
     // the hidden _metadata column resolves only against the file-source
     // relation itself — materialize the path BEFORE `matching` wraps the
     // scan in joins/filters
-    val affAbs = matching(snapshotWithPath(s, root, currentVersion(root)))
+    val affAbs = matching(snapshotCore(s, root, currentVersion(root),
+        mergeSchema = false, withAddress = true))
       .select(col("__tx_file").as("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
     else {
-      val rewritten =
-        writeData(s, root, surviving(s.read.parquet(affAbs: _*)))
+      val rewritten = writeData(s, root,
+        surviving(readDataWithDeletes(s, root, affAbs)))
       val affRel = affAbs.map(p =>
         "data/" + p.substring(p.lastIndexOf('/') + 1))
       val affSet = affRel.toSet
@@ -263,6 +314,21 @@ object TxTable {
       })
       (v, affRel)
     }
+  }
+
+  /** Read specific data files of the CURRENT snapshot with its position
+    * deletes applied — the rewrite/merge input: a file rewrite must not
+    * resurrect DV-deleted rows (the merge-on-read contract; LayoutSpec
+    * pins it). */
+  private def readDataWithDeletes(s: SparkSession, root: String,
+      absFiles: Seq[String]): DataFrame = {
+    val dvs = deleteEntries(readManifest(root, currentVersion(root)).files)
+    if (dvs.isEmpty) s.read.parquet(absFiles: _*)
+    else applyDeletes(s, root,
+      s.read.parquet(absFiles: _*)
+        .withColumn("__tx_file", col("_metadata.file_path"))
+        .withColumn("__tx_pos", col("_metadata.row_index")), dvs)
+      .drop("__tx_file", "__tx_pos")
   }
 
   /** Delete-under-commit by predicate: rows where `pred` is TRUE go;
@@ -285,6 +351,42 @@ object TxTable {
     rewriteCommit(s, root,
       _.join(broadcast(keys), Seq(keyCol), "left_semi"),
       _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+
+  /** MERGE-ON-READ delete (the deletion-vector / Iceberg-v2
+    * position-delete shape): instead of rewriting every file that holds
+    * a matching row, write the matching rows' ADDRESSES — (file name,
+    * row index) — as position-delete files and publish them in ONE
+    * commit that removes nothing. Cost is O(matching rows) write +
+    * O(1) publish, against the copy-on-write delete's O(affected
+    * files) rewrite — at 100 TB a GDPR delete touches KBs of addresses
+    * instead of rewriting TBs of survivors, which is why every modern
+    * format grew this mode. Readers pay the balancing cost: every
+    * snapshot anti-joins the (broadcast, commit-sized) delete set until
+    * a compaction materializes it away ([[qTableCompact]]'s rewrite
+    * publishes a data-only manifest). Matching is evaluated on the
+    * DV-applied snapshot, so a second pass over the same predicate
+    * addresses nothing and commits nothing (convergent, like the
+    * rewrite delete). No conflict `require`: a concurrent rewrite that
+    * removed a target file leaves those addresses pointing at a name no
+    * retained data entry carries — stale-but-harmless (dropped at the
+    * next compaction), matching the formats' DV-maintenance honesty.
+    * Returns (version, delete-file entries); no matches → no commit. */
+  private[graft] def deleteVector(s: SparkSession, root: String,
+      pred: Column): (Int, Seq[String]) = {
+    val cur = currentVersion(root)
+    val matching = snapshotCore(s, root, cur,
+        mergeSchema = false, withAddress = true)
+      .filter(pred)
+      .select(regexp_extract(col("__tx_file"), "[^/]+$", 0).as("fname"),
+        col("__tx_pos").as("pos"))
+      .localCheckpoint(true) // bounded by the delete size; one eval
+    if (matching.isEmpty) (cur, Seq.empty)
+    else {
+      val dvFiles = writeDeletes(s, root, matching)
+      val v = commit(root, "delete-dv", _ ++ dvFiles)
+      (v, dvFiles)
+    }
+  }
 
   /** Retention prune: keep the newest `retain` manifests, delete older
     * ones, then delete data files referenced by NO retained manifest.
@@ -354,8 +456,9 @@ object TxTable {
   private def ownerClustered(df: DataFrame): DataFrame =
     df.repartitionByRange(8, col("o_custkey"), col("o_orderkey"))
 
-  /** Build the three-commit history into an initialized `root`. */
-  private[graft] def buildDemoHistory(s: SparkSession, root: String,
+  /** The two append commits (v1 load, v2 ingest) shared by the demo
+    * history and the DV key's per-invocation table. */
+  private[graft] def appendDemoLoads(s: SparkSession, root: String,
       dir: String): Unit = {
     init(root)
     val orders = Tables.orders(s, dir)
@@ -364,6 +467,12 @@ object TxTable {
       ownerClustered(orders.filter(col("o_orderkey") % 3 === 0))): Unit
     append(s, root,
       ownerClustered(orders.filter(col("o_orderkey") % 3 === 1))): Unit
+  }
+
+  /** Build the three-commit history into an initialized `root`. */
+  private[graft] def buildDemoHistory(s: SparkSession, root: String,
+      dir: String): Unit = {
+    appendDemoLoads(s, root, dir)
     deleteWhere(s, root, col("o_custkey") % 97 === 0): Unit
   }
 
@@ -401,6 +510,41 @@ object TxTable {
     if (inv > 2) {
       graft.Scratch.deleteRec(new java.io.File(
         graft.Scratch.dir("txtable", s"commit_${tag}_i${inv - 2}")))
+    }
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
+  /** Root of the most recent [[qTableDeleteVector]] invocation (spec
+    * hook). */
+  private[graft] val lastDvRoot =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** q_table_delete_vector — the GDPR delete MERGE-ON-READ (round 17):
+    * the same load/ingest/delete lifecycle as [[qTableCommit]], but v3
+    * is a [[deleteVector]] position-delete commit — the matching rows'
+    * (file, row-index) addresses land under deletes/, every data file
+    * stays byte-identical, and the snapshot read applies the broadcast
+    * delete set. The copy-on-write twin (q_table_commit) rewrites
+    * affected files; this key is the write-cheap/read-cost trade every
+    * modern format offers, and at 100 TB it is the difference between
+    * committing KBs of addresses and rewriting TBs of survivors.
+    * Per-invocation root (the DV write + commit ARE the semantics).
+    * Oracle: identical to q_table_commit's recompute — the two delete
+    * modes MUST converge to the same table. LayoutSpec pins the halves
+    * the oracle can't see: data files untouched by byte identity,
+    * second-pass no-op, compaction materializing the DVs away, and a
+    * merge on the DV'd table not resurrecting deleted rows. */
+  def qTableDeleteVector(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val inv = commitInvocations.computeIfAbsent(s"dv_$tag",
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    val root = graft.Scratch.dir("txtable", s"dv_${tag}_i$inv")
+    appendDemoLoads(s, root, dir)
+    deleteVector(s, root, col("o_custkey") % 97 === 0): Unit
+    lastDvRoot.set(root)
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        graft.Scratch.dir("txtable", s"dv_${tag}_i${inv - 2}")))
     }
     snapshot(s, root).orderBy("o_orderkey")
   }
@@ -453,26 +597,50 @@ object TxTable {
     * (inserts, deletes) as optional frames of (o_orderkey, o_custkey). */
   private[graft] def changeSets(s: SparkSession, root: String,
       prev: Int, cur: Int): (Option[DataFrame], Option[DataFrame]) = {
-    val pf = readManifest(root, prev).files.toSet
-    val cf = readManifest(root, cur).files.toSet
+    val pm = readManifest(root, prev).files
+    val cm = readManifest(root, cur).files
+    val pf = dataEntries(pm).toSet
+    val cf = dataEntries(cm).toSet
     def rd(fs: Set[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else Some(s.read.parquet(fs.toSeq.sorted.map(f => s"$root/$f"): _*)
         .select("o_orderkey", "o_custkey"))
     val added = rd(cf -- pf)
     val removed = rd(pf -- cf)
+    // position-delete entries added by this commit address rows by
+    // (file name, row index): those rows are CDC deletes — read ONLY
+    // their target files, semi-join the broadcast address set
+    val addedDv = (deleteEntries(cm).toSet -- deleteEntries(pm)).toSeq.sorted
+    val dvDeletes =
+      if (addedDv.isEmpty) None
+      else {
+        val dv = s.read.parquet(addedDv.map(f => s"$root/$f"): _*)
+          .select(col("fname").as("__tx_fname"), col("pos").as("__tx_pos"))
+        val targets = dv.select("__tx_fname").distinct()
+          .collect().map(_.getString(0)).toSet
+        val targetFiles = cf.filter(f => targets(f.stripPrefix("data/")))
+          .toSeq.sorted
+        if (targetFiles.isEmpty) None
+        else Some(s.read.parquet(targetFiles.map(f => s"$root/$f"): _*)
+          .withColumn("__tx_fname",
+            regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+          .withColumn("__tx_pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("__tx_fname", "__tx_pos"), "left_semi")
+          .select("o_orderkey", "o_custkey"))
+      }
     val ins = (added, removed) match {
       case (Some(a), Some(r)) =>
         Some(a.join(broadcast(r.select("o_orderkey")),
           Seq("o_orderkey"), "left_anti"))
       case (a, _) => a
     }
-    val del = (added, removed) match {
+    val rewriteDel = (added, removed) match {
       case (Some(a), Some(r)) =>
         Some(r.join(broadcast(a.select("o_orderkey")),
           Seq("o_orderkey"), "left_anti"))
       case (_, r) => r
     }
+    val del = (rewriteDel ++ dvDeletes).reduceOption(_ unionByName _)
     (ins, del)
   }
 
@@ -547,7 +715,8 @@ object TxTable {
       source: DataFrame, keyCol: String, payloadCol: String)
       : (Int, Seq[String], Long) = {
     val v0 = currentVersion(root)
-    val snap = snapshotWithPath(s, root, v0)
+    val snap = snapshotCore(s, root, v0,
+      mergeSchema = false, withAddress = true)
     val srcKeys = source.select(keyCol)
     // one scan: matched keys + the files that hold them
     val matched = snap
@@ -566,7 +735,7 @@ object TxTable {
     val rewritten =
       if (affAbs.isEmpty) Seq.empty[String]
       else writeData(s, root,
-        s.read.parquet(affAbs: _*)
+        readDataWithDeletes(s, root, affAbs)
           .join(broadcast(newPayload), Seq(keyCol), "left")
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
@@ -723,6 +892,7 @@ object TxTable {
     "q_table_merge" -> (qTableMerge _),
     "q_table_schema_evolution" -> (qTableSchemaEvolution _),
     "q_table_stream" -> (qTableStream _),
+    "q_table_delete_vector" -> (qTableDeleteVector _),
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
@@ -769,6 +939,10 @@ object TxTable {
         |  CASE WHEN o_orderkey % 2 = 1
         |    THEN CAST(o_orderkey % 5 AS INT) END AS o_prio
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_table_delete_vector" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_stream" ->
       """SELECT 1 AS commit_version, o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey % 3 = 0

@@ -194,18 +194,24 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
       val m = TxTable.readManifest(root, v)
       val cur = m.files.toSet
       val removed = prev -- cur
-      val isChange = removed.nonEmpty || m.props.get("op").contains("rollback")
+      // change commit = removed files (delete/compact/merge rewrote
+      // streamed rows), a rollback (re-adds streamed files with an
+      // append-shaped diff), or a position-delete commit (removes
+      // nothing but marks streamed rows deleted) — op-classified
+      val isChange = removed.nonEmpty ||
+        m.props.get("op").exists(TxTableMicroBatchStream.ChangeOps)
       if (isChange) {
         if (!skipChangeCommits) throw new IllegalStateException(
           s"commit v$v of $root (op=${m.props.getOrElse("op", "?")}) " +
-            s"removed ${removed.size} file(s) or republished " +
-            "already-streamed ones — rows already emitted changed. " +
-            "Streaming reads are append-only; set " +
-            "option(\"skipChangeCommits\", \"true\") to skip such " +
-            "commits entirely")
+            s"removed ${removed.size} file(s), republished " +
+            "already-streamed ones, or marked streamed rows deleted — " +
+            "rows already emitted changed. Streaming reads are " +
+            "append-only; set option(\"skipChangeCommits\", \"true\") " +
+            "to skip such commits entirely")
       } else {
-        (cur -- prev).toSeq.sorted.foreach(f =>
-          out += TxFilePartition(v, s"$root/$f"))
+        (cur -- prev).toSeq.sorted
+          .filter(_.startsWith("data/")) // never stream delete files
+          .foreach(f => out += TxFilePartition(v, s"$root/$f"))
       }
       prev = cur
     }
@@ -214,6 +220,13 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     TxTableReaderFactory(schema)
+}
+
+private[streaming] object TxTableMicroBatchStream {
+  /** Ops whose commits change already-streamed rows without necessarily
+    * removing a file: rollback republishes streamed files, delete-dv
+    * marks streamed rows deleted via position-delete entries. */
+  val ChangeOps: Set[String] = Set("rollback", "delete-dv")
 }
 
 private[streaming] case class TxFilePartition(version: Int, path: String)

@@ -463,6 +463,83 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       "the final manifest is not exactly the union of all writers")
   }
 
+  test("TxTable: a position-delete commit touches NO data file " +
+      "(byte identity), converges, and reads equal the rewrite-delete " +
+      "twin") {
+    import org.apache.spark.sql.functions._
+    // copy-on-write twin for comparison
+    val cow = mkTable("dv_cow")
+    sources.TxTable.buildDemoHistory(spark, cow, sf0001)
+    // merge-on-read: same appends, DV delete instead of rewrite
+    val root = mkTable("dv_mor")
+    sources.TxTable.appendDemoLoads(spark, root, sf0001)
+    val before = sources.TxTable.readManifest(root, 2).files
+    val sizes = before.map(f =>
+      f -> new java.io.File(root, f).length()).toMap
+    val (v3, dvFiles) = sources.TxTable.deleteVector(spark, root,
+      col("o_custkey") % 97 === 0)
+    assert(v3 == 3 && dvFiles.nonEmpty &&
+      dvFiles.forall(_.startsWith("deletes/")))
+    val after = sources.TxTable.readManifest(root, 3).files
+    // EVERY data entry carried unchanged — zero rewrites, bytes intact
+    assert(sources.TxTable.dataEntries(after) == before,
+      "a position delete rewrote or dropped a data file")
+    assert(before.forall(f =>
+      new java.io.File(root, f).length() == sizes(f)),
+      "a data file's bytes changed under a position delete")
+    // reads converge with the rewrite-based delete
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(rows(sources.TxTable.snapshot(spark, root)) ==
+      rows(sources.TxTable.snapshot(spark, cow)),
+      "merge-on-read and copy-on-write deletes diverged")
+    // convergent: the predicate re-applied on the DV-applied snapshot
+    // addresses nothing and commits nothing
+    val (vAgain, dvAgain) = sources.TxTable.deleteVector(spark, root,
+      col("o_custkey") % 97 === 0)
+    assert(vAgain == 3 && dvAgain.isEmpty,
+      "second DV pass was not a no-op")
+  }
+
+  test("TxTable: compaction materializes position deletes away and a " +
+      "merge on a DV'd table does not resurrect deleted rows") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("dv_compact")
+    sources.TxTable.appendDemoLoads(spark, root, sf0001)
+    sources.TxTable.deleteVector(spark, root,
+      col("o_custkey") % 97 === 0): Unit
+    val preRows = sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    // a MERGE rewrites affected files: its rewrite input must be the
+    // DV-applied read, so deleted rows stay gone in the rewritten files
+    val src = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 30 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1.5).as("o_totalprice"))
+    sources.TxTable.mergeCommit(spark, root, src,
+      "o_orderkey", "o_totalprice"): Unit
+    assert(sources.TxTable.snapshot(spark, root)
+      .filter(col("o_custkey") % 97 === 0 &&
+        col("o_orderkey") % 30 =!= 0).count() == 0,
+      "a merge rewrite resurrected DV-deleted rows")
+    // compaction: rewrite the DV-applied snapshot, publish data-only
+    val rewritten = sources.TxTable.writeData(spark, root,
+      sources.TxTable.snapshot(spark, root)
+        .repartitionByRange(2, col("o_custkey"), col("o_orderkey")))
+    sources.TxTable.commit(root, "compact", _ => rewritten): Unit
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    assert(sources.TxTable.deleteEntries(m.files).isEmpty,
+      "compaction did not materialize the position deletes away")
+    // rows before the compaction (post-merge) == rows after
+    val postMerge = sources.TxTable.snapshot(spark, root,
+      sources.TxTable.currentVersion(root) - 1)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == postMerge)
+    preRows: Unit
+  }
+
   test("Scratch.buildOnce never adopts a stale staging dir and is " +
       "idempotent once adopted") {
     val root = graft.Scratch.dir("misc", "buildonce_spec")

@@ -406,6 +406,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView(qn): Unit
   }
 
+  test("txtable streaming SOURCE: a position-delete commit is a " +
+      "CHANGE commit even though it removes no files") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_dv")
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark, root,
+      spark.range(0, 10).select(col("id").as("k"),
+        (col("id") * 2.0).as("v")).repartition(1)): Unit
+    sources.TxTable.deleteVector(spark, root, col("k") < 5): Unit
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    def run(skip: Boolean): Long = {
+      val qn = s"txsrc_dv_$skip"
+      val q = spark.readStream.format("txtable").schema(sch)
+        .option("skipChangeCommits", skip.toString).load(root)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = spark.table(qn).count()
+      spark.catalog.dropTempView(qn): Unit
+      n
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(skip = false)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("append-only"))),
+      s"DV commit did not fail the append-only stream: $e")
+    // skipped: v1's 10 appended rows streamed, the DV commit emits
+    // nothing — and crucially no deletes/ file is ever streamed as data
+    assert(run(skip = true) == 10)
+  }
+
   test("txtable streaming SOURCE: a change commit fails the stream " +
       "loudly unless skipChangeCommits, which skips it entirely") {
     import org.apache.spark.sql.types._
