@@ -236,19 +236,25 @@ object TxTable {
         .parquet(data.map(f => s"$root/$f"): _*)
       if (dvs.isEmpty && !withAddress) plain
       else {
-        val addressed = plain
-          .withColumn("__tx_file", col("_metadata.file_path"))
-          .withColumn("__tx_pos", col("_metadata.row_index"))
-        val applied = applyDeletes(s, root, addressed, dvs)
+        val applied = applyDeletes(s, root, withAddressCols(plain), dvs)
         if (withAddress) applied else applied.drop("__tx_file", "__tx_pos")
       }
     }
   }
 
+  /** THE address scheme, in one place (r17 review): rows are addressed
+    * by (file basename, row index). The basename is unique (Spark
+    * embeds a per-job UUID in part names), so a table whose root moved
+    * still resolves its own deletes. Attach at the scan — `_metadata`
+    * resolves only against a file-source relation. */
+  private def withAddressCols(df: DataFrame): DataFrame =
+    df.withColumn("__tx_file", col("_metadata.file_path"))
+      .withColumn("__tx_pos", col("_metadata.row_index"))
+  private def fnameOf(c: Column): Column =
+    regexp_extract(c, "[^/]+$", 0)
+
   /** Anti-join an addressed frame (`__tx_file`/`__tx_pos`) against the
-    * given position-delete entries. Addresses match on file NAME (the
-    * UUID-embedded basename is unique), so a table whose root moved
-    * still resolves its own deletes. */
+    * given position-delete entries. */
   private def applyDeletes(s: SparkSession, root: String,
       addressed: DataFrame, dvs: Seq[String]): DataFrame =
     if (dvs.isEmpty) addressed
@@ -256,8 +262,7 @@ object TxTable {
       val dv = s.read.parquet(dvs.map(f => s"$root/$f"): _*)
         .select(col("fname").as("__tx_fname"), col("pos").as("__tx_pos"))
       addressed
-        .withColumn("__tx_fname",
-          regexp_extract(col("__tx_file"), "[^/]+$", 0))
+        .withColumn("__tx_fname", fnameOf(col("__tx_file")))
         .join(broadcast(dv), Seq("__tx_fname", "__tx_pos"), "left_anti")
         .drop("__tx_fname")
     }
@@ -295,7 +300,14 @@ object TxTable {
     // the hidden _metadata column resolves only against the file-source
     // relation itself — materialize the path BEFORE `matching` wraps the
     // scan in joins/filters
-    val affAbs = matching(snapshotCore(s, root, currentVersion(root),
+    val v0 = currentVersion(root)
+    // the position-delete set the rewrite input applies: if a concurrent
+    // delete-dv lands before our commit, the rewritten files would
+    // republish its freshly-deleted rows — the closure requires the set
+    // is unchanged (r17 review: a DV commit removes no data file, so the
+    // affected-files check alone cannot see this race)
+    val dvAtRead = deleteEntries(readManifest(root, v0).files)
+    val affAbs = matching(snapshotCore(s, root, v0,
         mergeSchema = false, withAddress = true))
       .select(col("__tx_file").as("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -310,6 +322,10 @@ object TxTable {
         require(affRel.forall(prev.toSet),
           s"concurrent rewrite conflict at $root: an affected file is " +
             "no longer in the current snapshot")
+        require(deleteEntries(prev) == dvAtRead,
+          s"concurrent position-delete conflict at $root: the delete " +
+            "set changed since the rewrite input was read — committing " +
+            "would republish freshly-deleted rows")
         prev.filterNot(affSet) ++ rewritten
       })
       (v, affRel)
@@ -325,9 +341,7 @@ object TxTable {
     val dvs = deleteEntries(readManifest(root, currentVersion(root)).files)
     if (dvs.isEmpty) s.read.parquet(absFiles: _*)
     else applyDeletes(s, root,
-      s.read.parquet(absFiles: _*)
-        .withColumn("__tx_file", col("_metadata.file_path"))
-        .withColumn("__tx_pos", col("_metadata.row_index")), dvs)
+      withAddressCols(s.read.parquet(absFiles: _*)), dvs)
       .drop("__tx_file", "__tx_pos")
   }
 
@@ -366,24 +380,37 @@ object TxTable {
     * publishes a data-only manifest). Matching is evaluated on the
     * DV-applied snapshot, so a second pass over the same predicate
     * addresses nothing and commits nothing (convergent, like the
-    * rewrite delete). No conflict `require`: a concurrent rewrite that
-    * removed a target file leaves those addresses pointing at a name no
-    * retained data entry carries — stale-but-harmless (dropped at the
-    * next compaction), matching the formats' DV-maintenance honesty.
-    * Returns (version, delete-file entries); no matches → no commit. */
+    * rewrite delete). Conflict check: the commit closure requires every
+    * TARGET file is still a listed data entry — a concurrent rewrite
+    * that replaced a target would otherwise carry the matching rows
+    * into a new file our addresses don't cover, silently losing the
+    * delete (r17 review; the rewrite paths carry the mirror-image
+    * check on the delete-entry set). The only surviving stale case is
+    * DV entries whose targets a LATER rewrite removes — those
+    * addresses dangle harmlessly (the rewrite input applied them) and
+    * drop at the next compaction. Returns (version, delete-file
+    * entries); no matches → no commit. */
   private[graft] def deleteVector(s: SparkSession, root: String,
       pred: Column): (Int, Seq[String]) = {
     val cur = currentVersion(root)
     val matching = snapshotCore(s, root, cur,
         mergeSchema = false, withAddress = true)
       .filter(pred)
-      .select(regexp_extract(col("__tx_file"), "[^/]+$", 0).as("fname"),
+      .select(fnameOf(col("__tx_file")).as("fname"),
         col("__tx_pos").as("pos"))
       .localCheckpoint(true) // bounded by the delete size; one eval
     if (matching.isEmpty) (cur, Seq.empty)
     else {
+      val targets = matching.select("fname").distinct()
+        .collect().map(r => "data/" + r.getString(0)).toSet
       val dvFiles = writeDeletes(s, root, matching)
-      val v = commit(root, "delete-dv", _ ++ dvFiles)
+      val v = commit(root, "delete-dv", { prev =>
+        require(targets.subsetOf(dataEntries(prev).toSet),
+          s"concurrent rewrite conflict at $root: a position-delete " +
+            "target is no longer a listed data file — committing would " +
+            "lose the delete")
+        prev ++ dvFiles
+      })
       (v, dvFiles)
     }
   }
@@ -601,12 +628,26 @@ object TxTable {
     val cm = readManifest(root, cur).files
     val pf = dataEntries(pm).toSet
     val cf = dataEntries(cm).toSet
-    def rd(fs: Set[String]): Option[DataFrame] =
+    // added files carry fresh names no prior delete entry can address,
+    // so they read raw; removed files must read with the PREV manifest's
+    // position deletes applied — otherwise a rewrite/compaction after a
+    // DV delete re-reports the DV-deleted rows as deletes a second time
+    // (r17 review: the rewrite input was DV-applied, so they are absent
+    // from `added` and the anti-join cannot cancel them)
+    val added = {
+      val fs = (cf -- pf).toSeq.sorted
       if (fs.isEmpty) None
-      else Some(s.read.parquet(fs.toSeq.sorted.map(f => s"$root/$f"): _*)
+      else Some(s.read.parquet(fs.map(f => s"$root/$f"): _*)
         .select("o_orderkey", "o_custkey"))
-    val added = rd(cf -- pf)
-    val removed = rd(pf -- cf)
+    }
+    val removed = {
+      val fs = (pf -- cf).toSeq.sorted
+      if (fs.isEmpty) None
+      else Some(applyDeletes(s, root,
+        withAddressCols(s.read.parquet(fs.map(f => s"$root/$f"): _*)),
+        deleteEntries(pm))
+        .select("o_orderkey", "o_custkey"))
+    }
     // position-delete entries added by this commit address rows by
     // (file name, row index): those rows are CDC deletes — read ONLY
     // their target files, semi-join the broadcast address set
@@ -621,10 +662,9 @@ object TxTable {
         val targetFiles = cf.filter(f => targets(f.stripPrefix("data/")))
           .toSeq.sorted
         if (targetFiles.isEmpty) None
-        else Some(s.read.parquet(targetFiles.map(f => s"$root/$f"): _*)
-          .withColumn("__tx_fname",
-            regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
-          .withColumn("__tx_pos", col("_metadata.row_index"))
+        else Some(withAddressCols(
+            s.read.parquet(targetFiles.map(f => s"$root/$f"): _*))
+          .withColumn("__tx_fname", fnameOf(col("__tx_file")))
           .join(broadcast(dv), Seq("__tx_fname", "__tx_pos"), "left_semi")
           .select("o_orderkey", "o_custkey"))
       }
@@ -715,6 +755,7 @@ object TxTable {
       source: DataFrame, keyCol: String, payloadCol: String)
       : (Int, Seq[String], Long) = {
     val v0 = currentVersion(root)
+    val dvAtRead = deleteEntries(readManifest(root, v0).files)
     val snap = snapshotCore(s, root, v0,
       mergeSchema = false, withAddress = true)
     val srcKeys = source.select(keyCol)
@@ -750,6 +791,9 @@ object TxTable {
       require(affRel.forall(prev.toSet),
         s"concurrent rewrite conflict at $root: a merge victim is no " +
           "longer in the current snapshot")
+      require(deleteEntries(prev) == dvAtRead,
+        s"concurrent position-delete conflict at $root: the delete " +
+          "set changed since the merge input was read")
       prev.filterNot(affSet) ++ rewritten ++ appended
     })
     (v, affRel, nIns)

@@ -522,22 +522,35 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .filter(col("o_custkey") % 97 === 0 &&
         col("o_orderkey") % 30 =!= 0).count() == 0,
       "a merge rewrite resurrected DV-deleted rows")
+    // the merge touched ONLY its source keys: every other surviving row
+    // is carried bit-for-bit from the pre-merge DV-applied state
+    val nonSrc = sources.TxTable.snapshot(spark, root)
+      .filter(col("o_orderkey") % 30 =!= 0)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(nonSrc == preRows.filter(r =>
+      r.head.asInstanceOf[Long] % 30 != 0),
+      "the merge disturbed rows outside its source keys")
     // compaction: rewrite the DV-applied snapshot, publish data-only
     val rewritten = sources.TxTable.writeData(spark, root,
       sources.TxTable.snapshot(spark, root)
         .repartitionByRange(2, col("o_custkey"), col("o_orderkey")))
     sources.TxTable.commit(root, "compact", _ => rewritten): Unit
-    val m = sources.TxTable.readManifest(root,
-      sources.TxTable.currentVersion(root))
+    val cv = sources.TxTable.currentVersion(root)
+    val m = sources.TxTable.readManifest(root, cv)
     assert(sources.TxTable.deleteEntries(m.files).isEmpty,
       "compaction did not materialize the position deletes away")
-    // rows before the compaction (post-merge) == rows after
-    val postMerge = sources.TxTable.snapshot(spark, root,
-      sources.TxTable.currentVersion(root) - 1)
+    // rows before the compaction (post-merge) == rows after, and the
+    // CDC law holds ON A DV'D TABLE: the compaction diffs to ZERO
+    // changes (the removed side reads with the prev manifest's deletes
+    // applied — r17 review: a raw read would re-report the GDPR'd rows)
+    val postMerge = sources.TxTable.snapshot(spark, root, cv - 1)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(sources.TxTable.snapshot(spark, root)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == postMerge)
-    preRows: Unit
+    val (ins, del) = sources.TxTable.changeSets(spark, root, cv - 1, cv)
+    assert(ins.map(_.count()).getOrElse(0L) == 0L &&
+      del.map(_.count()).getOrElse(0L) == 0L,
+      "compacting a DV'd table emitted phantom CDC changes")
   }
 
   test("Scratch.buildOnce never adopts a stale staging dir and is " +
