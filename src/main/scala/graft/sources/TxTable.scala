@@ -305,8 +305,11 @@ object TxTable {
     // delete-dv lands before our commit, the rewritten files would
     // republish its freshly-deleted rows — the closure requires the set
     // is unchanged (r17 review: a DV commit removes no data file, so the
-    // affected-files check alone cannot see this race)
-    val dvAtRead = deleteEntries(readManifest(root, v0).files)
+    // affected-files check alone cannot see this race). Captured ONCE
+    // and passed to the input read, so input and check see one version.
+    val dvAtRead =
+      if (v0 == 0) Seq.empty[String]
+      else deleteEntries(readManifest(root, v0).files)
     val affAbs = matching(snapshotCore(s, root, v0,
         mergeSchema = false, withAddress = true))
       .select(col("__tx_file").as("f")).distinct()
@@ -314,36 +317,54 @@ object TxTable {
     if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
     else {
       val rewritten = writeData(s, root,
-        surviving(readDataWithDeletes(s, root, affAbs)))
+        surviving(readDataWithDeletes(s, root, affAbs, dvAtRead)))
       val affRel = affAbs.map(p =>
         "data/" + p.substring(p.lastIndexOf('/') + 1))
       val affSet = affRel.toSet
-      val v = commit(root, "delete", { prev =>
-        require(affRel.forall(prev.toSet),
-          s"concurrent rewrite conflict at $root: an affected file is " +
-            "no longer in the current snapshot")
-        require(deleteEntries(prev) == dvAtRead,
-          s"concurrent position-delete conflict at $root: the delete " +
-            "set changed since the rewrite input was read — committing " +
-            "would republish freshly-deleted rows")
-        prev.filterNot(affSet) ++ rewritten
-      })
+      val v =
+        try commit(root, "delete", { prev =>
+          require(affRel.forall(prev.toSet),
+            s"concurrent rewrite conflict at $root: an affected file " +
+              "is no longer in the current snapshot")
+          require(deleteEntries(prev) == dvAtRead,
+            s"concurrent position-delete conflict at $root: the delete " +
+              "set changed since the rewrite input was read — " +
+              "committing would republish freshly-deleted rows")
+          prev.filterNot(affSet) ++ rewritten
+        })
+        catch { case e: Throwable =>
+          discardStaged(root, rewritten); throw e
+        }
       (v, affRel)
     }
   }
 
-  /** Read specific data files of the CURRENT snapshot with its position
-    * deletes applied — the rewrite/merge input: a file rewrite must not
-    * resurrect DV-deleted rows (the merge-on-read contract; LayoutSpec
-    * pins it). */
+  /** Read specific data files with the GIVEN position deletes applied —
+    * the rewrite/merge input: a file rewrite must not resurrect
+    * DV-deleted rows (the merge-on-read contract; LayoutSpec pins it).
+    * The caller passes the delete-entry set it captured at its read
+    * version — the SAME set its commit closure then requires unchanged,
+    * so the input and the conflict check can never disagree about which
+    * deletes the rewrite absorbed (r17 review: reading "current" here
+    * while checking v0's set let a mid-flight DV commit make the two
+    * diverge). */
   private def readDataWithDeletes(s: SparkSession, root: String,
-      absFiles: Seq[String]): DataFrame = {
-    val dvs = deleteEntries(readManifest(root, currentVersion(root)).files)
+      absFiles: Seq[String], dvs: Seq[String]): DataFrame =
     if (dvs.isEmpty) s.read.parquet(absFiles: _*)
     else applyDeletes(s, root,
       withAddressCols(s.read.parquet(absFiles: _*)), dvs)
       .drop("__tx_file", "__tx_pos")
-  }
+
+  /** Delete freshly-staged (never-listed) files after an aborted
+    * commit: vacuum can only reclaim files some dropped manifest
+    * listed, so an abort path that walked away would leak its staged
+    * commit forever (r17 review). Safe by construction — a staged file
+    * becomes referenced only by the commit that just refused to land. */
+  private def discardStaged(root: String, staged: Seq[String]): Unit =
+    staged.foreach { f =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, f)): Unit
+    }
 
   /** Delete-under-commit by predicate: rows where `pred` is TRUE go;
     * everything else — including rows where `pred` evaluates to NULL —
@@ -404,13 +425,17 @@ object TxTable {
       val targets = matching.select("fname").distinct()
         .collect().map(r => "data/" + r.getString(0)).toSet
       val dvFiles = writeDeletes(s, root, matching)
-      val v = commit(root, "delete-dv", { prev =>
-        require(targets.subsetOf(dataEntries(prev).toSet),
-          s"concurrent rewrite conflict at $root: a position-delete " +
-            "target is no longer a listed data file — committing would " +
-            "lose the delete")
-        prev ++ dvFiles
-      })
+      val v =
+        try commit(root, "delete-dv", { prev =>
+          require(targets.subsetOf(dataEntries(prev).toSet),
+            s"concurrent rewrite conflict at $root: a position-delete " +
+              "target is no longer a listed data file — committing " +
+              "would lose the delete")
+          prev ++ dvFiles
+        })
+        catch { case e: Throwable =>
+          discardStaged(root, dvFiles); throw e
+        }
       (v, dvFiles)
     }
   }
@@ -755,7 +780,11 @@ object TxTable {
       source: DataFrame, keyCol: String, payloadCol: String)
       : (Int, Seq[String], Long) = {
     val v0 = currentVersion(root)
-    val dvAtRead = deleteEntries(readManifest(root, v0).files)
+    // captured once, passed to the rewrite input AND required unchanged
+    // at commit — input and conflict check see one version (r17 review)
+    val dvAtRead =
+      if (v0 == 0) Seq.empty[String]
+      else deleteEntries(readManifest(root, v0).files)
     val snap = snapshotCore(s, root, v0,
       mergeSchema = false, withAddress = true)
     val srcKeys = source.select(keyCol)
@@ -776,7 +805,7 @@ object TxTable {
     val rewritten =
       if (affAbs.isEmpty) Seq.empty[String]
       else writeData(s, root,
-        readDataWithDeletes(s, root, affAbs)
+        readDataWithDeletes(s, root, affAbs, dvAtRead)
           .join(broadcast(newPayload), Seq(keyCol), "left")
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
@@ -787,15 +816,19 @@ object TxTable {
     val affRel = affAbs.map(p =>
       "data/" + p.substring(p.lastIndexOf('/') + 1))
     val affSet = affRel.toSet
-    val v = commit(root, "merge", { prev =>
-      require(affRel.forall(prev.toSet),
-        s"concurrent rewrite conflict at $root: a merge victim is no " +
-          "longer in the current snapshot")
-      require(deleteEntries(prev) == dvAtRead,
-        s"concurrent position-delete conflict at $root: the delete " +
-          "set changed since the merge input was read")
-      prev.filterNot(affSet) ++ rewritten ++ appended
-    })
+    val v =
+      try commit(root, "merge", { prev =>
+        require(affRel.forall(prev.toSet),
+          s"concurrent rewrite conflict at $root: a merge victim is no " +
+            "longer in the current snapshot")
+        require(deleteEntries(prev) == dvAtRead,
+          s"concurrent position-delete conflict at $root: the delete " +
+            "set changed since the merge input was read")
+        prev.filterNot(affSet) ++ rewritten ++ appended
+      })
+      catch { case e: Throwable =>
+        discardStaged(root, rewritten ++ appended); throw e
+      }
     (v, affRel, nIns)
   }
 
