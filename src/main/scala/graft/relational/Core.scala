@@ -107,11 +107,16 @@ object Core {
       .intersect(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
-  /** q_set_except — customers minus those with orders (cross-checks
-    * q_join_anti). */
+  /** q_set_except — customers minus those with an URGENT order
+    * (cross-checks q_join_anti). The subtracted side is filtered to
+    * priority 1-URGENT so the difference is structurally NON-EMPTY at
+    * every harness SF — subtracting all order-holders returned zero rows
+    * at the oracle SF, a vacuous content check (VERDICT r17). */
   def qSetExcept(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
-      .except(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+      .except(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
   val queries: Map[String, Q] = Map(
@@ -176,5 +181,6 @@ object Core {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin)
 }

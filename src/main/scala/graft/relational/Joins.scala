@@ -76,10 +76,16 @@ object Joins {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** q_join_anti — customers with no orders (NOT EXISTS). */
+  /** q_join_anti — customers with no URGENT order (NOT EXISTS over a
+    * filtered probe side). The probe is filtered to priority 1-URGENT so
+    * the anti set is structurally NON-EMPTY at every harness SF
+    * (18/203/1986 rows at sf0.001/0.01/0.1) — the original "no orders at
+    * all" probe returned zero rows at the oracle SF, making empty==empty
+    * a vacuous content check (VERDICT r17). */
   def qJoinAnti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir),
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -349,7 +355,8 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_theta" ->
       """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2,

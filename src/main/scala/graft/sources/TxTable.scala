@@ -220,7 +220,15 @@ object TxTable {
     val data = dataEntries(m.files)
     val dvs = deleteEntries(m.files)
     if (data.isEmpty) {
-      val donor = versions(root).sortBy(dv => (math.abs(dv - v), dv))
+      // schema donor: nearest version AT-OR-BEFORE v first (descending),
+      // so a pinned historical empty snapshot can never borrow columns a
+      // LATER schema-evolved commit added (ADVICE r17); later versions
+      // are the fallback only when every earlier schema-bearing manifest
+      // was vacuumed away
+      val vs = versions(root)
+      val donorOrder = vs.filter(_ <= v).sorted.reverse ++
+        vs.filter(_ > v).sorted
+      val donor = donorOrder
         .map(readManifest(root, _)).find(dm => dataEntries(dm.files).nonEmpty)
         .getOrElse(sys.error(s"snapshot v$v of $root is empty and no " +
           "retained version carries a schema-bearing file"))
@@ -643,12 +651,21 @@ object TxTable {
 
   /** File-diff change sets between two consecutive manifests: rows in
     * added-only files are candidate inserts, rows in removed-only files
-    * candidate deletes; keys present on both sides are carried (a rewrite
-    * copies survivors), so each side anti-joins the other — broadcast,
-    * because both sides are COMMIT-sized, never table-sized. Returns
-    * (inserts, deletes) as optional frames of (o_orderkey, o_custkey). */
+    * candidate deletes. Cancellation is by FULL ROW, not key (ADVICE
+    * r17): a rewrite carries survivors verbatim, so identical rows on
+    * both sides cancel, while a key present on both sides with a
+    * CHANGED payload is an UPDATE (a merge commit rewrote it) and is
+    * emitted as such — key-only cancellation silently swallowed updates.
+    * All diff joins are broadcast: both sides are COMMIT-sized, never
+    * table-sized. Assumes the table is keyed (≤1 row per o_orderkey —
+    * true of every commit op here); a multiset table would need
+    * exceptAll semantics. Returns (inserts, deletes, updates) as
+    * optional frames carrying at least (o_orderkey, o_custkey); updates
+    * are POST-images (the Delta-CDF update_postimage row — the
+    * pre-image is recoverable from the prior version's snapshot). */
   private[graft] def changeSets(s: SparkSession, root: String,
-      prev: Int, cur: Int): (Option[DataFrame], Option[DataFrame]) = {
+      prev: Int, cur: Int)
+      : (Option[DataFrame], Option[DataFrame], Option[DataFrame]) = {
     val pm = readManifest(root, prev).files
     val cm = readManifest(root, cur).files
     val pf = dataEntries(pm).toSet
@@ -662,8 +679,7 @@ object TxTable {
     val added = {
       val fs = (cf -- pf).toSeq.sorted
       if (fs.isEmpty) None
-      else Some(s.read.parquet(fs.map(f => s"$root/$f"): _*)
-        .select("o_orderkey", "o_custkey"))
+      else Some(s.read.parquet(fs.map(f => s"$root/$f"): _*))
     }
     val removed = {
       val fs = (pf -- cf).toSeq.sorted
@@ -671,7 +687,7 @@ object TxTable {
       else Some(applyDeletes(s, root,
         withAddressCols(s.read.parquet(fs.map(f => s"$root/$f"): _*)),
         deleteEntries(pm))
-        .select("o_orderkey", "o_custkey"))
+        .drop("__tx_file", "__tx_pos"))
     }
     // position-delete entries added by this commit address rows by
     // (file name, row index): those rows are CDC deletes — read ONLY
@@ -693,20 +709,26 @@ object TxTable {
           .join(broadcast(dv), Seq("__tx_fname", "__tx_pos"), "left_semi")
           .select("o_orderkey", "o_custkey"))
       }
-    val ins = (added, removed) match {
-      case (Some(a), Some(r)) =>
-        Some(a.join(broadcast(r.select("o_orderkey")),
-          Seq("o_orderkey"), "left_anti"))
-      case (a, _) => a
+    val (ins, rewriteDel, upd) = (added, removed) match {
+      case (Some(a0), Some(r0)) =>
+        // full-row cancel on the columns BOTH sides carry (a schema-
+        // evolved commit's new column exists only on the added side)
+        val cmpCols = a0.columns.toSeq.intersect(r0.columns.toSeq)
+        val a = a0.select(cmpCols.map(col): _*)
+        val r = r0.select(cmpCols.map(col): _*)
+        val aLive = a.join(broadcast(r), cmpCols, "left_anti")
+        val rLive = r.join(broadcast(a), cmpCols, "left_anti")
+        (Some(aLive.join(broadcast(rLive.select("o_orderkey")),
+           Seq("o_orderkey"), "left_anti")),
+         Some(rLive.join(broadcast(aLive.select("o_orderkey")),
+           Seq("o_orderkey"), "left_anti")),
+         Some(aLive.join(broadcast(rLive.select("o_orderkey")),
+           Seq("o_orderkey"), "left_semi")))
+      case (a, r) => (a, r, None)
     }
-    val rewriteDel = (added, removed) match {
-      case (Some(a), Some(r)) =>
-        Some(r.join(broadcast(a.select("o_orderkey")),
-          Seq("o_orderkey"), "left_anti"))
-      case (_, r) => r
-    }
-    val del = (rewriteDel ++ dvDeletes).reduceOption(_ unionByName _)
-    (ins, del)
+    def keyed(df: DataFrame) = df.select("o_orderkey", "o_custkey")
+    val del = (rewriteDel.map(keyed) ++ dvDeletes).reduceOption(_ unionByName _)
+    (ins.map(keyed), del, upd.map(keyed))
   }
 
   /** q_table_changes — incremental read / change-data-feed between
@@ -724,11 +746,12 @@ object TxTable {
     val root = ensureDemoTable(s, dir)
     val vs = versions(root)
     val parts = vs.zip(vs.tail).flatMap { case (p, c) =>
-      val (ins, del) = changeSets(s, root, p, c)
+      val (ins, del, upd) = changeSets(s, root, p, c)
       def shape(df: DataFrame, kind: String) =
         df.select(lit(c).as("version"), lit(kind).as("change"),
           col("o_orderkey"), col("o_custkey"))
-      ins.map(shape(_, "insert")) ++ del.map(shape(_, "delete"))
+      ins.map(shape(_, "insert")) ++ del.map(shape(_, "delete")) ++
+        upd.map(shape(_, "update"))
     }
     parts.reduce(_ unionByName _)
       .orderBy("version", "change", "o_orderkey")
@@ -756,28 +779,37 @@ object TxTable {
     val rewritten = writeData(s, root,
       snapshot(s, root, v0).repartitionByRange(4, col("o_custkey"),
         col("o_orderkey")))
-    commit(root, "compact", { prev =>
+    // abort path reclaims the staged rewrite like every other write
+    // path (ADVICE r17): a refused compact commit would otherwise leak
+    // its never-listed files forever — vacuum can only reclaim files
+    // some manifest listed
+    try commit(root, "compact", { prev =>
       require(prev == f0,
         s"concurrent commit during compaction of $root — aborting " +
           "instead of dropping it")
       rewritten
     }): Unit
+    catch { case e: Throwable => discardStaged(root, rewritten); throw e }
     vacuum(root, CompactRetain): Unit
     snapshot(s, root).orderBy("o_orderkey")
   }
 
-  /** MERGE (upsert) under ONE commit: matched table rows take the
-    * source's payload (rewrite of only their files), unmatched source
-    * rows append — both land atomically in a single manifest, so a
-    * reader never sees the update without the insert or vice versa (the
-    * MERGE INTO contract). Discovery is one table scan with a broadcast
-    * semi-probe on the source keys (doubling as affected-file listing);
-    * everything else — matched keys, rewrite inputs, appends — is
-    * commit-bounded and rides broadcasts. The update closure requires
-    * the victims are still current (conflict check). Returns (version,
-    * affected files, inserted-row count). */
+  /** MERGE under ONE commit: matched table rows take the source's
+    * payload (rewrite of only their files), unmatched source rows
+    * append, and — when `deleteWhen` is given — matched rows whose
+    * source row satisfies the clause predicate are DELETED (WHEN MATCHED
+    * AND cond THEN DELETE): update + insert + expiry land atomically in
+    * a single manifest, so a reader never sees any one without the
+    * others (the MERGE INTO contract). Discovery is one table scan with
+    * a broadcast semi-probe on the source keys (doubling as
+    * affected-file listing); everything else — matched keys, rewrite
+    * inputs, appends, tombstone keys — is commit-bounded and rides
+    * broadcasts. The update closure requires the victims are still
+    * current (conflict check). Returns (version, affected files,
+    * inserted-row count). */
   private[graft] def mergeCommit(s: SparkSession, root: String,
-      source: DataFrame, keyCol: String, payloadCol: String)
+      source: DataFrame, keyCol: String, payloadCol: String,
+      deleteWhen: Option[Column] = None)
       : (Int, Seq[String], Long) = {
     val v0 = currentVersion(root)
     // captured once, passed to the rewrite input AND required unchanged
@@ -787,7 +819,16 @@ object TxTable {
       else deleteEntries(readManifest(root, v0).files)
     val snap = snapshotCore(s, root, v0,
       mergeSchema = false, withAddress = true)
-    val srcKeys = source.select(keyCol)
+    // materialize the caller's source ONCE (ADVICE r17): the raw frame
+    // is otherwise evaluated by the semi-probe, the insert count, the
+    // insert write, and the payload join separately — a
+    // non-deterministic or re-read-unstable source could split one key
+    // into both the update and insert paths, or make nIns disagree with
+    // the appended rows. Delta materializes the merge source for exactly
+    // this reason; merge sources are commit-sized, so the checkpoint is
+    // bounded.
+    val src = source.localCheckpoint(true)
+    val srcKeys = src.select(keyCol)
     // one scan: matched keys + the files that hold them
     val matched = snap
       .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
@@ -796,20 +837,36 @@ object TxTable {
     val affAbs = matched.select(col("__tx_file").as("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val matchedKeys = matched.select(keyCol).distinct()
-    val inserts = source
+    // WHEN MATCHED [AND deleteWhen] THEN DELETE (VERDICT r17 item 7):
+    // source rows where the clause predicate is TRUE are tombstones —
+    // their matched table rows are DROPPED from the rewrite output
+    // instead of updated, in the SAME atomic commit as the updates and
+    // inserts (the CDC-apply shape: upsert + expiry in one manifest). A
+    // NULL predicate row is NOT a tombstone (the coalesce discipline of
+    // [[deleteWhere]]); a tombstone for an absent key is a no-op (WHEN
+    // NOT MATCHED only inserts — the MERGE INTO contract).
+    val isDel = deleteWhen
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val srcLive = deleteWhen.fold(src)(_ => src.filter(!isDel))
+    val delKeys = deleteWhen.map(_ =>
+      src.filter(isDel).select(keyCol).distinct())
+    val inserts = srcLive
       .join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
     val nIns = inserts.count()
     val cols = snapshot(s, root, v0).columns
-    val newPayload = source
+    val newPayload = srcLive
       .select(col(keyCol), col(payloadCol).as("__tx_new"))
     val rewritten =
       if (affAbs.isEmpty) Seq.empty[String]
-      else writeData(s, root,
-        readDataWithDeletes(s, root, affAbs, dvAtRead)
-          .join(broadcast(newPayload), Seq(keyCol), "left")
+      else writeData(s, root, {
+        val base = readDataWithDeletes(s, root, affAbs, dvAtRead)
+        val kept = delKeys.fold(base)(dk =>
+          base.join(broadcast(dk), Seq(keyCol), "left_anti"))
+        kept.join(broadcast(newPayload), Seq(keyCol), "left")
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
-          .select(cols.map(col): _*))
+          .select(cols.map(col): _*)
+      })
     val appended =
       if (nIns == 0) Seq.empty[String]
       else writeData(s, root, inserts.select(cols.map(col): _*))

@@ -16,26 +16,40 @@ class JoinAlgebraSpec extends AnyFunSuite with SparkFixture {
     assert(semi == inner)
   }
 
-  test("anti-join == customers EXCEPT order-owners (q_set_except)") {
+  test("anti-join == customers EXCEPT urgent-order-owners (q_set_except)") {
+    // both keys use the same URGENT-filtered probe side (VERDICT r17:
+    // the unfiltered probe made the anti set empty at the oracle SF —
+    // this identity now also proves both sets are non-empty)
     val anti = relational.Joins.qJoinAnti(spark, sf0001)
       .select("c_custkey").collect().map(_.getLong(0)).toSet
     val except = relational.Core.qSetExcept(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
     assert(anti == except)
+    assert(anti.nonEmpty, "the anti set must be structurally non-empty")
   }
 
-  test("semi + anti partition the customer table") {
+  test("urgent-semi + anti partition the customer table") {
+    // the partition identity holds against the SAME probe side the anti
+    // key uses: customers with ≥1 urgent order + customers with none
     val nCust = Tables.customer(spark, sf0001).count()
-    val nSemi = relational.Joins.qJoinSemi(spark, sf0001).count()
+    val nUrgentSemi = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
     val nAnti = relational.Joins.qJoinAnti(spark, sf0001).count()
-    assert(nSemi + nAnti == nCust)
+    assert(nUrgentSemi + nAnti == nCust)
+    assert(nAnti > 0 && nUrgentSemi > 0)
   }
 
   test("left join row count == inner + orderless customers") {
     val left = relational.Joins.qJoinLeft(spark, sf0001)
     val inner = relational.Joins.qJoinInner(spark, sf0001)
-    val nAnti = relational.Joins.qJoinAnti(spark, sf0001).count()
-    assert(left.count() == inner.count() + nAnti)
+    val nOrderless = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(left.count() == inner.count() + nOrderless)
   }
 
   test("left and right joins of the same tables agree") {
@@ -56,12 +70,18 @@ class JoinAlgebraSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getInt(0) < r.getInt(1)))
   }
 
-  test("union minus intersect == symmetric parts (set-op consistency)") {
+  test("set-op consistency against the urgent-filtered except") {
     val u = relational.Core.qSetUnion(spark, sf0001).count()
     val i = relational.Core.qSetIntersect(spark, sf0001).count()
     val e = relational.Core.qSetExcept(spark, sf0001).count()
-    // orders ⊆ customer on custkey ⇒ union == customers, except == cust−∩
-    assert(u == i + e)
+    val nUrgent = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    // orders ⊆ customer on custkey ⇒ union == customers (== i + full
+    // except); the urgent-filtered except removes exactly the distinct
+    // urgent custkeys, all of which are customers
+    assert(e == u - nUrgent)
+    assert(i + e >= u, "urgent except is a superset of the full except")
   }
 
   test("as-of join matches a hand-computed per-user scan") {

@@ -267,11 +267,13 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     // content-neutral: the compaction commit's change sets are EMPTY on
     // both sides (every key is carried) — the CDC law that lets an
     // incremental consumer skip compactions entirely
-    val (ins, del) = sources.TxTable.changeSets(spark, root, 3, 4)
+    val (ins, del, upd) = sources.TxTable.changeSets(spark, root, 3, 4)
     assert(ins.map(_.count()).getOrElse(0L) == 0L,
       "compaction emitted phantom inserts")
     assert(del.map(_.count()).getOrElse(0L) == 0L,
       "compaction emitted phantom deletes")
+    assert(upd.map(_.count()).getOrElse(0L) == 0L,
+      "compaction emitted phantom updates")
     assert(sources.TxTable.snapshot(spark, root)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == preRows)
   }
@@ -547,9 +549,10 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(sources.TxTable.snapshot(spark, root)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == postMerge)
-    val (ins, del) = sources.TxTable.changeSets(spark, root, cv - 1, cv)
+    val (ins, del, upd) = sources.TxTable.changeSets(spark, root, cv - 1, cv)
     assert(ins.map(_.count()).getOrElse(0L) == 0L &&
-      del.map(_.count()).getOrElse(0L) == 0L,
+      del.map(_.count()).getOrElse(0L) == 0L &&
+      upd.map(_.count()).getOrElse(0L) == 0L,
       "compacting a DV'd table emitted phantom CDC changes")
   }
 
