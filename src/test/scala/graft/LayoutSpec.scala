@@ -590,4 +590,71 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall { r =>
       if (r.getLong(0) % 2 == 0) r.isNullAt(2) else !r.isNullAt(2) })
   }
+
+  test("TxTable: MERGE WHEN MATCHED DELETE — update + insert + expiry " +
+      "land in ONE atomic commit, re-merge is idempotent, and CDC emits " +
+      "update post-images for merge-rewritten keys") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("merge_del")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    val v0 = sources.TxTable.currentVersion(root)
+    val live = sources.TxTable.snapshot(spark, root).cache()
+    // three-way source: matched+delete (every 30th key), matched+update
+    // (the other matched multiples of 3), unmatched insert (keys %3==2,
+    // absent from demo history which loads %3∈{0,1})
+    val src = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 === 2 || col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        ((col("o_orderkey") % 1000).cast("double") + 0.25)
+          .as("o_totalprice"),
+        (col("o_orderkey") % 30 === 0).as("expire"))
+    val wantDel = live.join(src.filter(col("expire")), Seq("o_orderkey"),
+      "left_semi").select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(wantDel.nonEmpty, "fixture must exercise the delete clause")
+    val (v, aff, nIns) = sources.TxTable.mergeCommit(spark, root,
+      src.drop("expire"), "o_orderkey", "o_totalprice",
+      deleteWhen = Some(col("o_orderkey") % 30 === 0))
+    // ONE commit: no intermediate version where any half is missing
+    assert(v == v0 + 1, s"merge landed as $v, expected one commit")
+    assert(aff.nonEmpty && nIns > 0, "fixture must exercise all 3 paths")
+    val after = sources.TxTable.snapshot(spark, root).cache()
+    // expired keys are gone…
+    assert(after.filter(col("o_orderkey").isin(wantDel.toSeq: _*))
+      .count() == 0, "a WHEN MATCHED DELETE row survived")
+    // …while matched non-expired rows took the source payload…
+    val updated = after.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("want", (col("o_orderkey") % 1000).cast("double") + 0.25)
+    assert(updated.count() > 0 &&
+      updated.filter(col("o_totalprice") =!= col("want")).count() == 0,
+      "a matched row did not take the source payload")
+    // …and a deleted key did NOT re-enter via the insert path (WHEN NOT
+    // MATCHED only inserts source rows the delete clause spared)
+    assert(after.count() == live.count() - wantDel.size + nIns)
+    // CDC over the merge commit: rewritten keys emit as UPDATEs, expired
+    // keys as deletes, appended keys as inserts — nothing swallowed
+    val (ins, del, upd) =
+      sources.TxTable.changeSets(spark, root, v0, v)
+    assert(upd.map(_.count()).getOrElse(0L) > 0,
+      "merge-rewritten keys must surface as CDC updates")
+    assert(upd.get.filter(col("o_orderkey") % 3 =!= 0).count() == 0,
+      "a non-updated key leaked into the CDC update set")
+    val cdcDel = del.map(_.select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(wantDel.subsetOf(cdcDel),
+      s"expired keys missing from CDC deletes: ${wantDel -- cdcDel}")
+    assert(ins.map(_.count()).getOrElse(0L) == nIns,
+      "CDC insert count disagrees with the merge's insert count")
+    // idempotence: re-merging the same batch (at-least-once redelivery)
+    // changes nothing — tombstones for absent keys are no-ops and the
+    // delete clause keeps their rows out of the insert path
+    val rows1 = after.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val (_, _, nIns2) = sources.TxTable.mergeCommit(spark, root,
+      src.drop("expire"), "o_orderkey", "o_totalprice",
+      deleteWhen = Some(col("o_orderkey") % 30 === 0))
+    assert(nIns2 == 0, s"re-merge must insert nothing (got $nIns2)")
+    assert(sources.TxTable.snapshot(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq == rows1,
+      "re-merging the same batch changed the table state")
+    live.unpersist(); after.unpersist(): Unit
+  }
 }

@@ -367,6 +367,87 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView(qn): Unit
   }
 
+  test("txtable streaming SOURCE: startingVersion picks where a fresh " +
+      "stream subscribes — an integer streams commits >= N, 'latest' " +
+      "subscribes after the head, and a start past the retention " +
+      "window fails LOUDLY at stream start") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_sv")
+    sources.TxTable.init(root)
+    def appendIds(lo: Int, hi: Int): Unit =
+      sources.TxTable.append(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(1)): Unit
+    appendIds(0, 10); appendIds(10, 20); appendIds(20, 30) // v1..v3
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    def drainFresh(opts: Map[String, String], qn: String): Seq[(Long, Int)] = {
+      val rd = opts.foldLeft(spark.readStream.format("txtable").schema(sch)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = rd.load(root)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toSeq
+      spark.catalog.dropTempView(qn)
+      got
+    }
+    // startingVersion=2: commits 2 and 3 stream, commit 1 does not
+    val from2 = drainFresh(Map("startingVersion" -> "2"), "txsrc_sv2")
+    assert(from2.size == 20 && from2.forall { case (k, v) =>
+      k >= 10 && v >= 2 }, s"startingVersion=2 emitted the wrong slice")
+    // 'latest': nothing at subscribe time; only the NEXT commit streams
+    val base = graft.Scratch.dir("stream", "tx_sv_latest")
+    val q = spark.readStream.format("txtable").schema(sch)
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(!new java.io.File(s"$base/sink").exists() ||
+      spark.read.schema(sch).parquet(s"$base/sink").count() == 0,
+      "'latest' must emit nothing at subscribe time")
+    appendIds(30, 35) // v4, after the subscription point
+    val q2 = spark.readStream.format("txtable").schema(sch)
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt") // resume: offset = v3
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val latest = spark.read.schema(sch).parquet(s"$base/sink").collect()
+    assert(latest.length == 5 && latest.forall(r =>
+      r.getLong(0) >= 30 && r.getInt(2) == 4),
+      s"'latest' resume drained the wrong slice: ${latest.length} rows")
+    // past-retention start fails loudly AT START, not from a wrong base
+    sources.TxTable.vacuum(root, 3): Unit // v1, v2 pruned; retained: v3+
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qf = spark.readStream.format("txtable").schema(sch)
+        .option("startingVersion", "2").load(root)
+        .writeStream.format("memory").queryName("txsrc_sv_fail")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qf.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(
+      _.getMessage.contains("past the retention window")),
+      s"expected a loud past-retention failure, got: ${err.getMessage}")
+    // a retained start still works after the vacuum
+    val from4 = drainFresh(Map("startingVersion" -> "4"), "txsrc_sv4")
+    assert(from4.size == 5 && from4.forall { case (k, v) =>
+      k >= 30 && v == 4 }, "retained startingVersion must still stream")
+  }
+
   test("txtable streaming SOURCE: a rollback commit re-adding " +
       "already-streamed files is a CHANGE commit (op-classified), " +
       "never a silent replay") {
