@@ -310,6 +310,29 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
     fileFields.filter(declared.map(_.name).toSet)
   private val presentIdx: Map[String, Int] = present.zipWithIndex.toMap
 
+  // a PARTITIONED table's entries live under data/<col>=<v>/…: the
+  // column exists only as a path segment, so fill it as a per-file
+  // constant (typed like _commit_version — unparseable declared types
+  // fail loudly, never NULL-backfill a value the path carries)
+  private val partValues: Map[String, Any] = part.path.split("/")
+    .dropRight(1).filter(_.contains('=')).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> v
+    }.toMap.collect {
+      case (k, v) if declared.exists(_.name == k) =>
+        val dt = declared.find(_.name == k).get.dataType
+        k -> (dt match {
+          case IntegerType => java.lang.Integer.valueOf(v.toInt)
+          case LongType => java.lang.Long.valueOf(v.toLong)
+          case DoubleType => java.lang.Double.valueOf(v.toDouble)
+          case StringType => UTF8String.fromString(v)
+          case other => sys.error(
+            s"txtable streaming reader: partition column $k declared " +
+              s"as unsupported type $other (supported: int/long/" +
+              "double/string)")
+        })
+    }
+
   private val reader = new VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
   locally {
@@ -334,7 +357,7 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
             s"int or bigint, got $dt")
       }
       else presentIdx.get(f.name) match {
-        case None => null // pre-evolution file
+        case None => partValues.getOrElse(f.name, null) // partition dir value, or pre-evolution file
         case Some(i) if row.isNullAt(i) => null // NULL cell
         case Some(i) => f.dataType match {
           case LongType => java.lang.Long.valueOf(row.getLong(i))

@@ -31,14 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 190,
-      s"expected the SURVEY §2 190-key inventory (181 as of round 16 + " +
-        s"round 17's q_table_commit/q_table_timetravel/q_table_changes/" +
-        s"q_table_compact/q_table_merge/q_table_rollback/" +
-        s"q_table_schema_evolution/q_table_stream/" +
-        s"q_table_delete_vector), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 162,
-      s"expected 162 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 192,
+      s"expected the SURVEY §2 192-key inventory (190 as of round 17 + " +
+        s"round 18's q_table_skipping/q_table_partitioned), " +
+        s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 164,
+      s"expected 164 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -591,6 +591,141 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       if (r.getLong(0) % 2 == 0) r.isNullAt(2) else !r.isNullAt(2) })
   }
 
+  test("TxTable data skipping: manifests carry per-file min/max lifted " +
+      "from parquet footers at commit time; a selective predicate plans " +
+      "FEWER files than listed and the pruned read equals the unpruned " +
+      "recompute, including under position deletes") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("skip")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val data = sources.TxTable.dataEntries(m.files)
+    // every data entry carries stats for the clustering column
+    assert(data.nonEmpty && data.forall(f =>
+      m.stats.get(f).exists(_.cols.contains("o_custkey"))),
+      "a data entry is missing o_custkey manifest stats")
+    // stats are sound: each file's recorded span equals its actual span
+    data.foreach { f =>
+      val cs = m.stats(f).cols("o_custkey")
+      val d = spark.read.parquet(s"$root/$f")
+        .agg(min("o_custkey"), max("o_custkey")).head()
+      assert(BigDecimal(cs.min) == BigDecimal(d.getLong(0)) &&
+        BigDecimal(cs.max) == BigDecimal(d.getLong(1)),
+        s"manifest stats for $f disagree with the file: $cs vs $d")
+      assert(m.stats(f).rows == spark.read.parquet(s"$root/$f").count())
+    }
+    val cut = Tables.orders(spark, sf0001)
+      .agg(max("o_custkey")).head().getAs[Number](0).longValue / 10
+    val pred = col("o_custkey") <= cut
+    val (kept, all) = sources.TxTable.pruneDataFiles(m, pred)
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"skipping planned ${kept.size}/${all.size} files — the " +
+        "owner-clustered layout must prune most of them")
+    // identity: the pruned read == full read + filter, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(rows(sources.TxTable.snapshotWhere(spark, root, pred)) ==
+      rows(sources.TxTable.snapshot(spark, root).filter(pred)),
+      "pruned read diverged from the unpruned recompute")
+    // composes with merge-on-read: a DV commit's deletes still apply
+    // on the pruned read path
+    sources.TxTable.deleteVector(spark, root,
+      col("o_orderkey") % 10 === 0): Unit
+    assert(rows(sources.TxTable.snapshotWhere(spark, root, pred)) ==
+      rows(sources.TxTable.snapshot(spark, root).filter(pred)),
+      "pruned read diverged after a position-delete commit")
+    // the evaluator is conservative: a predicate it can't reason about
+    // (expression over the column) keeps every file
+    val (keptOpaque, _) = sources.TxTable.pruneDataFiles(m,
+      abs(col("o_custkey")) <= cut)
+    assert(keptOpaque.size == all.size,
+      "an un-analyzable predicate must not prune")
+    // OR widens, AND narrows
+    val (keptOr, _) = sources.TxTable.pruneDataFiles(m,
+      pred || col("o_custkey") > lit(Long.MaxValue - 1))
+    assert(keptOr.size >= kept.size)
+    val (keptAnd, _) = sources.TxTable.pruneDataFiles(m,
+      pred && col("o_custkey") <= lit(-1L))
+    assert(keptAnd.isEmpty, "an unsatisfiable AND must prune everything")
+    // kept.isEmpty still reads: zero rows, real schema
+    val none = sources.TxTable.snapshotWhere(spark, root,
+      col("o_custkey") <= lit(-1L))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+  }
+
+  test("TxTable partitioned: entries carry the partition directory, a " +
+      "partition predicate plans exactly that partition's files through " +
+      "the same stats mechanism, reads re-derive the column, and the " +
+      "flat-staging rewrite paths refuse partitioned entries loudly") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("part")
+    sources.TxTable.buildPartHistory(spark, root, sf0001)
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val data = sources.TxTable.dataEntries(m.files)
+    assert(data.nonEmpty && data.forall(
+      _.matches("data/o_orderpriority=[^/]+/part-.*\\.parquet")),
+      s"partitioned entries must carry their directory: $data")
+    val urgent = "data/o_orderpriority=1-URGENT/"
+    val (kept, all) = sources.TxTable.pruneDataFiles(m,
+      col("o_orderpriority") === "1-URGENT")
+    assert(kept.nonEmpty && kept.size < all.size)
+    assert(kept.forall(_.startsWith(urgent)) &&
+      kept.size == all.count(_.startsWith(urgent)),
+      "partition pruning must keep exactly the matching partition's files")
+    // the read re-derives the partition column and equals the source
+    // recompute of both loads
+    val got = sources.TxTable.snapshotWhere(spark, root,
+        col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val want = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 <= 1 &&
+        col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(got == want, s"partitioned read diverged (${got.size} vs " +
+      s"${want.size} rows)")
+    // time travel: v1 (first load only) prunes and reads the same way
+    val v1 = sources.TxTable.snapshotWhere(spark, root,
+      col("o_orderpriority") === "1-URGENT", version = 1)
+    assert(v1.count() == Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 === 0 &&
+        col("o_orderpriority") === "1-URGENT").count())
+    // a value-column predicate composes with partition pruning (both
+    // stats live in the same manifest entry)
+    val cut = Tables.orders(spark, sf0001)
+      .agg(max("o_custkey")).head().getAs[Number](0).longValue / 10
+    val both = sources.TxTable.snapshotWhere(spark, root,
+      col("o_orderpriority") === "1-URGENT" && col("o_custkey") <= cut)
+    val (keptBoth, _) = sources.TxTable.pruneDataFiles(m,
+      col("o_orderpriority") === "1-URGENT" && col("o_custkey") <= cut)
+    assert(keptBoth.size <= kept.size)
+    assert(both.count() == Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 <= 1 &&
+        col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") <= cut).count())
+    // rewrite paths guard: a copy-on-write delete would re-stage
+    // survivors FLAT and silently drop the partition column — it must
+    // refuse instead (declared honest limit; merge-on-read deleteVector
+    // remains the supported delete on partitioned tables)
+    val err = intercept[RuntimeException] {
+      sources.TxTable.deleteWhere(spark, root,
+        col("o_custkey") % 7 === 0): Unit
+    }
+    assert(err.getMessage.contains("PARTITIONED"),
+      s"expected the partitioned-rewrite guard, got: ${err.getMessage}")
+    // …and the DV delete path works: address-based, no file rewrite
+    val (dvv, dvFiles) = sources.TxTable.deleteVector(spark, root,
+      col("o_custkey") % 7 === 0)
+    assert(dvFiles.nonEmpty)
+    assert(sources.TxTable.snapshot(spark, root, dvv)
+      .filter(col("o_custkey") % 7 === 0).count() == 0,
+      "DV delete on a partitioned table did not apply")
+  }
+
   test("TxTable: MERGE WHEN MATCHED DELETE — update + insert + expiry " +
       "land in ONE atomic commit, re-merge is idempotent, and CDC emits " +
       "update post-images for merge-rewritten keys") {

@@ -448,6 +448,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       k >= 30 && v == 4 }, "retained startingVersion must still stream")
   }
 
+  test("txtable streaming SOURCE: a PARTITIONED table streams with the " +
+      "partition column re-derived from the path, typed per the " +
+      "declared schema") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_part")
+    sources.TxTable.init(root)
+    def load(lo: Int, hi: Int): Unit =
+      sources.TxTable.appendPartitioned(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v"),
+          concat(lit("g"), col("id") % 3).as("g")), "g"): Unit
+    load(0, 10); load(10, 20)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("g", StringType),
+      StructField("_commit_version", IntegerType)))
+    val qn = "txsrc_part"
+    val q = spark.readStream.format("txtable").schema(sch).load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn).collect()
+    assert(got.length == 20)
+    // the partition value is a per-file constant from the directory,
+    // never a NULL backfill — and it matches the row's own key
+    assert(got.forall(r => r.getString(2) == s"g${r.getLong(0) % 3}"),
+      "partition column not re-derived from the path")
+    assert(got.forall(r =>
+      r.getInt(3) == (if (r.getLong(0) < 10) 1 else 2)))
+    spark.catalog.dropTempView(qn): Unit
+  }
+
   test("txtable streaming SOURCE: a rollback commit re-adding " +
       "already-streamed files is a CHANGE commit (op-classified), " +
       "never a silent replay") {
