@@ -264,12 +264,26 @@ object Bench {
     def dirty(p: (Double, Double)): Boolean =
       (calibRefS > 0 && p._1 >= 1.5 * calibRefS) ||
         (calibRefP > 0 && p._2 >= 1.5 * calibRefP)
-    val fullRerun = probes.exists(dirty)
+    // Total-band guard (VERDICT r17 item 4): round 17's driver run sat
+    // 18% hot with CLEAN probes — broad uniform drift a point probe
+    // can't see. Compare the pass total against the frozen per-key
+    // minima over the keys both sides know (new un-frozen keys are
+    // excluded from both sums; skipped entirely when <80% of the run is
+    // frozen): clean runs read ≤1.25× the minima sum, the r17 hot
+    // window 1.42× — 1.3× separates them. Triggers the SAME bounded
+    // backoff-and-rerun, keeping per-key minima.
+    val hotTotal = {
+      val frozen = pass1.filter(r => r._4 && ref.contains(r._1))
+      val refSum = frozen.map(r => ref(r._1)).sum
+      refSum > 0 && frozen.size >= 0.8 * pass1.size &&
+        frozen.map(_._2).sum > 1.3 * refSum
+    }
+    val fullRerun = probes.exists(dirty) || hotTotal
     val results =
       if (!fullRerun) pass1
       else {
         System.err.println(
-          s"[bench] calibration dirty (probes=${probes.toList}, ref=($calibRefS,$calibRefP)); backing off 15 s and re-running all keys")
+          s"[bench] ${if (hotTotal) "run total above the frozen band" else "calibration dirty"} (probes=${probes.toList}, ref=($calibRefS,$calibRefP)); backing off 15 s and re-running all keys")
         Thread.sleep(15000)
         val pass2 = runPass()
         probes += calibProbe()
