@@ -431,28 +431,53 @@ object TxTable {
   private def fnameOf(c: Column): Column =
     regexp_extract(c, "[^/]+$", 0)
 
+  /** Plain filesystem path of a scan-observed `_metadata.file_path`
+    * URI: decodes the `file:` scheme AND its %-escapes — a partition
+    * value with a space reads back `%20`-encoded, and feeding that
+    * string to a Hadoop Path would look for a literal `%20` directory
+    * (partitionBy does NOT escape spaces on disk). */
+  private def decodePath(abs: String): String =
+    if (abs.startsWith("file:")) new java.net.URI(abs).getPath else abs
+
   /** Root-relative manifest path of a scan-observed absolute file path
     * (`_metadata.file_path`, `file:`-schemed). Basename mapping broke
     * for partitioned entries (`data/k=v/part-…`), so this strips the
     * root prefix instead (round 18). */
   private def relOf(root: String, abs: String): String = {
-    val p = if (abs.startsWith("file:"))
-      new java.net.URI(abs).getPath else abs
+    val p = decodePath(abs)
     val r = new java.io.File(root).getAbsolutePath
     require(p.startsWith(r + "/"), s"scan path $abs is not under $root")
     p.substring(r.length + 1)
   }
 
-  /** The rewrite paths re-stage survivors FLAT under data/, which would
-    * silently drop a partitioned entry's directory-derived column —
-    * guard loudly until partition-preserving rewrite staging exists
-    * (declared honest limit of [[appendPartitioned]]). */
-  private def requireUnpartitioned(op: String, rels: Seq[String]): Unit =
-    rels.find(_.count(_ == '/') > 1).foreach { f =>
-      sys.error(s"$op on a PARTITIONED TxTable entry ($f) is not " +
-        "supported: survivor staging is flat and would drop the " +
-        "partition column — compact/rewrite partition-aware staging " +
-        "is a declared limit")
+  /** The table's partition column, derived from its data entries
+    * (`data/<col>=<v>/…` vs flat `data/…`): None for a flat table, the
+    * single shared column for a partitioned one. A MIXED or
+    * multi-level layout fails loudly — every write path here produces
+    * exactly one level, so mixture means corruption or an unsupported
+    * hand-built layout. */
+  private[graft] def partColOf(entries: Seq[String]): Option[String] = {
+    val cols = entries.map { e =>
+      val segs = e.split("/").drop(1).dropRight(1) // between data/ and file
+      require(segs.length <= 1 && segs.forall(_.contains('=')),
+        s"unsupported nested/undeclared partition layout in entry $e")
+      segs.headOption.map(_.split("=", 2)(0))
+    }.distinct
+    require(cols.length <= 1,
+      s"mixed flat/partitioned data entries in one table: $cols")
+    cols.headOption.flatten
+  }
+
+  /** Stage rows like the table is laid out: flat via [[writeData]], or
+    * partition-preserving (each row lands under its
+    * `data/<col>=<v>/` directory) so a REWRITE of a partitioned table
+    * keeps the directory-derived column instead of flattening it away
+    * (round 18 — closes the partitioned-rewrite guard). */
+  private def writeDataLike(s: SparkSession, root: String,
+      df: DataFrame, partCol: Option[String]): Seq[String] =
+    partCol match {
+      case None => writeData(s, root, df)
+      case Some(c) => stagePartitioned(s, root, df, c)
     }
 
   /** Anti-join an addressed frame (`__tx_file`/`__tx_pos`) against the
@@ -622,12 +647,24 @@ object TxTable {
     * partitions' files with zero extra machinery). Reads re-derive the
     * partition column from the directory via Spark's partition
     * discovery (`basePath`), same as every layout-partitioned source.
-    * Honest limit: the REWRITE paths (delete/merge/compact) guard
-    * against partitioned entries — a partition-preserving rewrite needs
-    * partition-aware survivor staging, not yet built. */
+    * The rewrite paths (delete/merge/compact) re-stage survivors
+    * PARTITION-PRESERVING ([[writeDataLike]]): the basePath read
+    * carries the directory column in, `partitionBy` lays it back out,
+    * and a single-partition predicate's rewrite touches only that
+    * partition's files (LayoutSpec pins it). */
   private[graft] def appendPartitioned(s: SparkSession, root: String,
       df: DataFrame, partCol: String,
       extraProps: Map[String, String] = Map.empty): Int = {
+    val added = stagePartitioned(s, root, df, partCol)
+    commit(root, "append", _ ++ added, extraProps)
+  }
+
+  /** Partition-preserving staging core behind [[appendPartitioned]] and
+    * the rewrite paths' [[writeDataLike]]: write `partitionBy(partCol)`
+    * into a dot-dir, move each partition's files under
+    * `data/<partCol>=<v>/`, return the root-relative names. */
+  private def stagePartitioned(s: SparkSession, root: String,
+      df: DataFrame, partCol: String): Seq[String] = {
     val staging = new java.io.File(root,
       s".staging-${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").partitionBy(partCol)
@@ -647,7 +684,7 @@ object TxTable {
           }
       }.sorted
     graft.Scratch.deleteRec(staging)
-    commit(root, "append", _ ++ added, extraProps)
+    added
   }
 
   /** First commit over pre-staged files (e.g. hardlinked-in snapshots of
@@ -689,13 +726,16 @@ object TxTable {
     val affAbs = matching(snapshotCore(s, root, v0,
         mergeSchema = false, withAddress = true))
       .select(col("__tx_file").as("f")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(r => decodePath(r.getString(0))).sorted.toSeq
     if (affAbs.isEmpty) (currentVersion(root), Seq.empty)
     else {
       val affRel = affAbs.map(relOf(root, _))
-      requireUnpartitioned("rewrite-delete", affRel)
-      val rewritten = writeData(s, root,
-        surviving(readDataWithDeletes(s, root, affAbs, dvAtRead)))
+      // partition-preserving rewrite (round 18): survivors of a
+      // partitioned table re-stage under their own partition dirs (the
+      // basePath read re-derives the column, partitionBy lays it back)
+      val partCol = partColOf(dataEntries(readManifest(root, v0).files))
+      val rewritten = writeDataLike(s, root,
+        surviving(readDataWithDeletes(s, root, affAbs, dvAtRead)), partCol)
       val affSet = affRel.toSet
       val v =
         try commit(root, "delete", { prev =>
@@ -725,11 +765,15 @@ object TxTable {
     * while checking v0's set let a mid-flight DV commit make the two
     * diverge). */
   private def readDataWithDeletes(s: SparkSession, root: String,
-      absFiles: Seq[String], dvs: Seq[String]): DataFrame =
-    if (dvs.isEmpty) s.read.parquet(absFiles: _*)
+      absFiles: Seq[String], dvs: Seq[String]): DataFrame = {
+    // basePath: partitioned files re-derive their directory column, so
+    // a rewrite input carries it (inert for flat layouts)
+    val rd = s.read.option("basePath", s"$root/data")
+    if (dvs.isEmpty) rd.parquet(absFiles: _*)
     else applyDeletes(s, root,
-      withAddressCols(s.read.parquet(absFiles: _*)), dvs)
+      withAddressCols(rd.parquet(absFiles: _*)), dvs)
       .drop("__tx_file", "__tx_pos")
+  }
 
   /** Delete freshly-staged (never-listed) files after an aborted
     * commit: vacuum can only reclaim files some dropped manifest
@@ -1147,9 +1191,9 @@ object TxTable {
     val root = ensureDemoTable(s, dir, "compacttbl")
     val v0 = currentVersion(root)
     val f0 = readManifest(root, v0).files
-    val rewritten = writeData(s, root,
+    val rewritten = writeDataLike(s, root,
       snapshot(s, root, v0).repartitionByRange(4, col("o_custkey"),
-        col("o_orderkey")))
+        col("o_orderkey")), partColOf(dataEntries(f0)))
     // abort path reclaims the staged rewrite like every other write
     // path (ADVICE r17): a refused compact commit would otherwise leak
     // its never-listed files forever — vacuum can only reclaim files
@@ -1206,9 +1250,10 @@ object TxTable {
       .select(col(keyCol), col("__tx_file"))
       .localCheckpoint(true)
     val affAbs = matched.select(col("__tx_file").as("f")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    // guard BEFORE staging anything — an abort here must leak no files
-    requireUnpartitioned("merge", affAbs.map(relOf(root, _)))
+      .collect().map(r => decodePath(r.getString(0))).sorted.toSeq
+    // partition-preserving merge (round 18): rewrites AND appends of a
+    // partitioned table land under their partition dirs
+    val partCol = partColOf(dataEntries(readManifest(root, v0).files))
     val matchedKeys = matched.select(keyCol).distinct()
     // WHEN MATCHED [AND deleteWhen] THEN DELETE (VERDICT r17 item 7):
     // source rows where the clause predicate is TRUE are tombstones —
@@ -1231,7 +1276,7 @@ object TxTable {
       .select(col(keyCol), col(payloadCol).as("__tx_new"))
     val rewritten =
       if (affAbs.isEmpty) Seq.empty[String]
-      else writeData(s, root, {
+      else writeDataLike(s, root, {
         val base = readDataWithDeletes(s, root, affAbs, dvAtRead)
         val kept = delKeys.fold(base)(dk =>
           base.join(broadcast(dk), Seq(keyCol), "left_anti"))
@@ -1239,10 +1284,11 @@ object TxTable {
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
           .select(cols.map(col): _*)
-      })
+      }, partCol)
     val appended =
       if (nIns == 0) Seq.empty[String]
-      else writeData(s, root, inserts.select(cols.map(col): _*))
+      else writeDataLike(s, root, inserts.select(cols.map(col): _*),
+        partCol)
     val affRel = affAbs.map(relOf(root, _))
     val affSet = affRel.toSet
     val v =

@@ -658,7 +658,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
   test("TxTable partitioned: entries carry the partition directory, a " +
       "partition predicate plans exactly that partition's files through " +
       "the same stats mechanism, reads re-derive the column, and the " +
-      "flat-staging rewrite paths refuse partitioned entries loudly") {
+      "rewrite paths re-stage survivors partition-preserving") {
     import org.apache.spark.sql.functions._
     val root = mkTable("part")
     sources.TxTable.buildPartHistory(spark, root, sf0001)
@@ -707,23 +707,70 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .filter(col("o_orderkey") % 3 <= 1 &&
         col("o_orderpriority") === "1-URGENT" &&
         col("o_custkey") <= cut).count())
-    // rewrite paths guard: a copy-on-write delete would re-stage
-    // survivors FLAT and silently drop the partition column — it must
-    // refuse instead (declared honest limit; merge-on-read deleteVector
-    // remains the supported delete on partitioned tables)
-    val err = intercept[RuntimeException] {
-      sources.TxTable.deleteWhere(spark, root,
-        col("o_custkey") % 7 === 0): Unit
-    }
-    assert(err.getMessage.contains("PARTITIONED"),
-      s"expected the partitioned-rewrite guard, got: ${err.getMessage}")
-    // …and the DV delete path works: address-based, no file rewrite
+    // partition-preserving copy-on-write delete (round 18, closing the
+    // r18 interim guard): survivors re-stage under their OWN partition
+    // dirs, untouched partitions' files are not rewritten, and the
+    // partition column survives the rewrite
+    val preDel = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root)).files.toSet
+    val preCount = sources.TxTable.snapshot(spark, root).count()
+    val nDel = sources.TxTable.snapshot(spark, root)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") % 7 === 0).count()
+    assert(nDel > 0, "fixture must delete something")
+    val (dv1, affected) = sources.TxTable.deleteWhere(spark, root,
+      col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 7 === 0)
+    assert(affected.nonEmpty &&
+      affected.forall(_.startsWith(urgent)),
+      s"a single-partition delete touched other partitions: $affected")
+    val postM = sources.TxTable.readManifest(root, dv1)
+    val postData = sources.TxTable.dataEntries(postM.files)
+    assert(postData.forall(
+      _.matches("data/o_orderpriority=[^/]+/part-.*\\.parquet")),
+      s"a rewrite flattened partitioned entries: $postData")
+    // untouched partitions' entries carried verbatim
+    assert((preDel -- postM.files.toSet).forall(_.startsWith(urgent)),
+      "a non-URGENT file changed under a URGENT-only delete")
+    val post = sources.TxTable.snapshot(spark, root)
+    assert(post.count() == preCount - nDel)
+    assert(post.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_custkey") % 7 === 0).count() == 0)
+    // rewritten files still carry partition stats → still prune exactly
+    val (keptPost, allPost) = sources.TxTable.pruneDataFiles(postM,
+      col("o_orderpriority") === "1-URGENT")
+    assert(keptPost.nonEmpty &&
+      keptPost.size == allPost.count(_.startsWith(urgent)))
+    // …and the DV delete path also works: address-based, no rewrite
     val (dvv, dvFiles) = sources.TxTable.deleteVector(spark, root,
       col("o_custkey") % 7 === 0)
     assert(dvFiles.nonEmpty)
     assert(sources.TxTable.snapshot(spark, root, dvv)
       .filter(col("o_custkey") % 7 === 0).count() == 0,
       "DV delete on a partitioned table did not apply")
+    // MERGE on a partitioned table (under the live DVs): rewrites AND
+    // appends land under partition dirs in one commit
+    val curSnap = sources.TxTable.snapshot(spark, root)
+    val mSrc = curSnap.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(9.75))
+      .unionByName(Tables.orders(spark, sf0001)
+        .filter(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(9.75).as("o_totalprice"), col("o_orderpriority")))
+    val (mv, mAff, mIns) = sources.TxTable.mergeCommit(spark, root,
+      mSrc, "o_orderkey", "o_totalprice")
+    assert(mIns > 0 && mAff.nonEmpty,
+      s"partitioned merge must exercise both paths ($mAff, $mIns)")
+    val mData = sources.TxTable.dataEntries(
+      sources.TxTable.readManifest(root, mv).files)
+    assert(mData.forall(
+      _.matches("data/o_orderpriority=[^/]+/part-.*\\.parquet")),
+      s"merge flattened partitioned entries")
+    val merged = sources.TxTable.snapshot(spark, root, mv)
+    assert(merged.filter(col("o_orderkey") % 5 === 0 &&
+      col("o_totalprice") =!= 9.75).count() == 0,
+      "a matched partitioned row did not take the merge payload")
+    assert(merged.filter(col("o_orderpriority").isNull).count() == 0,
+      "a merged row lost its partition value")
   }
 
   test("TxTable: MERGE WHEN MATCHED DELETE — update + insert + expiry " +
