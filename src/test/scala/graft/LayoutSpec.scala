@@ -773,6 +773,111 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       "a merged row lost its partition value")
   }
 
+  test("TxTable column mapping: rename and drop are metadata-only " +
+      "commits, time travel keeps per-version names, a re-added column " +
+      "never resurrects dropped data, rewrites shed dropped columns " +
+      "physically, and stats pruning works through the rename") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("colmap")
+    sources.TxTable.appendDemoLoads(spark, root, sf0001) // v1, v2
+    val v2Files = sources.TxTable.readManifest(root, 2).files
+    val v2Mtimes = sources.TxTable.dataEntries(v2Files)
+      .map(f => f -> new java.io.File(root, f).lastModified()).toMap
+    // v3: RENAME o_custkey -> owner_id — zero data movement
+    val v3 = sources.TxTable.renameColumn(spark, root,
+      "o_custkey", "owner_id")
+    assert(sources.TxTable.readManifest(root, v3).files == v2Files,
+      "rename must republish the parent's file list verbatim")
+    assert(v2Mtimes.forall { case (f, t) =>
+      new java.io.File(root, f).lastModified() == t },
+      "rename touched a data file")
+    assert(sources.TxTable.snapshot(spark, root).columns.toSeq ==
+      Seq("o_orderkey", "owner_id", "o_totalprice"))
+    // time travel: the pinned pre-rename snapshot keeps old names
+    assert(sources.TxTable.snapshot(spark, root, 2).columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    // renaming onto an existing name fails loudly
+    intercept[IllegalArgumentException] {
+      sources.TxTable.renameColumn(spark, root,
+        "o_orderkey", "owner_id"): Unit
+    }
+    // v4: an append SPEAKING the new schema stages under the physical
+    // name (one uniform file schema — no mergeSchema needed)
+    sources.TxTable.append(spark, root,
+      Tables.orders(spark, sf0001).filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_custkey").as("owner_id"),
+          col("o_totalprice"))): Unit
+    val v4files = sources.TxTable.dataEntries(
+      sources.TxTable.readManifest(root, 4).files)
+    val newFile = (v4files.toSet --
+      sources.TxTable.dataEntries(v2Files).toSet).head
+    assert(spark.read.parquet(s"$root/$newFile").columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      "a post-rename append must stage under PHYSICAL names")
+    // stats pruning translates the renamed predicate name
+    val cut = Tables.orders(spark, sf0001)
+      .agg(max("o_custkey")).head().getAs[Number](0).longValue / 10
+    val m4 = sources.TxTable.readManifest(root, 4)
+    val (kept, all) = sources.TxTable.pruneDataFiles(m4,
+      col("owner_id") <= cut)
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"pruning through the rename planned ${kept.size}/${all.size}")
+    assert(sources.TxTable.snapshotWhere(spark, root,
+        col("owner_id") <= cut).count() ==
+      sources.TxTable.snapshot(spark, root)
+        .filter(col("owner_id") <= cut).count())
+    // v5: DROP o_totalprice — metadata-only, old snapshots unaffected
+    val v5 = sources.TxTable.dropColumn(spark, root, "o_totalprice")
+    assert(sources.TxTable.readManifest(root, v5).files ==
+      sources.TxTable.readManifest(root, 4).files)
+    assert(sources.TxTable.snapshot(spark, root).columns.toSeq ==
+      Seq("o_orderkey", "owner_id"))
+    assert(sources.TxTable.snapshot(spark, root, 4).columns
+      .contains("o_totalprice"),
+      "a pinned pre-drop snapshot must still read the dropped column")
+    // v6: RE-ADD a logical o_totalprice — fresh physical name, the
+    // dropped data must NOT resurrect
+    sources.TxTable.append(spark, root,
+      spark.range(1).select(lit(-1L).as("o_orderkey"),
+        lit(-1L).as("owner_id"), lit(123.25).as("o_totalprice"))): Unit
+    val mergedSnap = sources.TxTable.snapshot(spark, root,
+      mergeSchema = true)
+    val readded = mergedSnap.filter(col("o_totalprice").isNotNull)
+    assert(readded.count() == 1 &&
+      readded.select("o_totalprice").head().getDouble(0) == 123.25,
+      "the re-added column must carry ONLY the new commit's data — " +
+        "old dropped values must stay invisible")
+    // the new file's PHYSICAL schema uses the tombstone-avoiding name
+    val v6 = sources.TxTable.currentVersion(root)
+    val v6new = (sources.TxTable.dataEntries(
+        sources.TxTable.readManifest(root, v6).files).toSet --
+      sources.TxTable.dataEntries(
+        sources.TxTable.readManifest(root, v5).files).toSet).head
+    assert(spark.read.parquet(s"$root/$v6new").columns
+      .exists(_.startsWith("o_totalprice__r")),
+      "a re-added dropped column must write under a fresh physical name")
+    // v7: a rewrite DELETE sheds the dropped column physically
+    val (v7, aff) = sources.TxTable.deleteWhere(spark, root,
+      col("owner_id") % 13 === 0)
+    assert(aff.nonEmpty)
+    val v7new = (sources.TxTable.dataEntries(
+        sources.TxTable.readManifest(root, v7).files).toSet --
+      sources.TxTable.dataEntries(
+        sources.TxTable.readManifest(root, v6).files).toSet)
+    assert(v7new.nonEmpty)
+    // rewritten files: logical names back under physical mapping — the
+    // dropped physical o_totalprice is GONE from their footers
+    v7new.foreach { f =>
+      val cols = spark.read.parquet(s"$root/$f").columns.toSeq
+      assert(!cols.contains("o_totalprice"),
+        s"a rewrite republished the dropped physical column in $f")
+      assert(cols.contains("o_custkey"),
+        s"the renamed column must still stage physical in $f: $cols")
+    }
+    assert(sources.TxTable.snapshot(spark, root)
+      .filter(col("owner_id") % 13 === 0).count() == 0)
+  }
+
   test("TxTable: MERGE WHEN MATCHED DELETE — update + insert + expiry " +
       "land in ONE atomic commit, re-merge is idempotent, and CDC emits " +
       "update post-images for merge-rewritten keys") {
