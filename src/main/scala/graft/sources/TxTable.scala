@@ -481,9 +481,14 @@ object TxTable {
   // read-schema override vanilla `spark.read.parquet` can't express —
   // a format's own reader mediates it).
 
-  /** Manifest props that carry column-mapping state (inherited across
-    * commits by [[commit]]). */
-  private val ColMapProps: Set[String] = Set("colmap", "colmapdrop")
+  /** Manifest props that carry TABLE STATE rather than per-commit
+    * metadata, inherited across commits by [[commit]]: the column
+    * mapping, and the streaming sink's high-water batch id
+    * ([[commitBatch]] — carrying it forward makes the replay check O(1)
+    * and vacuum-proof instead of an O(versions) scan over retained
+    * manifests). */
+  private val ColMapProps: Set[String] =
+    Set("colmap", "colmapdrop", "lastbatch")
 
   /** (logical → physical) renames + dropped PHYSICAL names. Columns
     * absent from `renames` are identity-mapped. */
@@ -494,7 +499,7 @@ object TxTable {
       renames.map { case (l, p) => p -> l }.toMap
   }
 
-  private def colMapOf(m: Manifest): Option[ColMapping] = {
+  private[graft] def colMapOf(m: Manifest): Option[ColMapping] = {
     val renames = m.props.get("colmap").toSeq
       .flatMap(_.split(",").filter(_.nonEmpty).map { e =>
         val Array(l, p) = e.split(":", 2); (l, p)
@@ -1087,26 +1092,41 @@ object TxTable {
     * log recorded it) finds its id already in the log and becomes a
     * no-op — zero new files, zero new versions. Together with the
     * checkpoint's offset log this closes the sink half of the
-    * exactly-once contract (StreamingSpec). The id scan is O(versions)
-    * here; a table format stores the latest txn id per writer in its
-    * checkpoint — same protocol, indexed. Structured Streaming runs ONE
-    * active query per checkpoint, so the check-then-commit pair has a
-    * single writer per batch id by construction.
-    *
-    * Retention contract: the replay check can only see RETAINED
-    * manifests, so [[vacuum]]'s `retain` must exceed the stream's replay
-    * horizon (the number of batches a restart can re-deliver — with
-    * Structured Streaming's commit log, one). Pruning the manifest that
-    * carried batch=K re-opens the double-append window for K — the same
-    * bound Delta places on its per-writer txn retention vs
-    * `setTransaction` idempotence. */
+    * exactly-once contract (StreamingSpec). The replay check reads the
+    * HIGH-WATER batch id from the current manifest's inherited
+    * `lastbatch` prop — O(1), and vacuum-proof because the prop carries
+    * forward even after the manifest that committed batch K is pruned
+    * (this retires the r17 retention caveat for the prop-based path;
+    * Delta's per-writer `txn` action plays the same role). Structured
+    * Streaming runs ONE active query per checkpoint and delivers batch
+    * ids monotonically, so the check-then-commit pair has a single
+    * writer and replayed == not-above-high-water by construction. An
+    * O(versions) scan over `batch=` props remains as the fallback for
+    * tables whose manifests predate the prop. */
   private[graft] def commitBatch(s: SparkSession, root: String,
       batchId: Long, df: DataFrame): Boolean = {
-    val seen = versions(root).exists(v =>
-      readManifest(root, v).props.get("batch").contains(batchId.toString))
+    // O(1) replay check (round 18, closing the documented O(versions)
+    // scan): the high-water batch id rides the inherited `lastbatch`
+    // prop, surviving vacuum — which also retires the retention-window
+    // caveat for the PROP-based path (the scan fallback covers tables
+    // whose manifests predate the prop). Structured Streaming delivers
+    // batch ids monotonically per checkpoint (single writer per
+    // checkpoint by construction), so replayed == not above the
+    // high-water mark.
+    val cur = currentVersion(root)
+    val lastBatch =
+      if (cur == 0) None
+      else readManifest(root, cur).props.get("lastbatch").map(_.toLong)
+    val seen = lastBatch match {
+      case Some(hw) => batchId <= hw
+      case None => versions(root).exists(v =>
+        readManifest(root, v).props.get("batch").contains(batchId.toString))
+    }
     if (seen) false
     else {
-      append(s, root, df, Map("batch" -> batchId.toString)): Unit
+      append(s, root, df, Map("batch" -> batchId.toString,
+        "lastbatch" -> math.max(batchId,
+          lastBatch.getOrElse(Long.MinValue)).toString)): Unit
       true
     }
   }

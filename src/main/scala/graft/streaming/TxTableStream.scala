@@ -246,11 +246,23 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
       } else {
         (cur -- prev).toSeq.sorted
           .filter(_.startsWith("data/")) // never stream delete files
-          .foreach(f => out += TxFilePartition(v, s"$root/$f"))
+          .foreach(f => out += TxFilePartition(v, s"$root/$f", headMap))
       }
       prev = cur
     }
     out.result()
+  }
+
+  /** The BATCH-END version's column mapping, applied to every file in
+    * the batch: a consumer declares the head's LOGICAL schema, so a
+    * pre-rename commit's file must resolve those names against its own
+    * physical columns through the newest mapping — the Delta
+    * column-mapping streaming contract (per-commit mappings would
+    * surface renamed-era names inconsistently mid-stream). */
+  private lazy val headMap: Map[String, String] = {
+    val vs = TxTable.versions(root)
+    vs.lastOption.map(v => TxTable.colMapOf(TxTable.readManifest(root, v))
+      .map(_.logToPhys).getOrElse(Map.empty)).getOrElse(Map.empty)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -264,8 +276,8 @@ private[streaming] object TxTableMicroBatchStream {
   val ChangeOps: Set[String] = Set("rollback", "delete-dv")
 }
 
-private[streaming] case class TxFilePartition(version: Int, path: String)
-    extends InputPartition
+private[streaming] case class TxFilePartition(version: Int, path: String,
+    logToPhys: Map[String, String] = Map.empty) extends InputPartition
 
 private[streaming] case class TxTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -306,8 +318,12 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
     } finally rd.close()
   }
   private val declared = schema.fields.filter(_.name != "_commit_version")
+  // declared names are LOGICAL; files carry PHYSICAL columns — resolve
+  // through the commit's column mapping (identity when unmapped)
+  private def physOf(logical: String): String =
+    part.logToPhys.getOrElse(logical, logical)
   private val present: Seq[String] =
-    fileFields.filter(declared.map(_.name).toSet)
+    fileFields.filter(declared.map(f => physOf(f.name)).toSet)
   private val presentIdx: Map[String, Int] = present.zipWithIndex.toMap
 
   // a PARTITIONED table's entries live under data/<col>=<v>/…: the
@@ -319,9 +335,12 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
       val Array(k, v) = seg.split("=", 2)
       k -> v
     }.toMap.collect {
-      case (k, v) if declared.exists(_.name == k) =>
-        val dt = declared.find(_.name == k).get.dataType
-        k -> (dt match {
+      // the path segment carries the PHYSICAL name; key the map by the
+      // declared LOGICAL name it resolves to
+      case (k, v) if declared.exists(f => physOf(f.name) == k) =>
+        val lf = declared.find(f => physOf(f.name) == k).get
+        val dt = lf.dataType
+        lf.name -> (dt match {
           case IntegerType => java.lang.Integer.valueOf(v.toInt)
           case LongType => java.lang.Long.valueOf(v.toLong)
           case DoubleType => java.lang.Double.valueOf(v.toDouble)
@@ -356,7 +375,7 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
           s"txtable streaming reader: _commit_version must be declared " +
             s"int or bigint, got $dt")
       }
-      else presentIdx.get(f.name) match {
+      else presentIdx.get(physOf(f.name)) match {
         case None => partValues.getOrElse(f.name, null) // partition dir value, or pre-evolution file
         case Some(i) if row.isNullAt(i) => null // NULL cell
         case Some(i) => f.dataType match {

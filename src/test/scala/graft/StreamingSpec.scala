@@ -481,6 +481,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView(qn): Unit
   }
 
+  test("txtable streaming SOURCE: a RENAMED table streams under its " +
+      "logical schema — declared names resolve to the files' physical " +
+      "columns through the commit's column mapping") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_cm")
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark, root,
+      spark.range(0, 10).select(col("id").as("k"),
+        (col("id") * 2.0).as("v")).repartition(1)): Unit // v1: physical (k, v)
+    sources.TxTable.renameColumn(spark, root, "v", "val"): Unit // v2
+    // v3: an append SPEAKING the new schema (stages physical `v`)
+    sources.TxTable.append(spark, root,
+      spark.range(10, 20).select(col("id").as("k"),
+        (col("id") * 2.0).as("val")).repartition(1)): Unit
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("val", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val qn = "txsrc_cm"
+    val q = spark.readStream.format("txtable").schema(sch).load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn).collect()
+    assert(got.length == 20)
+    // the logical `val` column must be populated for BOTH the
+    // pre-rename commit's file and the post-rename one — a reader
+    // ignorant of the mapping would NULL-backfill all of them
+    assert(got.forall(r => !r.isNullAt(1) &&
+      r.getDouble(1) == r.getLong(0) * 2.0),
+      "the renamed column did not resolve through the mapping")
+    spark.catalog.dropTempView(qn): Unit
+  }
+
   test("txtable streaming SOURCE: a rollback commit re-adding " +
       "already-streamed files is a CHANGE commit (op-classified), " +
       "never a silent replay") {
