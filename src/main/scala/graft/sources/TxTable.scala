@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StructType}
 import graft.{Q, Tables}
 
 /** Native transactional table layer (round 17, VERDICT r16 item 1): a
@@ -393,21 +395,31 @@ object TxTable {
     val m = readManifest(root, v)
     val data = dataEntries(m.files)
     val dvs = deleteEntries(m.files)
+    // schema-tracking manifests (round 18): the manifest IS the schema —
+    // O(1) planning instead of a per-file footer union, and the declared
+    // (possibly promotion-widened) types drive the scan, with narrow
+    // physical pages read-widened by the vectorized reader
+    val declared = schemaOf(m)
     if (data.isEmpty) {
-      // schema donor: nearest version AT-OR-BEFORE v first (descending),
-      // so a pinned historical empty snapshot can never borrow columns a
+      // schema donor: THIS manifest's tracked schema when present;
+      // otherwise nearest version AT-OR-BEFORE v first (descending), so
+      // a pinned historical empty snapshot can never borrow columns a
       // LATER schema-evolved commit added (ADVICE r17); later versions
       // are the fallback only when every earlier schema-bearing manifest
       // was vacuumed away
-      val vs = versions(root)
-      val donorOrder = vs.filter(_ <= v).sorted.reverse ++
-        vs.filter(_ > v).sorted
-      val donor = donorOrder
-        .map(readManifest(root, _)).find(dm => dataEntries(dm.files).nonEmpty)
-        .getOrElse(sys.error(s"snapshot v$v of $root is empty and no " +
-          "retained version carries a schema-bearing file"))
-      val schema = s.read.option("basePath", s"$root/data")
-        .parquet(dataEntries(donor.files).map(f => s"$root/$f"): _*).schema
+      val schema = declared.getOrElse {
+        val vs = versions(root)
+        val donorOrder = vs.filter(_ <= v).sorted.reverse ++
+          vs.filter(_ > v).sorted
+        val donor = donorOrder
+          .map(readManifest(root, _))
+          .find(dm => dataEntries(dm.files).nonEmpty)
+          .getOrElse(sys.error(s"snapshot v$v of $root is empty and no " +
+            "retained version carries a schema-bearing file"))
+        s.read.option("basePath", s"$root/data")
+          .parquet(dataEntries(donor.files).map(f => s"$root/$f"): _*)
+          .schema
+      }
       val empty = applyColMap(s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema), colMapOf(m))
@@ -420,9 +432,13 @@ object TxTable {
       // for flat layouts the option is inert. The colmap of THIS
       // manifest maps physical file columns to the version's logical
       // names — time travel across a rename for free.
-      val raw = s.read.option("mergeSchema", mergeSchema)
-        .option("basePath", s"$root/data")
-        .parquet(data.map(f => s"$root/$f"): _*)
+      val rd0 = s.read.option("basePath", s"$root/data")
+      val raw = declared match {
+        case Some(st) => rd0.schema(st)
+          .parquet(data.map(f => s"$root/$f"): _*)
+        case None => rd0.option("mergeSchema", mergeSchema)
+          .parquet(data.map(f => s"$root/$f"): _*)
+      }
       val cm = colMapOf(m)
       if (dvs.isEmpty && !withAddress) applyColMap(raw, cm)
       else {
@@ -488,7 +504,7 @@ object TxTable {
     * and vacuum-proof instead of an O(versions) scan over retained
     * manifests). */
   private val ColMapProps: Set[String] =
-    Set("colmap", "colmapdrop", "lastbatch")
+    Set("colmap", "colmapdrop", "lastbatch", "tblschema")
 
   /** (logical → physical) renames + dropped PHYSICAL names. Columns
     * absent from `renames` are identity-mapped. */
@@ -599,6 +615,137 @@ object TxTable {
         s"concurrent commit during drop at $root — retry on the new head")
       prev
     }, encodeColMapProps(cm2))
+  }
+
+  // --- schema tracking + type promotion (round 18) --------------------
+  //
+  // The table's PHYSICAL schema rides the manifest as an inherited
+  // `tblschema` prop (base64-encoded StructType JSON — prop values are
+  // whitespace-delimited tokens, and base64 contains none). This is the
+  // Delta `metaData`-action / Iceberg table-schema discipline, and it
+  // closes three honest limits the footer-derived read path declared:
+  //  1. schema evolution on read no longer pays a planning-time footer
+  //     union per file — the manifest IS the schema (O(1) planning);
+  //  2. an EMPTY table all of whose schema-bearing ancestors were
+  //     vacuumed stays readable (the schema never lived only in
+  //     footers);
+  //  3. TYPE PROMOTION (int→bigint, float→double) is a metadata-only
+  //     commit: the declared schema widens, old files keep their narrow
+  //     physical type and read-widen through Spark's vectorized parquet
+  //     reader (requested LongType over an int32 page decodes widened —
+  //     the reader capability Delta's type-widening feature rides), and
+  //     post-promotion appends write the wide type natively.
+  // Tables whose history predates the prop (or whose files were staged
+  // outside [[append]], e.g. [[commitInit]]) keep the legacy
+  // footer-derived read path — the prop only ever attaches at v1 or
+  // inherits forward, so it can never claim LESS schema than the files
+  // hold.
+
+  private[graft] def schemaOf(m: Manifest): Option[StructType] =
+    m.props.get("tblschema").map(j =>
+      DataType.fromJson(b64d(j)).asInstanceOf[StructType])
+
+  private def encodeSchemaProp(st: StructType): Map[String, String] =
+    Map("tblschema" -> b64e(st.json))
+
+  /** Is `from` → `to` a legal widening? Same numeric family only, the
+    * Iceberg/Delta type-promotion lattice: integrals widen toward
+    * bigint, fractionals toward double. Cross-family (int→double)
+    * changes value semantics and is refused. */
+  private[graft] def promotable(from: DataType, to: DataType): Boolean = {
+    val intRank: Map[DataType, Int] =
+      Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    val fracRank: Map[DataType, Int] = Map(FloatType -> 0, DoubleType -> 1)
+    def widens(r: Map[DataType, Int]) =
+      r.get(from).zip(r.get(to)).exists { case (a, b) => a < b }
+    widens(intRank) || widens(fracRank)
+  }
+
+  /** Merge an incoming append's physical schema into the recorded table
+    * schema: new columns add (evolution), matching columns must agree —
+    * a NARROWER incoming type is fine (the write casts up to the
+    * declared type, so files stay uniform going forward), a WIDER one
+    * fails loudly pointing at [[promoteColumnType]] (the Iceberg
+    * ALTER-before-write contract: silent drift would change the type
+    * under pinned readers). */
+  private def mergeTblSchema(cur: StructType, inc: StructType)
+      : StructType = {
+    val curNames = cur.fieldNames.toSet
+    val merged = cur.fields.map { f =>
+      inc.fields.find(_.name == f.name) match {
+        case None => f
+        case Some(g) if g.dataType == f.dataType => f
+        case Some(g) if promotable(g.dataType, f.dataType) => f
+        case Some(g) if promotable(f.dataType, g.dataType) => sys.error(
+          s"append widens column '${f.name}' from ${f.dataType.sql} to " +
+            s"${g.dataType.sql}: promote the declared type first " +
+            "(promoteColumnType), so the widening is a visible commit")
+        case Some(g) => sys.error(
+          s"append changes column '${f.name}' type incompatibly: " +
+            s"declared ${f.dataType.sql}, incoming ${g.dataType.sql}")
+      }
+    } ++ inc.fields.filterNot(g => curNames.contains(g.name))
+    StructType(merged.map(f => f.copy(metadata =
+      org.apache.spark.sql.types.Metadata.empty, nullable = true)))
+  }
+
+  /** Attach/advance the `tblschema` prop for an append of physical
+    * frame `phys` on top of version `v`: returns the frame with
+    * narrower-than-declared numeric columns cast UP (files stay
+    * uniform) and the schema props to commit. A v>0 parent WITHOUT the
+    * prop (pre-prop history or externally staged files) stays legacy —
+    * attaching mid-history could claim less schema than old files
+    * hold. */
+  private def withTblSchema(root: String, v: Int, phys: DataFrame)
+      : (DataFrame, Map[String, String]) = {
+    val parent = if (v == 0) None else Some(readManifest(root, v))
+    val cur = parent.flatMap(schemaOf)
+    (parent, cur) match {
+      case (Some(_), None) => (phys, Map.empty) // legacy table: stay legacy
+      case (None, _) =>
+        (phys, encodeSchemaProp(mergeTblSchema(
+          StructType(Nil), phys.schema)))
+      case (Some(_), Some(c)) =>
+        val merged = mergeTblSchema(c, phys.schema)
+        val cast = phys.select(phys.columns.toSeq.map { cn =>
+          val tgt = merged(cn).dataType
+          if (phys.schema(cn).dataType == tgt) col(cn)
+          else col(cn).cast(tgt).as(cn)
+        }: _*)
+        (cast, encodeSchemaProp(merged))
+    }
+  }
+
+  /** ALTER COLUMN TYPE as an O(1) metadata-only commit: the declared
+    * schema widens (int→bigint, float→double — [[promotable]]), zero
+    * data files are touched, existing narrow files read-widened from
+    * this version forward while a pinned pre-promotion snapshot keeps
+    * the narrow type (its manifest carries the old schema). `logical`
+    * is the user-visible name; the schema stores physical names, so it
+    * resolves through the column mapping. */
+  private[graft] def promoteColumnType(s: SparkSession, root: String,
+      logical: String, target: String): Int = {
+    val v = currentVersion(root)
+    val m = readManifest(root, v)
+    val cur = schemaOf(m).getOrElse(sys.error(
+      s"type promotion needs schema-tracking metadata at $root " +
+        "(table predates tblschema or was staged externally)"))
+    val phys = colMapOf(m).flatMap(_.logToPhys.get(logical))
+      .getOrElse(logical)
+    require(cur.fieldNames.contains(phys),
+      s"no such column '$logical' (physical '$phys') in " +
+        cur.fieldNames.mkString("[", ", ", "]"))
+    val tgt = DataType.fromDDL(target)
+    val from = cur(phys).dataType
+    require(promotable(from, tgt),
+      s"illegal type change ${from.sql} -> ${tgt.sql}: only widening " +
+        "within one numeric family (int→bigint, float→double)")
+    commit(root, "promote", { prev =>
+      require(prev == m.files,
+        s"concurrent commit during type promotion at $root — retry")
+      prev
+    }, encodeSchemaProp(StructType(cur.fields.map(f =>
+      if (f.name == phys) f.copy(dataType = tgt) else f))))
   }
 
   /** The table's partition column, derived from its data entries
@@ -825,8 +972,13 @@ object TxTable {
           if (fresh.isEmpty) Map.empty[String, String]
           else encodeColMapProps(m2))
     }
-    val added = writeData(s, root, phys)
-    commit(root, "append", _ ++ added, extraProps ++ cmProps)
+    // schema tracking: merge this append's physical schema into the
+    // recorded table schema (adds evolve, narrower numerics cast up,
+    // wider ones fail loudly pointing at promoteColumnType)
+    val (physCast, schemaProps) = withTblSchema(root, v, phys)
+    val added = writeData(s, root, physCast)
+    commit(root, "append", _ ++ added,
+      extraProps ++ cmProps ++ schemaProps)
   }
 
   /** Append commit of a PARTITIONED drop (round 18, VERDICT r17 item
@@ -848,8 +1000,10 @@ object TxTable {
     val v = currentVersion(root)
     val cm = if (v == 0) None else colMapOf(readManifest(root, v))
     val physPart = cm.flatMap(_.logToPhys.get(partCol)).getOrElse(partCol)
-    val added = stagePartitioned(s, root, toPhysical(df, cm), physPart)
-    commit(root, "append", _ ++ added, extraProps)
+    val (physCast, schemaProps) =
+      withTblSchema(root, v, toPhysical(df, cm))
+    val added = stagePartitioned(s, root, physCast, physPart)
+    commit(root, "append", _ ++ added, extraProps ++ schemaProps)
   }
 
   /** Partition-preserving staging core behind [[appendPartitioned]] and
@@ -1760,7 +1914,55 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
+  /** Four-commit PROMOTED history for [[qTableTypePromotion]]: v1 =
+    * day-1 load carrying a 32-bit `units` counter (int) and a `rating`
+    * float, v2/v3 = the O(1) promote commits (units → bigint, rating →
+    * double), v4 = a day-2 ingest whose units overflow 32 bits — legal
+    * only AFTER the promotion (an un-promoted widening append fails
+    * loudly, LayoutSpec). */
+  private[graft] def buildPromoHistory(s: SparkSession, root: String,
+      dir: String): Unit = {
+    init(root)
+    val orders = Tables.orders(s, dir)
+    append(s, root, ownerClustered(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 100000).cast("int").as("units"),
+          (col("o_orderkey") % 7).cast("float").as("rating")))): Unit
+    promoteColumnType(s, root, "units", "bigint"): Unit
+    promoteColumnType(s, root, "rating", "double"): Unit
+    append(s, root, ownerClustered(
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 100000 + lit(10000000000L)).as("units"),
+          ((col("o_orderkey") % 7).cast("double") + lit(0.25))
+            .as("rating")))): Unit
+  }
+
+  /** q_table_type_promotion — ALTER COLUMN TYPE as a metadata-only
+    * commit (round 18, closing the last declared schema-evolution
+    * limit): the manifest's tracked schema widens (int→bigint,
+    * float→double), zero data files are rewritten, pre-promotion files
+    * keep their narrow physical pages and READ-WIDENED through the
+    * vectorized parquet reader (the capability Delta's type-widening
+    * feature rides), and post-promotion appends may carry values a
+    * 32-bit column could never hold. A pinned pre-promotion snapshot
+    * keeps the narrow types (its manifest carries the old schema —
+    * time travel across a type change), and an UN-promoted widening
+    * append fails loudly (the Iceberg ALTER-before-write contract).
+    * Oracle: recompute of both eras with the era's arithmetic, read
+    * under the widened types. LayoutSpec pins the structural halves;
+    * StreamingSpec pins that the DSv2 source widens the narrow files'
+    * pages too. */
+  def qTableTypePromotion(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "promotbl", buildPromoHistory)
+    snapshot(s, root)
+      .select("o_orderkey", "o_custkey", "units", "rating")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_type_promotion" -> (qTableTypePromotion _),
     "q_table_column_mapping" -> (qTableColumnMapping _),
     "q_table_skipping" -> (qTableSkipping _),
     "q_table_partitioned" -> (qTablePartitioned _),
@@ -1775,6 +1977,17 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_type_promotion" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderkey % 100000 AS BIGINT) AS units,
+        |  CAST(o_orderkey % 7 AS DOUBLE) AS rating
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |  o_orderkey % 100000 + 10000000000 AS units,
+        |  CAST(o_orderkey % 7 AS DOUBLE) + 0.25 AS rating
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_column_mapping" ->
       """SELECT o_orderkey, o_custkey AS owner_id FROM orders
         |WHERE o_orderkey % 3 IN (0, 1, 2)

@@ -306,17 +306,27 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
   // footer read: which declared fields does THIS file carry, in file
-  // order (the projection order the vectorized reader will emit)
-  private val fileFields: Seq[String] = {
+  // order (the projection order the vectorized reader will emit), plus
+  // each one's PHYSICAL primitive type — a type-promoted table's older
+  // files carry the narrow pre-promotion type (int32 under a declared
+  // bigint, float under a declared double) and must extract through the
+  // narrow getter, widened here (the format-reader mediation type
+  // promotion requires)
+  private val fileSchema: Seq[(String, String)] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(part.path),
       new org.apache.hadoop.conf.Configuration())
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
-      rd.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      rd.getFileMetaData.getSchema.getFields.asScala.map { f =>
+        f.getName -> (if (f.isPrimitive)
+          f.asPrimitiveType().getPrimitiveTypeName.name else "group")
+      }.toSeq
     } finally rd.close()
   }
+  private val fileFields: Seq[String] = fileSchema.map(_._1)
+  private val filePrimTypes: Map[String, String] = fileSchema.toMap
   private val declared = schema.fields.filter(_.name != "_commit_version")
   // declared names are LOGICAL; files carry PHYSICAL columns — resolve
   // through the commit's column mapping (identity when unmapped)
@@ -378,14 +388,24 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
       else presentIdx.get(physOf(f.name)) match {
         case None => partValues.getOrElse(f.name, null) // partition dir value, or pre-evolution file
         case Some(i) if row.isNullAt(i) => null // NULL cell
-        case Some(i) => f.dataType match {
-          case LongType => java.lang.Long.valueOf(row.getLong(i))
-          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
-          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-          case StringType => row.getUTF8String(i).copy()
-          case dt => sys.error(
+        case Some(i) => (f.dataType, filePrimTypes(physOf(f.name))) match {
+          // type promotion: a pre-promotion file's narrow physical page
+          // extracts through the NARROW getter and widens here —
+          // reading the wide getter over a narrow vector is undefined
+          case (LongType, "INT32") =>
+            java.lang.Long.valueOf(row.getInt(i).toLong)
+          case (DoubleType, "FLOAT") =>
+            java.lang.Double.valueOf(row.getFloat(i).toDouble)
+          case (LongType, _) => java.lang.Long.valueOf(row.getLong(i))
+          case (IntegerType, _) =>
+            java.lang.Integer.valueOf(row.getInt(i))
+          case (DoubleType, _) =>
+            java.lang.Double.valueOf(row.getDouble(i))
+          case (FloatType, _) => java.lang.Float.valueOf(row.getFloat(i))
+          case (BooleanType, _) =>
+            java.lang.Boolean.valueOf(row.getBoolean(i))
+          case (StringType, _) => row.getUTF8String(i).copy()
+          case (dt, _) => sys.error(
             s"txtable streaming reader: unsupported field type $dt " +
               s"for ${f.name} (supported: long/int/double/float/" +
               "boolean/string)")

@@ -944,4 +944,91 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       "re-merging the same batch changed the table state")
     live.unpersist(); after.unpersist(): Unit
   }
+
+  test("TxTable type promotion: ALTER COLUMN TYPE is metadata-only, " +
+      "pinned pre-promotion snapshots keep the narrow types, an " +
+      "un-promoted widening append fails loudly, and a narrower " +
+      "post-promotion append casts up at the write boundary") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = mkTable("promo")
+    sources.TxTable.buildPromoHistory(spark, root, sf0001)
+    // the two promote commits are metadata-only: same file list as v1,
+    // zero data files created
+    val f1 = sources.TxTable.readManifest(root, 1).files
+    assert(sources.TxTable.readManifest(root, 2).files == f1 &&
+      sources.TxTable.readManifest(root, 3).files == f1,
+      "a promote commit touched data files")
+    // time travel ACROSS the type change: v1 keeps int/float, the
+    // current schema is bigint/double
+    val s1 = sources.TxTable.snapshot(spark, root, 1).schema
+    assert(s1("units").dataType == IntegerType &&
+      s1("rating").dataType == FloatType,
+      s"pre-promotion snapshot widened: $s1")
+    val cur = sources.TxTable.snapshot(spark, root)
+    assert(cur.schema("units").dataType == LongType &&
+      cur.schema("rating").dataType == DoubleType,
+      s"promotion did not widen the current schema: ${cur.schema}")
+    // era-1's narrow physical pages read back widened and EXACT
+    val era1 = cur.filter(col("o_orderkey") % 3 === 0)
+    assert(era1.count() > 0 &&
+      era1.filter(col("units") =!= col("o_orderkey") % 100000)
+        .count() == 0,
+      "read-widened era-1 values drifted")
+    // era-2 rows exceed 32 bits — representable only post-promotion
+    assert(cur.filter(col("units") > Int.MaxValue.toLong).count() ==
+      cur.filter(col("o_orderkey") % 3 === 1).count())
+    // the Iceberg ALTER-before-write contract: an un-promoted widening
+    // append fails loudly instead of silently drifting the type
+    val root2 = mkTable("promo_strict")
+    sources.TxTable.append(spark, root2,
+      Tables.orders(spark, sf0001).limit(100)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 10).cast("int").as("units"))): Unit
+    val e = intercept[RuntimeException] {
+      sources.TxTable.append(spark, root2,
+        Tables.orders(spark, sf0001).limit(100)
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 10).as("units"))): Unit
+    }
+    assert(e.getMessage.contains("promote"), e.getMessage)
+    // a NARROWER append after promotion casts up at the write boundary,
+    // so files stay type-uniform going forward
+    val v4 = sources.TxTable.append(spark, root,
+      Tables.orders(spark, sf0001).filter(col("o_orderkey") % 3 === 2)
+        .limit(50)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 100).cast("int").as("units"),
+          (col("o_orderkey") % 5).cast("float").as("rating")))
+    val v4new = sources.TxTable.dataEntries(
+      sources.TxTable.readManifest(root, v4).files).toSet --
+      sources.TxTable.dataEntries(
+        sources.TxTable.readManifest(root, 3).files)
+    assert(v4new.nonEmpty)
+    v4new.foreach { f =>
+      val sch = spark.read.parquet(s"$root/$f").schema
+      assert(sch("units").dataType == LongType &&
+        sch("rating").dataType == DoubleType,
+        s"post-promotion append staged narrow physical types in $f")
+    }
+    // illegal type changes refused: narrowing and cross-family
+    val e2 = intercept[IllegalArgumentException] {
+      sources.TxTable.promoteColumnType(spark, root, "units", "int"): Unit
+    }
+    assert(e2.getMessage.contains("widening"))
+    val e3 = intercept[IllegalArgumentException] {
+      sources.TxTable.promoteColumnType(spark, root, "rating", "bigint")
+        : Unit
+    }
+    assert(e3.getMessage.contains("widening"))
+    // stats skipping still prunes on the promoted column (the stats
+    // codec records int32 and int64 pages both as "long", so pre- and
+    // post-promotion stats compare numerically in one domain)
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val (kept, all) = sources.TxTable.pruneDataFiles(m,
+      col("units") > lit(Int.MaxValue.toLong))
+    assert(kept.size < all.size,
+      s"promoted-column predicate pruned nothing: ${kept.size}/${all.size}")
+  }
 }

@@ -516,6 +516,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView(qn): Unit
   }
 
+  test("txtable streaming SOURCE: a TYPE-PROMOTED table streams " +
+      "widened — a pre-promotion file's narrow int32/float pages " +
+      "extract through the narrow getter into the declared " +
+      "bigint/double") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_promo")
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark, root,
+      spark.range(0, 10).select(col("id").as("k"),
+        col("id").cast("int").as("n"),
+        (col("id") % 3).cast("float").as("x")).repartition(1)): Unit
+    sources.TxTable.promoteColumnType(spark, root, "n", "bigint"): Unit
+    sources.TxTable.promoteColumnType(spark, root, "x", "double"): Unit
+    sources.TxTable.append(spark, root,
+      spark.range(10, 20).select(col("id").as("k"),
+        (col("id") + lit(10000000000L)).as("n"),
+        ((col("id") % 3).cast("double") + 0.25).as("x"))
+        .repartition(1)): Unit
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("n", LongType), StructField("x", DoubleType)))
+    val qn = "txsrc_promo"
+    val q = spark.readStream.format("txtable").schema(sch).load(root)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn)
+    assert(got.count() == 20)
+    // era-1 (k < 10): physically int32/float, must stream EXACT widened
+    assert(got.filter(col("k") < 10 && (col("n") =!= col("k") ||
+      col("x") =!= (col("k") % 3).cast("double"))).count() == 0,
+      "a pre-promotion file streamed wrong widened values")
+    // era-2 (k >= 10): natively wide, beyond 32-bit range
+    assert(got.filter(col("k") >= 10 &&
+      col("n") =!= col("k") + 10000000000L).count() == 0)
+    spark.catalog.dropTempView(qn): Unit
+  }
+
   test("txtable streaming SOURCE: a rollback commit re-adding " +
       "already-streamed files is a CHANGE commit (op-classified), " +
       "never a silent replay") {
