@@ -882,15 +882,45 @@ object TxTable {
     * stats are kept. Returns (kept, all-data-entries) — the spec's
     * files-planned < files-listed evidence. */
   private[graft] def pruneDataFiles(m: Manifest, pred: Column)
+      : (Seq[String], Seq[String]) =
+    pruneDataFilesTree(m,
+      org.apache.spark.sql.graft.PlanBridge.predTree(pred))
+
+  /** Tree-level twin of [[pruneDataFiles]] — the entry the DSv2 batch
+    * scan uses, where the predicate arrives as Catalyst-pushed
+    * `sources.Filter`s already normalized to a [[PlanBridge.PredNode]]
+    * tree rather than a Column. */
+  private[graft] def pruneDataFilesTree(m: Manifest,
+      tree0: org.apache.spark.sql.graft.PlanBridge.PredNode)
       : (Seq[String], Seq[String]) = {
     val data = dataEntries(m.files)
-    val tree0 = org.apache.spark.sql.graft.PlanBridge.predTree(pred)
     // stats are recorded under PHYSICAL column names; a renamed table's
     // predicate speaks logical — translate before range-checking
     val tree = colMapOf(m).fold(tree0)(cmm =>
       mapPredCols(tree0, c => cmm.logToPhys.getOrElse(c, c)))
     (data.filter(f => m.stats.get(f).forall(mayMatch(_, tree))), data)
   }
+
+  /** The LOGICAL schema of version `v` per its manifest alone — the
+    * tracked physical schema with the version's column mapping applied
+    * (renames aliased, dropped columns hidden). None when the table
+    * predates schema-tracking manifests (schema then lives only in
+    * parquet footers). This is what lets the DSv2 batch read infer a
+    * schema without touching a single data file. */
+  private[graft] def inferLogicalSchema(root: String, v: Int)
+      : Option[StructType] =
+    if (v <= 0) None
+    else {
+      val m = readManifest(root, v)
+      schemaOf(m).map { phys =>
+        val cm = colMapOf(m)
+        StructType(phys.fields.toSeq.flatMap { f =>
+          if (cm.exists(_.droppedPhys.contains(f.name))) None
+          else Some(f.copy(
+            name = cm.flatMap(_.physToLog.get(f.name)).getOrElse(f.name)))
+        })
+      }
+    }
 
   private def mapPredCols(
       n: org.apache.spark.sql.graft.PlanBridge.PredNode,
@@ -1961,7 +1991,38 @@ object TxTable {
       .orderBy("o_orderkey")
   }
 
+  /** q_table_scan_pushdown — the DSv2 BATCH read (round 18): the same
+    * `txtable` format that streams the commit log serves
+    * `spark.read.format("txtable").load(root)`, and CATALYST drives the
+    * format's pruning instead of a library helper — the query's filter
+    * is pushed into the scan ([[graft.streaming.TxTableScanBuilder]]),
+    * converted to the same normalized predicate tree
+    * [[snapshotWhere]] prunes with, and only the data files whose
+    * manifest min/max stats may match are planned (each kept file = one
+    * input partition; the plan's scan description carries the
+    * files-planned/files-listed evidence). Columns prune into the
+    * per-file vectorized reader, schema is INFERRED from the
+    * manifest-tracked tblschema (O(1), zero footers), position deletes
+    * apply inside the reader, and the scan reports post-skipping row
+    * counts to the optimizer ([[org.apache.spark.sql.connector.read
+    * .SupportsReportStatistics]]). Same owner-clustered table shape and
+    * predicate as q_table_skipping, so the two keys pin that the
+    * Catalyst-driven path and the library path are ONE mechanism.
+    * Oracle: identity — the pushed-down read equals the full recompute
+    * under the same predicate; LayoutSpec pins partitions-planned <
+    * files-listed, DV application, time travel, and schema inference. */
+  def qTableScanPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "dsv2tbl")
+    val cut = Tables.orders(s, dir).agg(max("o_custkey")).head()
+      .getAs[Number](0).longValue / 10
+    s.read.format("txtable").load(root)
+      .filter(col("o_custkey") <= cut)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_scan_pushdown" -> (qTableScanPushdown _),
     "q_table_type_promotion" -> (qTableTypePromotion _),
     "q_table_column_mapping" -> (qTableColumnMapping _),
     "q_table_skipping" -> (qTableSkipping _),
@@ -1977,6 +2038,11 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_scan_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0
+        |  AND o_custkey <= (SELECT MAX(o_custkey) FROM orders) // 10
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_type_promotion" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(o_orderkey % 100000 AS BIGINT) AS units,

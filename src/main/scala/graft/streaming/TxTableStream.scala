@@ -85,12 +85,24 @@ import graft.sources.TxTable
 class TxTableSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "txtable"
   override def supportsExternalMetadata(): Boolean = true
-  // schema lives in parquet footers, not table metadata — require it
-  // from the caller, the same contract as Spark's file streaming sources
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new UnsupportedOperationException(
-      "txtable streaming requires an explicit .schema(...): the table " +
-        "carries schema in parquet footers, not metadata")
+  // schema-tracking tables (round 18) infer their LOGICAL schema from
+  // the manifest's tblschema prop — O(1) metadata, zero file footers.
+  // A table that predates the prop keeps the explicit-schema contract
+  // (its schema lives only in parquet footers, like Spark's own file
+  // streaming sources).
+  override def inferSchema(options: CaseInsensitiveStringMap)
+      : StructType = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new UnsupportedOperationException(
+        "txtable requires .option(\"path\", <root>) or .load(<root>)"))
+    val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .getOrElse(TxTable.currentVersion(root))
+    TxTable.inferLogicalSchema(root, v).getOrElse(
+      throw new UnsupportedOperationException(
+        "txtable requires an explicit .schema(...): this table has no " +
+          "schema-tracking manifest (tblschema), so its schema lives " +
+          "only in parquet footers"))
+  }
   override def getTable(schema: StructType,
       partitioning: Array[Transform], properties: JMap[String, String])
       : Table =
@@ -102,25 +114,19 @@ private[streaming] class TxTableTable(userSchema: StructType)
   override def name(): String = "txtable"
   override def schema(): StructType = userSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val root = Option(options.get("path")).getOrElse(
-      sys.error("txtable streaming requires .option(\"path\", <root>) " +
+      sys.error("txtable requires .option(\"path\", <root>) " +
         "or .load(<root>)"))
     val skipChange = options.getBoolean("skipChangeCommits", false)
     val maxVersions = options.getInt("maxVersionsPerTrigger", Int.MaxValue)
     val startingVersion = Option(options.get("startingVersion"))
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = userSchema
-        override def description(): String = s"txtable commit log at $root"
-        override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream =
-          new TxTableMicroBatchStream(userSchema, root, skipChange,
-            maxVersions, startingVersion)
-      }
-    }
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    new TxTableScanBuilder(userSchema, root, versionAsOf, skipChange,
+      maxVersions, startingVersion)
   }
 }
 
@@ -277,7 +283,15 @@ private[streaming] object TxTableMicroBatchStream {
 }
 
 private[streaming] case class TxFilePartition(version: Int, path: String,
-    logToPhys: Map[String, String] = Map.empty) extends InputPartition
+    logToPhys: Map[String, String] = Map.empty,
+    deleted: Array[Long] = TxFilePartition.NoDeletes)
+    extends InputPartition
+
+private[streaming] object TxFilePartition {
+  /** Shared empty delete vector (streaming partitions are append-only
+    * adds and never carry one). */
+  val NoDeletes: Array[Long] = Array.empty
+}
 
 private[streaming] case class TxTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -369,7 +383,22 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
     reader.initialize(part.path, present.asJava)
   }
 
-  override def next(): Boolean = reader.nextKeyValue()
+  // merge-on-read: skip this file's position-delete ordinals while
+  // iterating (the batch scan ships them sorted in the partition; the
+  // vectorized reader emits rows in file order, so a running row index
+  // IS the `_metadata.row_index` the delete vector addresses)
+  private var rowIdx: Long = -1L
+  private var delPtr: Int = 0
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      rowIdx += 1
+      while (delPtr < part.deleted.length && part.deleted(delPtr) < rowIdx)
+        delPtr += 1
+      if (delPtr >= part.deleted.length || part.deleted(delPtr) != rowIdx)
+        return true
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     // the batch row is backed by reused column-vector memory — extract

@@ -1031,4 +1031,120 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(kept.size < all.size,
       s"promoted-column predicate pruned nothing: ${kept.size}/${all.size}")
   }
+
+  private def batchScansOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        => b
+    }
+
+  test("TxTable DSv2 batch read: Catalyst filter pushdown drives " +
+      "manifest stats skipping (fewer partitions than files), columns " +
+      "prune into the scan, schema infers from the manifest, position " +
+      "deletes apply in the reader, versionAsOf time travels, and the " +
+      "scan reports post-skipping statistics") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("dsv2")
+    sources.TxTable.buildDemoHistory(spark, root, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+
+    // schema inference from the manifest-tracked tblschema (no .schema)
+    val full = spark.read.format("txtable").load(root)
+    assert(full.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(rows(full) == rows(sources.TxTable.snapshot(spark, root)),
+      "DSv2 batch read diverged from the library snapshot")
+    // count() prunes every column; the reader must still count rows
+    assert(full.count() == sources.TxTable.snapshot(spark, root).count())
+
+    // filter pushdown → file skipping: the filtered scan plans fewer
+    // partitions than the table lists data files
+    val cut = Tables.orders(spark, sf0001).agg(max("o_custkey")).head()
+      .getAs[Number](0).longValue / 10
+    val pred = col("o_custkey") <= cut
+    val filtered = spark.read.format("txtable").load(root).filter(pred)
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val nData = sources.TxTable.dataEntries(m.files).size
+    val scans = batchScansOf(filtered)
+    assert(scans.nonEmpty, "no BatchScanExec in the plan")
+    assert(scans.head.scan.description().contains("files planned"),
+      scans.head.scan.description())
+    val planned = filtered.rdd.getNumPartitions
+    assert(planned > 0 && planned < nData,
+      s"pushdown planned $planned of $nData files — must prune")
+    assert(rows(filtered) ==
+      rows(sources.TxTable.snapshotWhere(spark, root, pred)),
+      "pushed-down read diverged from the library snapshotWhere")
+
+    // column pruning narrows the scan's read schema
+    val twoCol = spark.read.format("txtable").load(root)
+      .select("o_orderkey", "o_totalprice")
+    assert(batchScansOf(twoCol).head.scan.readSchema().fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice"))
+    assert(twoCol.count() == full.count())
+
+    // the scan hands the optimizer post-skipping cardinality
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val st = batchScansOf(filtered).head.scan
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows().isPresent && st.sizeInBytes().isPresent)
+    val keptRows = sources.TxTable.pruneDataFiles(m, pred)._1
+      .map(f => m.stats(f).rows).sum
+    assert(st.numRows().getAsLong == keptRows,
+      s"scan stats ${st.numRows()} != planned-file row sum $keptRows")
+
+    // merge-on-read: a DV commit's position deletes apply IN the reader
+    sources.TxTable.deleteVector(spark, root,
+      col("o_orderkey") % 10 === 0): Unit
+    val afterDv = spark.read.format("txtable").load(root)
+    assert(afterDv.filter(col("o_orderkey") % 10 === 0).count() == 0,
+      "reader served position-deleted rows")
+    assert(rows(afterDv) == rows(sources.TxTable.snapshot(spark, root)),
+      "DV-applied DSv2 read diverged from the library snapshot")
+
+    // versionAsOf: each version reads under its own manifest
+    val v2 = spark.read.format("txtable").option("versionAsOf", "2")
+      .load(root)
+    assert(rows(v2) == rows(sources.TxTable.snapshot(spark, root, 2)),
+      "versionAsOf read diverged from the library time travel")
+
+    // _commit_version is streaming provenance; batch rejects it loudly
+    val e = intercept[Exception] {
+      spark.read.format("txtable")
+        .schema(org.apache.spark.sql.types.StructType(
+          full.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "_commit_version", org.apache.spark.sql.types.IntegerType)))
+        .load(root).collect(): Unit
+    }
+    assert(e.getMessage != null && e.getMessage.contains("_commit_version"),
+      s"expected the batch CDF rejection, got: ${e.getMessage}")
+  }
+
+  test("TxTable DSv2 batch read: a partition predicate plans exactly " +
+      "the matching partition's files and the partition column " +
+      "re-derives from the path") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("dsv2part")
+    sources.TxTable.buildPartHistory(spark, root, sf0001)
+    val pred = col("o_orderpriority") === "1-URGENT"
+    val df = spark.read.format("txtable").load(root).filter(pred)
+    val m = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val urgent = sources.TxTable.dataEntries(m.files)
+      .filter(_.contains("o_orderpriority=1-URGENT"))
+    assert(urgent.nonEmpty)
+    assert(df.rdd.getNumPartitions == urgent.size,
+      s"planned ${df.rdd.getNumPartitions}, partition holds " +
+        s"${urgent.size} files")
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderpriority")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.map(col): _*).orderBy("o_orderkey")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(df) ==
+      rows(sources.TxTable.snapshotWhere(spark, root, pred)),
+      "partition-pruned DSv2 read diverged from the library path")
+  }
 }
