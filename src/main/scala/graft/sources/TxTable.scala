@@ -2021,7 +2021,46 @@ object TxTable {
       .orderBy("o_orderkey")
   }
 
+  /** q_table_dsv2_write — the DSv2 BATCH WRITE (round 18): after a
+    * library bootstrap commit (the lakehouse CREATE-then-write flow),
+    * `df.write.format("txtable").mode("append").save(root)` lands the
+    * day-2 ingest through Spark's own DSv2 write path — executors stage
+    * one hidden parquet file per task and report NAMES in commit
+    * messages; the driver publishes exactly those files as ONE OCC
+    * manifest commit (graft.streaming.TxTableBatchWrite). Schema safety
+    * is Catalyst's: the incoming frame validates against the
+    * manifest-inferred table schema (un-assignable frames fail at
+    * analysis) with store-assignment casts — narrow numerics widen
+    * before the writer sees rows, and the TABLE schema always wins, so
+    * a write can never drift a column's type (widening the table is
+    * promoteColumnType's visible commit). Commit-time footer lifting
+    * gives the written files
+    * min/max skipping stats like every library write. Per-invocation
+    * root: the write IS the semantics. Oracle: recompute of both eras;
+    * LayoutSpec pins overwrite truncation, stats on written files,
+    * fresh/partitioned-table refusals, widening refusal, and the
+    * DSv2-read round trip. */
+  def qTableDsv2Write(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val inv = commitInvocations.computeIfAbsent(s"dsv2w_$tag",
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    val root = graft.Scratch.dir("txtable", s"dsv2w_${tag}_i$inv")
+    init(root)
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    append(s, root,
+      ownerClustered(orders.filter(col("o_orderkey") % 3 === 0))): Unit
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.format("txtable").mode("append").save(root)
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        graft.Scratch.dir("txtable", s"dsv2w_${tag}_i${inv - 2}")))
+    }
+    snapshot(s, root).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_dsv2_write" -> (qTableDsv2Write _),
     "q_table_scan_pushdown" -> (qTableScanPushdown _),
     "q_table_type_promotion" -> (qTableTypePromotion _),
     "q_table_column_mapping" -> (qTableColumnMapping _),
@@ -2038,6 +2077,10 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_dsv2_write" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_scan_pushdown" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0

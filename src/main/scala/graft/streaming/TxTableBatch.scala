@@ -188,6 +188,274 @@ private[streaming] class TxTableScan(required: StructType,
   }
 }
 
+/** DSv2 BATCH WRITE (round 18): `df.write.format("txtable")
+  * .mode("append"|"overwrite").save(root)` appends to / replaces an
+  * EXISTING schema-tracking table through the same OCC manifest commit
+  * as every library write path — completing the DSv2 surface
+  * (batch read + streaming read + batch write).
+  *
+  *  - EXECUTOR-SIDE STAGING. Each task writes its rows to a hidden
+  *    `data/.part-…` file (never matched by any manifest or directory
+  *    scan) via a parquet-hadoop writer, renames it visible at TASK
+  *    commit, and reports the name in its commit message — Spark's
+  *    positive-commit protocol means a failed/speculative task's file
+  *    is deleted by its own abort, never listed.
+  *  - ONE ATOMIC COMMIT. The driver publishes exactly the
+  *    message-reported files: mode("append") as `prev ++ staged`,
+  *    mode("overwrite") as `staged` alone (old files stay readable via
+  *    time travel until vacuum; the streaming source classifies the
+  *    removal as a change commit, like every rewrite). Commit-time
+  *    footer lifting gives the new files min/max skipping stats
+  *    automatically.
+  *  - SCHEMA SAFETY IS THE SOURCE'S, at plan time. `save()` hands a
+  *    TableProvider the frame's own schema (there is no catalog to
+  *    resolve against), so the write itself validates the incoming
+  *    frame against the MANIFEST-tracked schema when it builds: the
+  *    column SET must match exactly (missing/unknown names fail loudly,
+  *    by name — never positional guessing), matching columns must carry
+  *    the declared type or a NARROWER numeric (the writer widens values
+  *    to the declared type, so files stay type-uniform), and a WIDER
+  *    incoming column fails pointing at [[TxTable.promoteColumnType]] —
+  *    the same ALTER-before-write contract as the library append. The
+  *    TABLE schema always wins; a DSv2 write can never drift it. The
+  *    writer stages under the table's PHYSICAL column names (column
+  *    mapping applied by name).
+  *  - Honest limits, enforced loudly: the target must exist and track
+  *    its schema (bootstrap = the library append / commitInit — the
+  *    lakehouse CREATE-then-write flow), and partitioned tables take
+  *    library [[TxTable.appendPartitioned]] (a DSv2 writer would need
+  *    per-task dynamic-partition routing — real, just not built).
+  *
+  * Scale shape: rows never touch the driver — N tasks write N files in
+  * parallel and ship NAMES; the driver's commit is manifest arithmetic
+  * plus commit-bounded footer stats reads. */
+private[streaming] class TxTableWriteBuilder(root: String,
+    querySchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new TxTableBatchWrite(root, querySchema, overwrite)
+}
+
+private[streaming] case class TxFileCommitMessage(name: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[streaming] class TxTableBatchWrite(root: String,
+    querySchema: StructType, overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.types.StructField
+
+  override def toBatch: BatchWrite = this
+
+  /** Plan-time guards + schema contract (the loud boundaries the
+    * scaladoc declares), evaluated once at build: resolves the
+    * manifest-tracked LOGICAL schema and validates the incoming frame
+    * against it BY NAME. Returns, in query-column order, (physical
+    * name, incoming type, declared type) — the writer reads values
+    * through the incoming getter and widens to the declared type. */
+  private val fields: Seq[(String,
+      org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    val v = TxTable.currentVersion(root)
+    require(v > 0, s"txtable DSv2 write needs an existing table at " +
+      s"$root — bootstrap with the library append (the CREATE-then-" +
+      "write flow), then df.write.format(\"txtable\") appends")
+    val m = TxTable.readManifest(root, v)
+    require(TxTable.partColOf(TxTable.dataEntries(m.files)).isEmpty,
+      s"txtable DSv2 write targets flat tables; $root is partitioned — " +
+        "use TxTable.appendPartitioned")
+    val declared = TxTable.inferLogicalSchema(root, v).getOrElse(
+      sys.error(s"txtable DSv2 write needs a schema-tracking table at " +
+        s"$root (no tblschema manifest prop) — bootstrap with the " +
+        "library append"))
+    val declNames = declared.fieldNames.toSet
+    val qNames = querySchema.fieldNames.toSet
+    require(qNames == declNames,
+      s"txtable DSv2 write: frame columns ${qNames.toSeq.sorted} must " +
+        s"match the table schema ${declNames.toSeq.sorted} exactly " +
+        "(resolution is by name; add-column evolution is the library " +
+        "append's job)")
+    val logToPhys = TxTable.colMapOf(m)
+      .map(_.logToPhys).getOrElse(Map.empty[String, String])
+    querySchema.fields.toSeq.map { qf =>
+      val dt = declared(qf.name).dataType
+      if (qf.dataType != dt && !TxTable.promotable(qf.dataType, dt))
+        sys.error(if (TxTable.promotable(dt, qf.dataType))
+          s"txtable DSv2 write widens column '${qf.name}' from " +
+            s"${dt.sql} to ${qf.dataType.sql}: promote the declared " +
+            "type first (promoteColumnType), so the widening is a " +
+            "visible commit"
+        else
+          s"txtable DSv2 write: column '${qf.name}' is " +
+            s"${qf.dataType.sql}, table declares ${dt.sql} — " +
+            "incompatible")
+      (logToPhys.getOrElse(qf.name, qf.name), qf.dataType, dt)
+    }
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    TxTableWriterFactory(root,
+      StructType(fields.map { case (p, _, d) => StructField(p, d) }),
+      StructType(fields.map { case (p, q, _) => StructField(p, q) }))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case TxFileCommitMessage(n) => n
+    }.toSeq.sorted
+    if (overwrite)
+      TxTable.commit(root, "overwrite", _ => staged): Unit
+    else
+      TxTable.commit(root, "append", _ ++ staged): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TxFileCommitMessage(n) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root, n)): Unit
+      case _ => ()
+    }
+}
+
+private[streaming] case class TxTableWriterFactory(root: String,
+    physSchema: StructType, inSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new TxTableDataWriter(root, physSchema, inSchema, partitionId, taskId)
+}
+
+/** One task → one staged parquet file, written hidden
+  * (`data/.part-…`, invisible to every directory scan and manifest),
+  * renamed visible at task commit (same-directory rename:
+  * metadata-only), deleted by abort. The parquet-hadoop Group writer
+  * mirrors the reader's supported primitive set; footer min/max stats
+  * come with the writer for free, which is what commit-time stats
+  * lifting prunes on later. `physSchema` carries the DECLARED types the
+  * file stores (and the physical names); `inSchema` the incoming row
+  * types — a narrower numeric reads through its own getter and widens
+  * here, so files stay type-uniform (the append write boundary's
+  * cast-up, executor-side). */
+private[streaming] class TxTableDataWriter(root: String,
+    physSchema: StructType, inSchema: StructType, partitionId: Int,
+    taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PT}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.sql.types._
+
+  private val fname =
+    s"part-dsv2-$partitionId-$taskId-${java.util.UUID.randomUUID}.parquet"
+  private val hiddenPath = new java.io.File(root, s"data/.$fname")
+
+  private val messageType: org.apache.parquet.schema.MessageType = {
+    val b = PT.buildMessage()
+    physSchema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(
+          PT.optional(INT64).named(f.name))
+        case IntegerType => b.addField(
+          PT.optional(INT32).named(f.name))
+        case DoubleType => b.addField(PT.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(PT.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(
+          PT.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(PT.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case dt => sys.error(
+          s"txtable DSv2 writer: unsupported column type $dt for " +
+            s"${f.name} (supported: long/int/double/float/boolean/" +
+            "string)")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  private val writer = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(messageType, conf)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(hiddenPath.getPath))
+      .withConf(conf)
+      .withType(messageType)
+      .build()
+  }
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      messageType)
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow)
+      : Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < physSchema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = physSchema.fields(i)
+        // read through the INCOMING type's getter, widen to declared
+        (f.dataType, inSchema.fields(i).dataType) match {
+          case (LongType, IntegerType) =>
+            g.add(f.name, row.getInt(i).toLong)
+          case (LongType, ShortType) =>
+            g.add(f.name, row.getShort(i).toLong)
+          case (LongType, ByteType) =>
+            g.add(f.name, row.getByte(i).toLong)
+          case (IntegerType, ShortType) =>
+            g.add(f.name, row.getShort(i).toInt)
+          case (IntegerType, ByteType) =>
+            g.add(f.name, row.getByte(i).toInt)
+          case (DoubleType, FloatType) =>
+            g.add(f.name, row.getFloat(i).toDouble)
+          case (LongType, _) => g.add(f.name, row.getLong(i))
+          case (IntegerType, _) => g.add(f.name, row.getInt(i))
+          case (DoubleType, _) => g.add(f.name, row.getDouble(i))
+          case (FloatType, _) => g.add(f.name, row.getFloat(i))
+          case (BooleanType, _) => g.add(f.name, row.getBoolean(i))
+          case (StringType, _) => g.add(f.name,
+            org.apache.parquet.io.api.Binary.fromString(
+              row.getUTF8String(i).toString))
+          case (dt, _) =>
+            sys.error(s"unreachable: $dt passed schema check")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  /** Hadoop's local ChecksumFileSystem shadows every write with a
+    * `.<name>.crc` sibling; reclaim it with the data file (it would
+    * otherwise leak as a stray hidden file next to the renamed one). */
+  private def crcPath = new java.io.File(root, s"data/..$fname.crc")
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    java.nio.file.Files.move(hiddenPath.toPath,
+      new java.io.File(root, s"data/$fname").toPath): Unit
+    java.nio.file.Files.deleteIfExists(crcPath.toPath): Unit
+    TxFileCommitMessage(s"data/$fname")
+  }
+
+  override def abort(): Unit = {
+    scala.util.Try(writer.close()): Unit
+    java.nio.file.Files.deleteIfExists(hiddenPath.toPath): Unit
+    java.nio.file.Files.deleteIfExists(crcPath.toPath): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
 /** `sources.Filter` → [[PlanBridge.PredNode]]: the normalization that
   * lets Catalyst-pushed batch filters drive the SAME sound may-match
   * evaluator as the library-side `snapshotWhere`. Unconvertible shapes

@@ -110,12 +110,26 @@ class TxTableSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 private[streaming] class TxTableTable(userSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "txtable"
   override def schema(): StructType = userSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val root = Option(info.options.get("path")).getOrElse(
+      sys.error("txtable requires .option(\"path\", <root>) " +
+        "or .save(<root>)"))
+    // NOTE: under DataFrameWriter.save() a TableProvider's getTable
+    // receives the FRAME's schema (there is no catalog to resolve
+    // against), so `userSchema` here is the query's — the write
+    // validates against the manifest-tracked table schema itself
+    new TxTableWriteBuilder(root, info.schema())
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val root = Option(options.get("path")).getOrElse(

@@ -1122,6 +1122,125 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       s"expected the batch CDF rejection, got: ${e.getMessage}")
   }
 
+  test("TxTable DSv2 batch write: task-staged files land as ONE OCC " +
+      "commit with skipping stats, overwrite truncates with time travel " +
+      "intact, Catalyst enforces the schema contract, and fresh/" +
+      "partitioned targets are refused loudly") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("dsv2w")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 0)): Unit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+
+    // DSv2 append = one new version listing exactly the staged files
+    orders.filter(col("o_orderkey") % 3 === 1).repartition(3)
+      .write.format("txtable").mode("append").save(root)
+    assert(sources.TxTable.currentVersion(root) == 2)
+    val m2 = sources.TxTable.readManifest(root, 2)
+    assert(m2.props.get("op").contains("append"))
+    val v1Files = sources.TxTable.readManifest(root, 1).files.toSet
+    val newFiles = sources.TxTable.dataEntries(m2.files)
+      .filterNot(v1Files)
+    assert(newFiles.size == 3,
+      s"3 writer tasks must stage 3 files, got ${newFiles.size}")
+    assert(newFiles.forall(f => f.startsWith("data/part-dsv2-") &&
+      m2.stats.contains(f)),
+      "a DSv2-written file is missing its manifest stats line")
+    // no hidden in-progress files leak
+    assert(new java.io.File(root, "data").listFiles()
+      .forall(!_.getName.startsWith(".")), "hidden staged file leaked")
+    // content: snapshot == both eras; round-trips through the DSv2 read
+    assert(rows(sources.TxTable.snapshot(spark, root)) ==
+      rows(orders.filter(col("o_orderkey") % 3 <= 1)))
+    assert(rows(spark.read.format("txtable").load(root)) ==
+      rows(orders.filter(col("o_orderkey") % 3 <= 1)))
+    // skipping stats on the written files actually prune
+    val (kept, all) = sources.TxTable.pruneDataFiles(m2,
+      col("o_orderkey") <= lit(-1L))
+    assert(kept.isEmpty && all.nonEmpty,
+      "written-file stats must support pruning")
+
+    // overwrite: replaces the file list, old versions still time-travel
+    val ow = orders.filter(col("o_orderkey") % 3 === 2)
+    ow.write.format("txtable").mode("overwrite").save(root)
+    val v3 = sources.TxTable.currentVersion(root)
+    assert(sources.TxTable.readManifest(root, v3).props.get("op")
+      .contains("overwrite"))
+    assert(rows(sources.TxTable.snapshot(spark, root)) == rows(ow))
+    assert(rows(sources.TxTable.snapshot(spark, root, 2)) ==
+      rows(orders.filter(col("o_orderkey") % 3 <= 1)),
+      "overwrite must not disturb the pinned pre-overwrite snapshot")
+
+    // schema contract is the SOURCE's (save() hands the provider the
+    // frame's own schema — no catalog validates): a column-set mismatch
+    // fails loudly at plan time, the table schema always wins
+    val mismatch = intercept[Exception] {
+      orders.select(col("o_orderkey"), col("o_custkey"))
+        .limit(5).write.format("txtable").mode("append").save(root)
+    }
+    assert(mismatch.getMessage != null &&
+      mismatch.getMessage.contains("match the table schema"),
+      s"column-set mismatch must refuse: ${mismatch.getMessage}")
+    // a WIDER incoming column is refused pointing at promoteColumnType
+    // (the ALTER-before-write contract, source-enforced)
+    val intRoot = mkTable("dsv2w_int")
+    sources.TxTable.append(spark, intRoot,
+      orders.limit(20).select(col("o_orderkey"),
+        (col("o_custkey") % 100).cast("int").as("units"))): Unit
+    val wide = intercept[Exception] {
+      orders.limit(5).select(col("o_orderkey"),
+          col("o_custkey").as("units"))
+        .write.format("txtable").mode("append").save(intRoot)
+    }
+    assert(wide.getMessage != null && wide.getMessage.contains("promote"),
+      s"widening write must point at promoteColumnType: ${wide.getMessage}")
+    // ...and a NARROWER numeric widens IN the writer: int values land
+    // in the bigint column, and the staged file itself is wide (files
+    // stay type-uniform — the write-boundary cast-up, executor-side)
+    val preNarrow = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root)).files.toSet
+    orders.limit(7).select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"))
+      .write.format("txtable").mode("append").save(root)
+    val narrowed = sources.TxTable.snapshot(spark, root)
+    assert(narrowed.schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(narrowed.count() == ow.count() + 7)
+    val narrowNew = sources.TxTable.dataEntries(
+      sources.TxTable.readManifest(root,
+        sources.TxTable.currentVersion(root)).files)
+      .filterNot(preNarrow)
+    assert(narrowNew.nonEmpty)
+    narrowNew.foreach { f =>
+      assert(spark.read.parquet(s"$root/$f").schema("o_custkey")
+        .dataType == org.apache.spark.sql.types.LongType,
+        s"writer staged a narrow physical column in $f")
+    }
+
+    // loud boundaries: fresh table and partitioned table
+    val fresh = mkTable("dsv2w_fresh")
+    val eFresh = intercept[Exception] {
+      orders.limit(3).write.format("txtable").mode("append").save(fresh)
+    }
+    assert(eFresh.getMessage != null &&
+      (eFresh.getMessage.contains("bootstrap") ||
+        eFresh.getMessage.contains("explicit .schema")),
+      s"fresh-table write must point at the bootstrap: ${eFresh.getMessage}")
+    val partRoot = mkTable("dsv2w_part")
+    sources.TxTable.buildPartHistory(spark, partRoot, sf0001)
+    val ePart = intercept[Exception] {
+      spark.read.format("txtable").load(partRoot)
+        .write.format("txtable").mode("append").save(partRoot)
+    }
+    assert(ePart.getMessage != null &&
+      ePart.getMessage.contains("appendPartitioned"),
+      s"partitioned-table write must refuse: ${ePart.getMessage}")
+  }
+
   test("TxTable DSv2 batch read: a partition predicate plans exactly " +
       "the matching partition's files and the partition column " +
       "re-derives from the path") {
