@@ -1270,6 +1270,32 @@ object TxTable {
     (drop, dead)
   }
 
+  /** Idempotent EPOCH commit for the DSv2 streaming sink (round 18):
+    * the executor-staged files of micro-batch `epochId` either publish
+    * as one `batch=`-tagged append commit, or — when the epoch is at or
+    * below the table's `lastbatch` high-water mark (a replay: failure
+    * after the commit landed but before the checkpoint recorded it) —
+    * are DISCARDED and the call no-ops, returning false. Same single-
+    * writer-per-checkpoint contract as [[commitBatch]] (Structured
+    * Streaming delivers epoch ids monotonically per checkpoint); the
+    * difference is the files already exist when the replay is detected,
+    * so idempotence must reclaim them rather than skip a write. */
+  private[graft] def commitEpoch(root: String, epochId: Long,
+      staged: Seq[String]): Boolean = {
+    val cur = currentVersion(root)
+    val hw =
+      if (cur == 0) None
+      else readManifest(root, cur).props.get("lastbatch").map(_.toLong)
+    if (hw.exists(epochId <= _)) { discardStaged(root, staged); false }
+    else {
+      commit(root, "append", _ ++ staged,
+        Map("batch" -> epochId.toString,
+          "lastbatch" -> math.max(epochId,
+            hw.getOrElse(Long.MinValue)).toString)): Unit
+      true
+    }
+  }
+
   /** Idempotent micro-batch append for a Structured Streaming
     * foreachBatch sink: the commit carries batch=<id>; a REPLAYED batch
     * (failure after the commit landed but before the checkpoint's commit
@@ -1613,6 +1639,93 @@ object TxTable {
     catch { case e: Throwable => discardStaged(root, rewritten); throw e }
     vacuum(root, CompactRetain): Unit
     snapshot(s, root).orderBy("o_orderkey")
+  }
+
+  /** OPTIMIZE ZORDER BY (round 18): rewrite the CURRENT snapshot with
+    * rows ordered along a bit-interleaved Z-curve over two numeric
+    * dimensions, published as one conflict-checked `cluster` commit —
+    * the lakehouse OPTIMIZE ZORDER command under this commit protocol.
+    * Each dimension normalizes to an 8-bit rank bucket from a broadcast
+    * 1-row stats frame, the interleave is [[Layout.zvalue]]'s MSB-first
+    * alternation (pure column bit arithmetic — whole-stage codegen),
+    * and `repartitionByRange` on the Z-value gives files whose min/max
+    * spans are narrow on BOTH dimensions, which is exactly what the
+    * manifest's commit-time stats then prune on: clustering exists FOR
+    * data skipping, and here the two mechanisms share one commit. The
+    * rewrite is content-neutral (the input is the DV-applied snapshot,
+    * so position deletes materialize away like compaction); the update
+    * closure requires the manifest it read is still current (a
+    * concurrent commit aborts the optimize, never loses rows); an
+    * aborted commit reclaims its staged files. Flat tables only —
+    * Z-ordering WITHIN partitions is a further refinement a real
+    * OPTIMIZE offers per-partition. */
+  private[graft] def clusterBy(s: SparkSession, root: String,
+      colA: String, colB: String, nFiles: Int): Int = {
+    val v0 = currentVersion(root)
+    val m0 = readManifest(root, v0)
+    require(partColOf(dataEntries(m0.files)).isEmpty,
+      s"clusterBy targets flat tables; $root is partitioned")
+    val snap = snapshot(s, root, v0)
+    val st = snap.agg(
+      min(colA).as("__amn"), max(colA).as("__amx"),
+      min(colB).as("__bmn"), max(colB).as("__bmx"))
+    val z = snap.crossJoin(broadcast(st))
+      .withColumn("__za", least(lit(255L), floor(
+        (col(colA) - col("__amn")) * 256 /
+          (col("__amx") - col("__amn") + 1))))
+      .withColumn("__zb", least(lit(255L), floor(
+        (col(colB) - col("__bmn")) * 256 /
+          (col("__bmx") - col("__bmn") + 1))))
+      .withColumn("__zv", Layout.zvalue(col("__za"), 8, col("__zb"), 8))
+    val clustered = toPhysical(
+      z.repartitionByRange(nFiles, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__amn", "__amx", "__bmn", "__bmx", "__za", "__zb", "__zv"),
+      colMapOf(m0))
+    val staged = writeData(s, root, clustered)
+    try commit(root, "cluster", { prev =>
+      require(prev == m0.files,
+        s"concurrent commit during OPTIMIZE of $root — aborting " +
+          "instead of dropping it")
+      staged
+    })
+    catch { case e: Throwable => discardStaged(root, staged); throw e }
+  }
+
+  /** Two ingest-ordered loads (8 files each, range-laid by o_orderkey —
+    * the natural arrival order, which leaves o_custkey SCATTERED across
+    * every file) followed by the OPTIMIZE ZORDER commit over
+    * (o_custkey, o_orderkey). */
+  private[graft] def buildClusterHistory(s: SparkSession, root: String,
+      dir: String): Unit = {
+    init(root)
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    append(s, root, orders.filter(col("o_orderkey") % 2 === 0)
+      .repartitionByRange(8, col("o_orderkey"))): Unit
+    append(s, root, orders.filter(col("o_orderkey") % 2 === 1)
+      .repartitionByRange(8, col("o_orderkey"))): Unit
+    clusterBy(s, root, "o_custkey", "o_orderkey", 16): Unit
+  }
+
+  /** q_table_cluster — OPTIMIZE ZORDER BY under a commit (round 18):
+    * the ingest layout arrives ordered by o_orderkey (files are narrow
+    * on orderkey, scattered on custkey — every selective custkey read
+    * scans the table), and the `cluster` commit rewrites the snapshot
+    * along the (custkey, orderkey) Z-curve so manifest stats prune on
+    * BOTH dimensions afterwards. The read is the q_table_skipping
+    * predicate on the clustered table — at 100 TB, clustering is what
+    * turns "stats exist" into "stats prune": skipping is only as good
+    * as the layout's spans. Oracle: identity — clustering must change
+    * bytes-on-disk shape only; LayoutSpec pins the pruning-fraction
+    * improvement on the clustered dimension, both-dimension spans, and
+    * content neutrality. */
+  def qTableCluster(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "clustbl", buildClusterHistory)
+    val cut = Tables.orders(s, dir).agg(max("o_custkey")).head()
+      .getAs[Number](0).longValue / 10
+    snapshotWhere(s, root, col("o_custkey") <= cut)
+      .orderBy("o_orderkey")
   }
 
   /** MERGE under ONE commit: matched table rows take the source's
@@ -2059,7 +2172,47 @@ object TxTable {
     snapshot(s, root).orderBy("o_orderkey")
   }
 
+  /** q_table_stream_sink — the DSv2 STREAMING SINK (round 18): table →
+    * stream → table with ZERO glue code, both ends native DSv2.
+    * `readStream.format("txtable").load(src)` subscribes to the source
+    * table's commit log (schema INFERRED from its manifest), and
+    * `writeStream.format("txtable")` lands each micro-batch through
+    * [[commitEpoch]] — executor-staged files published as one
+    * `batch=`-tagged append commit, replayed epochs discarding their
+    * staging (the exactly-once contract the foreachBatch+commitBatch
+    * pattern pins, now engine-driven; StreamingSpec pins checkpoint
+    * resume streams only NEW commits and the replay-discard path).
+    * Per-invocation sink root + checkpoint: the stream IS the
+    * semantics. Oracle: the drained sink equals the source recompute. */
+  def qTableStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val src = ensureDemoTable(s, dir, "sinksrc",
+      (s2, root, d) => appendDemoLoads(s2, root, d))
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val inv = commitInvocations.computeIfAbsent(s"sink_$tag",
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    val dst = graft.Scratch.dir("txtable", s"sink_${tag}_i$inv")
+    init(dst)
+    // schema bootstrap: an empty v1 append records tblschema, the
+    // CREATE-then-write flow the DSv2 write contract requires
+    append(s, dst, Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(0)): Unit
+    val q = s.readStream.format("txtable").load(src)
+      .writeStream.format("txtable")
+      .option("path", dst)
+      .option("checkpointLocation", s"$dst/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        graft.Scratch.dir("txtable", s"sink_${tag}_i${inv - 2}")))
+    }
+    snapshot(s, dst).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_stream_sink" -> (qTableStreamSink _),
+    "q_table_cluster" -> (qTableCluster _),
     "q_table_dsv2_write" -> (qTableDsv2Write _),
     "q_table_scan_pushdown" -> (qTableScanPushdown _),
     "q_table_type_promotion" -> (qTableTypePromotion _),
@@ -2077,6 +2230,14 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_stream_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_cluster" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey <= (SELECT MAX(o_custkey) FROM orders) // 10
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_dsv2_write" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)

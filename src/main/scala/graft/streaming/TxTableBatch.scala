@@ -248,11 +248,48 @@ private[streaming] case class TxFileCommitMessage(name: String)
 private[streaming] class TxTableBatchWrite(root: String,
     querySchema: StructType, overwrite: Boolean)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
   import org.apache.spark.sql.types.StructField
 
   override def toBatch: BatchWrite = this
+
+  // both parent traits default-define this; Scala requires the diamond
+  // be resolved explicitly (same semantics: tasks commit via the
+  // driver's coordinator, which is what makes speculative attempts safe)
+  override def useCommitCoordinator(): Boolean = true
+
+  /** The DSv2 STREAMING sink (round 18): `writeStream.format("txtable")`
+    * — the native twin of the foreachBatch+[[TxTable.commitBatch]]
+    * pattern, same exactly-once contract, no user glue code. Each
+    * micro-batch's tasks stage hidden files exactly like the batch
+    * writer; the epoch commit is [[TxTable.commitEpoch]]: a replayed
+    * epoch (≤ the table's `lastbatch` high-water) DISCARDS its staged
+    * files and no-ops, so a failure between sink commit and checkpoint
+    * record never double-appends. Append output mode only — complete/
+    * update rewrite history, which is a table rewrite commit's job. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!overwrite,
+      "txtable streaming sink supports append output mode only")
+    fields: Unit // force plan-time validation at stream start
+    this
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    TxTableStreamWriterFactory(root,
+      StructType(fields.map { case (p, _, d) => StructField(p, d) }),
+      StructType(fields.map { case (p, q, _) => StructField(p, q) }))
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    TxTable.commitEpoch(root, epochId, messages.collect {
+      case TxFileCommitMessage(n) => n
+    }.toSeq.sorted): Unit
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    abort(messages)
 
   /** Plan-time guards + schema contract (the loud boundaries the
     * scaladoc declares), evaluated once at build: resolves the
@@ -329,6 +366,17 @@ private[streaming] case class TxTableWriterFactory(root: String,
     physSchema: StructType, inSchema: StructType)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new TxTableDataWriter(root, physSchema, inSchema, partitionId, taskId)
+}
+
+private[streaming] case class TxTableStreamWriterFactory(root: String,
+    physSchema: StructType, inSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
     new TxTableDataWriter(root, physSchema, inSchema, partitionId, taskId)

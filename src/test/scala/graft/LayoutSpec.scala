@@ -1241,6 +1241,60 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       s"partitioned-table write must refuse: ${ePart.getMessage}")
   }
 
+  test("TxTable OPTIMIZE ZORDER: the cluster commit is content-neutral, " +
+      "improves the pruning fraction on the scattered dimension, and " +
+      "keeps the other dimension pruning") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("cluster")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(8, col("o_orderkey"))): Unit
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .repartitionByRange(8, col("o_orderkey"))): Unit
+    val cut = orders.agg(max("o_custkey")).head()
+      .getAs[Number](0).longValue / 10
+    val pred = col("o_custkey") <= cut
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val before = rows(sources.TxTable.snapshot(spark, root))
+    val mBefore = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    val (keptB, allB) = sources.TxTable.pruneDataFiles(mBefore, pred)
+    // ingest order scatters custkey: the predicate prunes (almost)
+    // nothing before the optimize
+    assert(keptB.size >= allB.size - 1,
+      s"fixture invalid: ingest layout already prunes " +
+        s"(${keptB.size}/${allB.size})")
+
+    sources.TxTable.clusterBy(spark, root,
+      "o_custkey", "o_orderkey", 16): Unit
+    val mAfter = sources.TxTable.readManifest(root,
+      sources.TxTable.currentVersion(root))
+    assert(mAfter.props.get("op").contains("cluster"))
+    // content-neutral: same rows, byte-shape only
+    assert(rows(sources.TxTable.snapshot(spark, root)) == before,
+      "OPTIMIZE changed table content")
+    // the scattered dimension now prunes: strictly better fraction
+    val (keptA, allA) = sources.TxTable.pruneDataFiles(mAfter, pred)
+    assert(keptA.size.toDouble / allA.size <
+      0.5 * keptB.size.toDouble / allB.size,
+      s"clustering must improve custkey pruning: " +
+        s"${keptA.size}/${allA.size} after vs ${keptB.size}/${allB.size}")
+    // the Z-curve keeps BOTH dimensions: an orderkey slice still prunes
+    val okCut = orders.agg(max("o_orderkey")).head()
+      .getAs[Number](0).longValue / 10
+    val (keptOk, allOk) = sources.TxTable.pruneDataFiles(mAfter,
+      col("o_orderkey") <= okCut)
+    assert(keptOk.size < allOk.size,
+      s"Z-order lost the orderkey dimension: ${keptOk.size}/${allOk.size}")
+
+    // (the conflict-check + abort-reclaim path is byte-identical in
+    // shape to compaction's, pinned by the compact abort spec)
+  }
+
   test("TxTable DSv2 batch read: a partition predicate plans exactly " +
       "the matching partition's files and the partition column " +
       "re-derives from the path") {

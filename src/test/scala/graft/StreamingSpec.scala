@@ -1066,4 +1066,71 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // user 1 counted 2 then 3 cumulative; user 2 counted 1
     assert(byBatch.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L)))
   }
+
+  test("DSv2 streaming SINK: writeStream.format(txtable) drains a " +
+      "source table exactly-once, checkpoint resume streams only NEW " +
+      "commits, and a replayed epoch DISCARDS its staged files") {
+    import org.apache.spark.sql.functions._
+    val src = graft.Scratch.dir("txtable", "dsv2sink_src")
+    val dst = graft.Scratch.dir("txtable", "dsv2sink_dst")
+    sources.TxTable.init(src); sources.TxTable.init(dst)
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, src,
+      orders.filter(col("o_orderkey") % 3 === 0)): Unit
+    sources.TxTable.append(spark, src,
+      orders.filter(col("o_orderkey") % 3 === 1)): Unit
+    // CREATE-then-write: empty bootstrap records the sink's schema
+    sources.TxTable.append(spark, dst, orders.limit(0)): Unit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    def drain(): Unit = {
+      val q = spark.readStream.format("txtable").load(src)
+        .writeStream.format("txtable")
+        .option("path", dst)
+        .option("checkpointLocation", s"$dst/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(rows(sources.TxTable.snapshot(spark, dst)) ==
+      rows(orders.filter(col("o_orderkey") % 3 <= 1)),
+      "drained sink diverged from the source content")
+    // resume: a third source commit arrives; the SAME checkpoint streams
+    // only it — no re-emission of already-sunk commits
+    val vMid = sources.TxTable.currentVersion(dst)
+    sources.TxTable.append(spark, src,
+      orders.filter(col("o_orderkey") % 3 === 2)): Unit
+    drain()
+    assert(rows(sources.TxTable.snapshot(spark, dst)) == rows(orders),
+      "resumed sink lost or duplicated rows")
+    assert(sources.TxTable.currentVersion(dst) == vMid + 1,
+      "resume must land exactly one further commit")
+    // an idle re-drain (no new source commits) lands nothing
+    val vEnd = sources.TxTable.currentVersion(dst)
+    drain()
+    assert(sources.TxTable.currentVersion(dst) == vEnd,
+      "idle drain committed a version")
+
+    // replay-discard: re-delivering an epoch at/below the high-water
+    // mark must reclaim its already-staged files and commit nothing
+    val hw = sources.TxTable.readManifest(dst,
+      sources.TxTable.currentVersion(dst)).props("lastbatch").toLong
+    val clean = (sources.TxTable.currentVersion(dst),
+      new java.io.File(dst, "data").list().length)
+    val staged = sources.TxTable.writeData(spark, dst, orders.limit(3))
+    assert(new java.io.File(dst, "data").list().length >
+      clean._2, "fixture: staging must add a file")
+    assert(!sources.TxTable.commitEpoch(dst, hw, staged),
+      "replayed epoch committed")
+    assert((sources.TxTable.currentVersion(dst),
+      new java.io.File(dst, "data").list().length) == clean,
+      "replayed epoch leaked staged files or landed a version")
+    // and the next FRESH epoch still commits normally
+    val staged2 = sources.TxTable.writeData(spark, dst, orders.limit(2))
+    assert(sources.TxTable.commitEpoch(dst, hw + 1, staged2))
+    assert(sources.TxTable.snapshot(spark, dst).count() ==
+      orders.count() + 2)
+  }
 }
