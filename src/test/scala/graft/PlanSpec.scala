@@ -726,6 +726,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // their broadcast() hints are explicit in rewriteCommit/mergeCommit
   }
 
+  test("TxTable DSv2 scan statistics drive the optimizer: a stats-" +
+      "pruned txtable side joins as the BROADCAST side of a big join") {
+    // the point of SupportsReportStatistics returning POST-skipping
+    // cardinality: after pruning, the scan is small enough to
+    // broadcast, and Catalyst must see that — a join sized from raw
+    // table bytes would sort-merge
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "spec_dsv2stats")
+    sources.TxTable.init(root)
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root,
+      orders.repartitionByRange(8, col("o_custkey"))): Unit
+    val cut = orders.agg(max("o_custkey")).head()
+      .getAs[Number](0).longValue / 10
+    val pruned = spark.read.format("txtable").load(root)
+      .filter(col("o_custkey") <= cut)
+    val big = Tables.lineitem(spark, sf0001)
+    val joined = big.join(pruned,
+      big("l_orderkey") === pruned("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned DSv2 scan must broadcast (post-skipping stats):\n$plan")
+    assert(plan.contains("files planned"),
+      s"expected the txtable scan description in:\n$plan")
+  }
+
   test("ts_resample aggregates the corpus before touching the grid (the " +
       "LOCF window runs over O(calendar) rows)") {
     val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))
