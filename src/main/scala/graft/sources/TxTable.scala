@@ -716,6 +716,19 @@ object TxTable {
     }
   }
 
+  /** CREATE TABLE as a metadata-only commit (round 18, the SQL
+    * catalog's create): v1 lists ZERO files and carries the declared
+    * schema as the inherited `tblschema` prop — the table is readable
+    * (empty, real schema), appendable by every surface, and cost one
+    * manifest write regardless of eventual size. */
+  private[graft] def createEmpty(root: String, schema: StructType): Int = {
+    init(root)
+    require(currentVersion(root) == 0,
+      s"createEmpty: $root already has commits")
+    commit(root, "create", _ => Nil,
+      encodeSchemaProp(mergeTblSchema(StructType(Nil), schema)))
+  }
+
   /** ALTER COLUMN TYPE as an O(1) metadata-only commit: the declared
     * schema widens (int→bigint, float→double — [[promotable]]), zero
     * data files are touched, existing narrow files read-widened from
@@ -2210,7 +2223,51 @@ object TxTable {
     snapshot(s, dst).orderBy("o_orderkey")
   }
 
+  /** q_table_sql — the SQL catalog surface end-to-end (round 18): with
+    * [[graft.streaming.TxTableCatalog]] registered, the table format is
+    * plain SQL — CREATE TABLE (a zero-file schema-tracking commit),
+    * two INSERT INTO loads (resolved through the catalog, so the ENGINE
+    * validates each frame against the table schema before our DSv2
+    * writer stages a byte), and the final SELECT runs through the
+    * pushdown batch scan (stats skipping, column pruning, post-skipping
+    * statistics). One format, three surfaces: the SAME root is
+    * readable by the library snapshot and `spark.read.format`.
+    * Per-invocation warehouse: the DDL+DML ARE the semantics.
+    * LayoutSpec pins VERSION AS OF time-travel SQL, engine-side INSERT
+    * validation, DROP/list, and the ALTER refusal. Oracle: recompute
+    * of both inserted eras. */
+  def qTableSql(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val inv = commitInvocations.computeIfAbsent(s"sql_$tag",
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    val wh = graft.Scratch.dir("txtable", s"sqlcat_${tag}_i$inv")
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graft_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tx.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tx.db")
+    s.sql("""CREATE TABLE graft_tx.db.orders_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_src")
+    s.sql("""INSERT INTO graft_tx.db.orders_t
+            |SELECT * FROM graft_sql_src WHERE o_orderkey % 3 = 0
+            |""".stripMargin)
+    s.sql("""INSERT INTO graft_tx.db.orders_t
+            |SELECT * FROM graft_sql_src WHERE o_orderkey % 3 = 1
+            |""".stripMargin)
+    if (inv > 2) {
+      graft.Scratch.deleteRec(new java.io.File(
+        graft.Scratch.dir("txtable", s"sqlcat_${tag}_i${inv - 2}")))
+    }
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_tx.db.orders_t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_sql" -> (qTableSql _),
     "q_table_stream_sink" -> (qTableStreamSink _),
     "q_table_cluster" -> (qTableCluster _),
     "q_table_dsv2_write" -> (qTableDsv2Write _),
@@ -2230,6 +2287,10 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_sql" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_stream_sink" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)

@@ -109,36 +109,45 @@ class TxTableSourceProvider extends TableProvider with DataSourceRegister {
     new TxTableTable(schema)
 }
 
-private[streaming] class TxTableTable(userSchema: StructType)
+/** The DSv2 Table. Path-addressed use (`format("txtable")`) resolves
+  * its root from the read/write options; catalog-addressed use
+  * ([[TxTableCatalog]]) carries `defaultRoot`, and a SQL
+  * `VERSION AS OF` pin rides `pinnedVersion` (an explicit
+  * `versionAsOf` option still wins). */
+private[streaming] class TxTableTable(userSchema: StructType,
+    defaultRoot: Option[String] = None, pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = "txtable"
+  override def name(): String = defaultRoot.getOrElse("txtable")
   override def schema(): StructType = userSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+  private def rootFrom(options: CaseInsensitiveStringMap,
+      verb: String): String =
+    Option(options.get("path")).orElse(defaultRoot).getOrElse(
+      sys.error("txtable requires .option(\"path\", <root>) " +
+        s"or .$verb(<root>)"))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val root = Option(info.options.get("path")).getOrElse(
-      sys.error("txtable requires .option(\"path\", <root>) " +
-        "or .save(<root>)"))
+    require(pinnedVersion.isEmpty,
+      "cannot write to a VERSION AS OF pinned table")
     // NOTE: under DataFrameWriter.save() a TableProvider's getTable
     // receives the FRAME's schema (there is no catalog to resolve
     // against), so `userSchema` here is the query's — the write
     // validates against the manifest-tracked table schema itself
-    new TxTableWriteBuilder(root, info.schema())
+    new TxTableWriteBuilder(rootFrom(info.options, "save"), info.schema())
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val root = Option(options.get("path")).getOrElse(
-      sys.error("txtable requires .option(\"path\", <root>) " +
-        "or .load(<root>)"))
+    val root = rootFrom(options, "load")
     val skipChange = options.getBoolean("skipChangeCommits", false)
     val maxVersions = options.getInt("maxVersionsPerTrigger", Int.MaxValue)
     val startingVersion = Option(options.get("startingVersion"))
     val versionAsOf = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(pinnedVersion)
     new TxTableScanBuilder(userSchema, root, versionAsOf, skipChange,
       maxVersions, startingVersion)
   }

@@ -1295,6 +1295,94 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     // shape to compaction's, pinned by the compact abort spec)
   }
 
+  test("TxTable SQL catalog: CREATE is a zero-file schema commit, " +
+      "INSERT validates through the engine, VERSION AS OF time-travels " +
+      "in SQL, the same root serves all three surfaces, and DROP/ALTER " +
+      "behave") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_sqlcat")
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.spec_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spec_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_tx.db")
+    spark.sql("""CREATE TABLE spec_tx.db.t
+                |(o_orderkey BIGINT, o_custkey BIGINT,
+                | o_totalprice DOUBLE)""".stripMargin)
+    val root = s"$wh/db/t"
+    // CREATE = one manifest, zero data files, schema readable
+    val m1 = sources.TxTable.readManifest(root, 1)
+    assert(m1.files.isEmpty && m1.props.get("op").contains("create"))
+    assert(spark.sql("SELECT * FROM spec_tx.db.t").count() == 0)
+    assert(spark.sql("SELECT * FROM spec_tx.db.t").columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.createOrReplaceTempView("spec_sql_src")
+    spark.sql("""INSERT INTO spec_tx.db.t
+                |SELECT * FROM spec_sql_src
+                |WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql("""INSERT INTO spec_tx.db.t
+                |SELECT * FROM spec_sql_src
+                |WHERE o_orderkey % 3 = 1""".stripMargin)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    // one format, three surfaces over the SAME root
+    val sqlRead = spark.sql("SELECT * FROM spec_tx.db.t")
+    assert(rows(sqlRead) == rows(sources.TxTable.snapshot(spark, root)))
+    assert(rows(sqlRead) ==
+      rows(spark.read.format("txtable").load(root)))
+    assert(rows(sqlRead) ==
+      rows(orders.filter(col("o_orderkey") % 3 <= 1)))
+
+    // the engine validates INSERT against the CATALOG schema: a frame
+    // with too few columns is an analysis error, before any staging
+    val filesBefore = new java.io.File(root, "data").list().length
+    val bad = intercept[Exception] {
+      spark.sql("""INSERT INTO spec_tx.db.t
+                  |SELECT o_orderkey, o_custkey FROM spec_sql_src
+                  |LIMIT 3""".stripMargin)
+    }
+    assert(bad.getMessage != null)
+    assert(new java.io.File(root, "data").list().length == filesBefore,
+      "a refused INSERT staged files")
+
+    // VERSION AS OF in plain SQL: v2 = first insert only
+    assert(rows(spark.sql(
+      "SELECT * FROM spec_tx.db.t VERSION AS OF 2")) ==
+      rows(orders.filter(col("o_orderkey") % 3 === 0)))
+    // a pinned table refuses writes
+    val pinnedWrite = intercept[Exception] {
+      spark.sql("""INSERT INTO spec_tx.db.t VERSION AS OF 2
+                  |SELECT * FROM spec_sql_src LIMIT 1""".stripMargin)
+    }
+    assert(pinnedWrite.getMessage != null)
+
+    // INSERT OVERWRITE truncates through the same commit protocol
+    spark.sql("""INSERT OVERWRITE spec_tx.db.t
+                |SELECT * FROM spec_sql_src
+                |WHERE o_orderkey % 3 = 2""".stripMargin)
+    assert(rows(spark.sql("SELECT * FROM spec_tx.db.t")) ==
+      rows(orders.filter(col("o_orderkey") % 3 === 2)))
+
+    // ALTER refuses loudly (evolution is the commit API's surface)
+    val alter = intercept[Exception] {
+      spark.sql("ALTER TABLE spec_tx.db.t RENAME COLUMN o_custkey TO c")
+    }
+    assert(alter.getMessage.contains("commit-API") ||
+      alter.getMessage.contains("ALTER TABLE"), alter.getMessage)
+
+    // listing + DROP
+    assert(spark.sql("SHOW TABLES IN spec_tx.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE spec_tx.db.t")
+    assert(!new java.io.File(root).exists())
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM spec_tx.db.t").collect()
+    }.getMessage != null)
+  }
+
   test("TxTable DSv2 batch read: a partition predicate plans exactly " +
       "the matching partition's files and the partition column " +
       "re-derives from the path") {
