@@ -184,7 +184,19 @@ object TxTable {
     * their names are collision-free. Returns the committed version. */
   private[graft] def commit(root: String, op: String,
       update: Seq[String] => Seq[String],
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty): Int =
+    commitChecked(root, op, update, extraProps, _ => ())
+
+  /** [[commit]] with a METADATA conflict check: `checkProps` sees the
+    * current manifest's props on every OCC attempt and may throw to
+    * abort. This is what lets a DSv2 write planned against one schema/
+    * column-mapping refuse to land after a concurrent rename/drop/
+    * promote — the file-list check can't see metadata-only commits
+    * (they republish the same list). */
+  private[graft] def commitChecked(root: String, op: String,
+      update: Seq[String] => Seq[String],
+      extraProps: Map[String, String],
+      checkProps: Map[String, String] => Unit): Int = {
     // the retry bound only guards against a pathological store (e.g. a
     // version file that can never be created); it must comfortably
     // exceed any real contention level — every lost race means some
@@ -205,6 +217,7 @@ object TxTable {
       // column-mapping props are TABLE STATE, not per-commit metadata:
       // inherit them from the parent manifest unless this commit
       // changes them (round 18 — the Delta metadata-carry discipline)
+      checkProps(curProps)
       val inherited = curProps.filter { case (k, _) => ColMapProps(k) }
       val props = Map("op" -> op, "parent" -> cur.toString) ++
         inherited ++ extraProps
@@ -505,6 +518,14 @@ object TxTable {
     * manifests). */
   private val ColMapProps: Set[String] =
     Set("colmap", "colmapdrop", "lastbatch", "tblschema")
+
+  /** The subset of inherited props that define what a WRITE plans
+    * against (names + types). A DSv2 write captures these at build and
+    * refuses to commit if they changed underneath it ([[commitChecked]])
+    * — the metadata half of optimistic concurrency, which the file-list
+    * check can't see (metadata-only commits republish the same list). */
+  private[graft] val SchemaProps: Set[String] =
+    Set("colmap", "colmapdrop", "tblschema")
 
   /** (logical → physical) renames + dropped PHYSICAL names. Columns
     * absent from `renames` are identity-mapped. */
@@ -1294,17 +1315,19 @@ object TxTable {
     * difference is the files already exist when the replay is detected,
     * so idempotence must reclaim them rather than skip a write. */
   private[graft] def commitEpoch(root: String, epochId: Long,
-      staged: Seq[String]): Boolean = {
+      staged: Seq[String],
+      checkProps: Map[String, String] => Unit = _ => ()): Boolean = {
     val cur = currentVersion(root)
     val hw =
       if (cur == 0) None
       else readManifest(root, cur).props.get("lastbatch").map(_.toLong)
     if (hw.exists(epochId <= _)) { discardStaged(root, staged); false }
     else {
-      commit(root, "append", _ ++ staged,
+      try commitChecked(root, "append", _ ++ staged,
         Map("batch" -> epochId.toString,
           "lastbatch" -> math.max(epochId,
-            hw.getOrElse(Long.MinValue)).toString)): Unit
+            hw.getOrElse(Long.MinValue)).toString), checkProps): Unit
+      catch { case e: Throwable => discardStaged(root, staged); throw e }
       true
     }
   }

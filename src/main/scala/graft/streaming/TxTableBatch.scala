@@ -175,7 +175,11 @@ private[streaming] class TxTableScan(required: StructType,
       val st = kept.map(mf.stats.get)
       if (st.exists(_.isEmpty)) None
       else {
-        val dvDeleted = dvByFile.values.map(_.length.toLong).sum
+        // subtract only the PLANNED files' delete ordinals — a pruned
+        // file's deletes never reduce what this scan produces
+        val dvDeleted = kept
+          .map(f => f.substring(f.lastIndexOf('/') + 1))
+          .map(fn => dvByFile.get(fn).fold(0L)(_.length.toLong)).sum
         Some(st.flatten.map(_.rows).sum - dvDeleted)
       }
     }
@@ -286,7 +290,7 @@ private[streaming] class TxTableBatchWrite(root: String,
       messages: Array[WriterCommitMessage]): Unit =
     TxTable.commitEpoch(root, epochId, messages.collect {
       case TxFileCommitMessage(n) => n
-    }.toSeq.sorted): Unit
+    }.toSeq.sorted, checkMeta): Unit
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
@@ -297,6 +301,20 @@ private[streaming] class TxTableBatchWrite(root: String,
     * against it BY NAME. Returns, in query-column order, (physical
     * name, incoming type, declared type) — the writer reads values
     * through the incoming getter and widens to the declared type. */
+  /** The schema/colmap props this write PLANNED against — the commit
+    * refuses to land if a concurrent rename/drop/promote changed them
+    * ([[TxTable.commitChecked]]): the staged files carry the planned
+    * physical names and declared types, so landing them under changed
+    * metadata would silently drift the table. */
+  private var plannedMeta: Map[String, String] = Map.empty
+  private def checkMeta(cur: Map[String, String]): Unit = {
+    val now = cur.filter { case (k, _) => TxTable.SchemaProps(k) }
+    if (now != plannedMeta) sys.error(
+      s"txtable DSv2 write to $root planned against a schema/column-" +
+        "mapping that a concurrent rename/drop/promote commit changed " +
+        "— aborting instead of drifting the table; retry the write")
+  }
+
   private val fields: Seq[(String,
       org.apache.spark.sql.types.DataType,
       org.apache.spark.sql.types.DataType)] = {
@@ -305,6 +323,7 @@ private[streaming] class TxTableBatchWrite(root: String,
       s"$root — bootstrap with the library append (the CREATE-then-" +
       "write flow), then df.write.format(\"txtable\") appends")
     val m = TxTable.readManifest(root, v)
+    plannedMeta = m.props.filter { case (k, _) => TxTable.SchemaProps(k) }
     require(TxTable.partColOf(TxTable.dataEntries(m.files)).isEmpty,
       s"txtable DSv2 write targets flat tables; $root is partitioned — " +
         "use TxTable.appendPartitioned")
@@ -348,9 +367,11 @@ private[streaming] class TxTableBatchWrite(root: String,
       case TxFileCommitMessage(n) => n
     }.toSeq.sorted
     if (overwrite)
-      TxTable.commit(root, "overwrite", _ => staged): Unit
+      TxTable.commitChecked(root, "overwrite", _ => staged,
+        Map.empty, checkMeta): Unit
     else
-      TxTable.commit(root, "append", _ ++ staged): Unit
+      TxTable.commitChecked(root, "append", _ ++ staged,
+        Map.empty, checkMeta): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1295,6 +1295,42 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     // shape to compaction's, pinned by the compact abort spec)
   }
 
+  test("TxTable metadata conflict check: a write planned against one " +
+      "schema/column-mapping refuses to commit after a concurrent " +
+      "rename, and the refused epoch's staging is reclaimed") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("metaconflict")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root, orders.limit(50)): Unit
+    // snapshot the schema props a write would plan against NOW
+    val planned = sources.TxTable.readManifest(root, 1).props
+      .filter { case (k, _) => sources.TxTable.SchemaProps(k) }
+    def check(cur: Map[String, String]): Unit = {
+      val now = cur.filter { case (k, _) =>
+        sources.TxTable.SchemaProps(k) }
+      if (now != planned) sys.error("schema/column-mapping changed " +
+        "concurrently — aborting")
+    }
+    // no conflict: the guarded epoch commits normally
+    val s1 = sources.TxTable.writeData(spark, root, orders.limit(5))
+    assert(sources.TxTable.commitEpoch(root, 0L, s1, check))
+    // a RENAME lands (metadata-only — same file list, so a file-list
+    // conflict check would wave it through)
+    sources.TxTable.renameColumn(spark, root, "o_custkey", "owner_id")
+      : Unit
+    val nFiles = new java.io.File(root, "data").list().length
+    val s2 = sources.TxTable.writeData(spark, root, orders.limit(5))
+    val e = intercept[RuntimeException] {
+      sources.TxTable.commitEpoch(root, 1L, s2, check)
+    }
+    assert(e.getMessage.contains("concurrently"), e.getMessage)
+    assert(new java.io.File(root, "data").list().length == nFiles,
+      "the refused epoch leaked its staged files")
+    assert(sources.TxTable.currentVersion(root) == 3,
+      "the refused epoch landed a version") // v1 load, v2 epoch, v3 rename
+  }
+
   test("TxTable SQL catalog: CREATE is a zero-file schema commit, " +
       "INSERT validates through the engine, VERSION AS OF time-travels " +
       "in SQL, the same root serves all three surfaces, and DROP/ALTER " +
