@@ -1384,6 +1384,15 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(new java.io.File(root, "data").list().length == filesBefore,
       "a refused INSERT staged files")
 
+    // positional INSERT: literal VALUES carry no names — the engine's
+    // output resolution renames them to the table attributes before
+    // the write's name-set validation sees them
+    spark.sql(
+      "INSERT INTO spec_tx.db.t VALUES (900000001, 7, 1.25)")
+    assert(spark.sql("SELECT o_custkey FROM spec_tx.db.t " +
+      "WHERE o_orderkey = 900000001").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+
     // VERSION AS OF in plain SQL: v2 = first insert only
     assert(rows(spark.sql(
       "SELECT * FROM spec_tx.db.t VERSION AS OF 2")) ==
