@@ -105,6 +105,27 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
     new TxTableTable(schema, Some(root), Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF`: micros → the LATEST version whose manifest
+    * file was committed at or before that instant — the manifest's
+    * mtime IS the commit time (the hardlink lands it once, nothing
+    * rewrites it), so timestamp travel needs no format change; Delta
+    * maps timestamps to commit-file modification times the same way. */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) noSuchTable(ident)
+    val tsMillis = timestampMicros / 1000L
+    val vs = TxTable.versions(root)
+    val at = vs.filter { v =>
+      new java.io.File(s"$root/_txlog/v$v").lastModified() <= tsMillis
+    }
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF precedes every retained commit of " +
+        s"${ident.name} (earliest retained: v${vs.headOption
+          .getOrElse(0)})")
+    loadTable(ident, at.max.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])
       : Table = {

@@ -1397,6 +1397,22 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(rows(spark.sql(
       "SELECT * FROM spec_tx.db.t VERSION AS OF 2")) ==
       rows(orders.filter(col("o_orderkey") % 3 === 0)))
+    // TIMESTAMP AS OF: the manifest file's mtime IS the commit time —
+    // an instant just after v2 landed resolves to v2
+    val t2 = new java.io.File(s"$root/_txlog/v2").lastModified()
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli(t2))
+    assert(rows(spark.sql(
+      s"SELECT * FROM spec_tx.db.t TIMESTAMP AS OF '$iso'")) ==
+      rows(orders.filter(col("o_orderkey") % 3 === 0)),
+      "TIMESTAMP AS OF did not resolve to the commit at that instant")
+    // an instant before the table existed fails loudly
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM spec_tx.db.t " +
+        "TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }.getMessage != null)
     // a pinned table refuses writes
     val pinnedWrite = intercept[Exception] {
       spark.sql("""INSERT INTO spec_tx.db.t VERSION AS OF 2
