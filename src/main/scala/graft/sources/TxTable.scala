@@ -99,10 +99,19 @@ object TxTable {
     new String(java.util.Base64.getDecoder.decode(v),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Column names are emitted RAW between ','-separated fields, so a
+    * name containing a separator (legal in parquet; reachable via
+    * externally-staged files even though Spark's writer refuses such
+    * names) could produce an undecodable field. Stats are advisory —
+    * drop that column's entry instead (it simply never prunes). */
+  private def statsSafeName(c: String): Boolean =
+    !c.exists(ch => ch == ',' || ch == '\t' || ch == '\n' || ch == '\r')
+
   private def encodeStatsLine(path: String, fs: FileStats): String = {
-    val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-      s"$c,${cs.t},${b64e(cs.min)},${b64e(cs.max)}"
-    }
+    val cols = fs.cols.toSeq.filter(e => statsSafeName(e._1))
+      .sortBy(_._1).map { case (c, cs) =>
+        s"$c,${cs.t},${b64e(cs.min)},${b64e(cs.max)}"
+      }
     (Seq("#s", path, fs.rows.toString) ++ cols).mkString("\t")
   }
 
@@ -141,8 +150,13 @@ object TxTable {
       }.toMap
     import scala.jdk.CollectionConverters._
     val body = lines.asScala.toSeq.tail.filter(_.nonEmpty)
+    // stats are ADVISORY: a malformed stats line (a historical commit
+    // written before a codec guard, or hand-edited) degrades to
+    // no-stats-for-that-file — it must never make the manifest
+    // unreadable (the file list above is the table's source of truth)
     Manifest(v, props, body.filterNot(_.startsWith("#")),
-      body.filter(_.startsWith("#s\t")).map(decodeStatsLine).toMap)
+      body.filter(_.startsWith("#s\t"))
+        .flatMap(l => scala.util.Try(decodeStatsLine(l)).toOption).toMap)
   }
 
   /** Attempt to land version `v`. Write-tmp + atomic hardlink-create:
@@ -875,12 +889,19 @@ object TxTable {
           case ">=" => mx >= l
         }
       }.toOption
+      // parquet binary stats are ordered by UNSIGNED UTF-8 bytes; JVM
+      // String order (UTF-16 code units) disagrees for supplementary-
+      // plane characters, so comparing in String order could wrongly
+      // prune a file that holds a matching row — compare bytes unsigned
+      def u8(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       def str: Boolean = op match {
-        case "=" => cs.min <= lv && lv <= cs.max
-        case "<" => cs.min < lv
-        case "<=" => cs.min <= lv
-        case ">" => cs.max > lv
-        case ">=" => cs.max >= lv
+        case "=" => u8(cs.min, lv) <= 0 && u8(lv, cs.max) <= 0
+        case "<" => u8(cs.min, lv) < 0
+        case "<=" => u8(cs.min, lv) <= 0
+        case ">" => u8(cs.max, lv) > 0
+        case ">=" => u8(cs.max, lv) >= 0
       }
       (cs.t, kind) match {
         case ("long" | "double", "num") => num.getOrElse(true)
@@ -994,17 +1015,30 @@ object TxTable {
     val (kept, all) = pruneDataFiles(m, pred)
     lastSkip.set((kept.size, all.size))
     val cmv = colMapOf(m)
+    // read KEPT files under the manifest-tracked schema when present
+    // (mirrors snapshotCore): a pruned-file read must not re-infer its
+    // schema from one arbitrary surviving file — on a schema-evolved
+    // table that silently drops later-added columns, and on a
+    // type-promoted table mixed int32/int64 files mis-type. Legacy
+    // (pre-tblschema) tables fall back to a mergeSchema footer union
+    // so the kept subset still surfaces every column it carries.
+    def readFiles(fs: Seq[String]): DataFrame = {
+      val rd0 = s.read.option("basePath", s"$root/data")
+      schemaOf(m) match {
+        case Some(st) => rd0.schema(st).parquet(fs.map(f => s"$root/$f"): _*)
+        case None => rd0.option("mergeSchema", true)
+          .parquet(fs.map(f => s"$root/$f"): _*)
+      }
+    }
     if (all.isEmpty) snapshot(s, root, v).filter(pred)
     else if (kept.isEmpty) {
       // every file provably predicate-free: zero rows, real schema
-      val schema = applyColMap(s.read.option("basePath", s"$root/data")
-        .parquet(all.map(f => s"$root/$f"): _*), cmv).schema
+      val schema = applyColMap(readFiles(all), cmv).schema
       s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema)
     } else {
-      val raw = s.read.option("basePath", s"$root/data")
-        .parquet(kept.map(f => s"$root/$f"): _*)
+      val raw = readFiles(kept)
       val applied =
         if (dvs.isEmpty) applyColMap(raw, cmv)
         else applyDeletes(s, root, applyColMap(withAddressCols(raw), cmv),
@@ -1019,30 +1053,71 @@ object TxTable {
     * after drop) writes under a fresh `<name>__r<version>` physical
     * name registered in the same commit — dropped data never
     * resurrects. */
+  /** Thrown by the append paths' metadata conflict check when a
+    * rename/drop/promote landed between schema planning and the winning
+    * OCC attempt — the staged files carry the PLANNED physical names
+    * and merged schema, so committing their props would silently revert
+    * the concurrent metadata commit. The append catches it, discards
+    * its staged files, and replans against the new metadata. */
+  private class MetaRaceRetry extends RuntimeException(
+    "txtable append: schema/column-mapping changed under the planned " +
+      "write — replanning")
+
+  private def schemaMetaOf(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else readManifest(root, v).props.filter {
+      case (k, _) => SchemaProps(k)
+    }
+
   private[graft] def append(s: SparkSession, root: String, df: DataFrame,
       extraProps: Map[String, String] = Map.empty): Int = {
-    val v = currentVersion(root)
-    val cm = if (v == 0) None else colMapOf(readManifest(root, v))
-    val (phys, cmProps) = cm match {
-      case None => (df, Map.empty[String, String])
-      case Some(m) =>
-        val fresh = df.columns.toSeq.filter(c =>
-          !m.logToPhys.contains(c) && m.droppedPhys.contains(c))
-        val m2 =
-          if (fresh.isEmpty) m
-          else m.copy(renames =
-            m.renames ++ fresh.map(c => c -> s"${c}__r${v + 1}"))
-        (toPhysical(df, Some(m2)),
-          if (fresh.isEmpty) Map.empty[String, String]
-          else encodeColMapProps(m2))
+    // metadata-race replan loop (ADVICE r18): the schema/colmap props
+    // are computed from the CURRENT manifest, but commit runs its own
+    // OCC loop — without a check, a promote/rename landing in between
+    // would be silently reverted by these stale props. The check aborts
+    // the commit; this loop re-stages under the NEW metadata. Bounded:
+    // each retry means some other writer's METADATA commit won.
+    var round = 0
+    while (true) {
+      val v = currentVersion(root)
+      val planned = schemaMetaOf(root, v)
+      val cm = if (v == 0) None else colMapOf(readManifest(root, v))
+      val (phys, cmProps) = cm match {
+        case None => (df, Map.empty[String, String])
+        case Some(m) =>
+          val fresh = df.columns.toSeq.filter(c =>
+            !m.logToPhys.contains(c) && m.droppedPhys.contains(c))
+          val m2 =
+            if (fresh.isEmpty) m
+            else m.copy(renames =
+              m.renames ++ fresh.map(c => c -> s"${c}__r${v + 1}"))
+          (toPhysical(df, Some(m2)),
+            if (fresh.isEmpty) Map.empty[String, String]
+            else encodeColMapProps(m2))
+      }
+      // schema tracking: merge this append's physical schema into the
+      // recorded table schema (adds evolve, narrower numerics cast up,
+      // wider ones fail loudly pointing at promoteColumnType)
+      val (physCast, schemaProps) = withTblSchema(root, v, phys)
+      val added = writeData(s, root, physCast)
+      try {
+        return commitChecked(root, "append", _ ++ added,
+          extraProps ++ cmProps ++ schemaProps,
+          cur => {
+            val now = cur.filter { case (k, _) => SchemaProps(k) }
+            if (now != planned) throw new MetaRaceRetry
+          })
+      } catch {
+        case _: MetaRaceRetry =>
+          added.foreach(f => java.nio.file.Files.deleteIfExists(
+            new java.io.File(root, f).toPath): Unit)
+          round += 1
+          if (round >= 20) sys.error(
+            s"txtable append at $root lost 20 consecutive metadata " +
+              "races (rename/drop/promote storm) — giving up")
+      }
     }
-    // schema tracking: merge this append's physical schema into the
-    // recorded table schema (adds evolve, narrower numerics cast up,
-    // wider ones fail loudly pointing at promoteColumnType)
-    val (physCast, schemaProps) = withTblSchema(root, v, phys)
-    val added = writeData(s, root, physCast)
-    commit(root, "append", _ ++ added,
-      extraProps ++ cmProps ++ schemaProps)
+    -1 // unreachable
   }
 
   /** Append commit of a PARTITIONED drop (round 18, VERDICT r17 item
@@ -1061,13 +1136,35 @@ object TxTable {
   private[graft] def appendPartitioned(s: SparkSession, root: String,
       df: DataFrame, partCol: String,
       extraProps: Map[String, String] = Map.empty): Int = {
-    val v = currentVersion(root)
-    val cm = if (v == 0) None else colMapOf(readManifest(root, v))
-    val physPart = cm.flatMap(_.logToPhys.get(partCol)).getOrElse(partCol)
-    val (physCast, schemaProps) =
-      withTblSchema(root, v, toPhysical(df, cm))
-    val added = stagePartitioned(s, root, physCast, physPart)
-    commit(root, "append", _ ++ added, extraProps ++ schemaProps)
+    // same metadata-race replan loop as [[append]] (ADVICE r18)
+    var round = 0
+    while (true) {
+      val v = currentVersion(root)
+      val planned = schemaMetaOf(root, v)
+      val cm = if (v == 0) None else colMapOf(readManifest(root, v))
+      val physPart =
+        cm.flatMap(_.logToPhys.get(partCol)).getOrElse(partCol)
+      val (physCast, schemaProps) =
+        withTblSchema(root, v, toPhysical(df, cm))
+      val added = stagePartitioned(s, root, physCast, physPart)
+      try {
+        return commitChecked(root, "append", _ ++ added,
+          extraProps ++ schemaProps,
+          cur => {
+            val now = cur.filter { case (k, _) => SchemaProps(k) }
+            if (now != planned) throw new MetaRaceRetry
+          })
+      } catch {
+        case _: MetaRaceRetry =>
+          added.foreach(f => java.nio.file.Files.deleteIfExists(
+            new java.io.File(root, f).toPath): Unit)
+          round += 1
+          if (round >= 20) sys.error(
+            s"txtable appendPartitioned at $root lost 20 consecutive " +
+              "metadata races — giving up")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Partition-preserving staging core behind [[appendPartitioned]] and
@@ -2259,16 +2356,27 @@ object TxTable {
     * LayoutSpec pins VERSION AS OF time-travel SQL, engine-side INSERT
     * validation, DROP/list, and the ALTER refusal. Oracle: recompute
     * of both inserted eras. */
-  def qTableSql(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val inv = commitInvocations.computeIfAbsent(s"sql_$tag",
-      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-    val wh = graft.Scratch.dir("txtable", s"sqlcat_${tag}_i$inv")
+  /** Register the `graft_tx` catalog over ONE session-stable warehouse.
+    * Spark's CatalogManager caches the plugin instance per name and
+    * `initialize` reads `warehouse` ONCE — a per-invocation warehouse
+    * conf is dead after the first call (the r18 driver bench's rerun
+    * pass proved it: the second invocation still pointed at the first
+    * warehouse and CREATE threw TABLE_OR_VIEW_ALREADY_EXISTS). So the
+    * warehouse is a fixed scratch root and each key DROPs its tables
+    * before CREATE — re-invocation-safe, and scratch is bounded because
+    * DROP deletes the table directory. */
+  private[graft] def sqlCatalog(s: SparkSession): Unit = {
+    val wh = graft.Scratch.dir("txtable", "sqlcat_warehouse")
     new java.io.File(wh).mkdirs()
     s.conf.set("spark.sql.catalog.graft_tx",
       classOf[graft.streaming.TxTableCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_tx.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tx.db")
+  }
+
+  def qTableSql(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.orders_t")
     s.sql("""CREATE TABLE graft_tx.db.orders_t
             |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
             |""".stripMargin)
@@ -2281,10 +2389,6 @@ object TxTable {
     s.sql("""INSERT INTO graft_tx.db.orders_t
             |SELECT * FROM graft_sql_src WHERE o_orderkey % 3 = 1
             |""".stripMargin)
-    if (inv > 2) {
-      graft.Scratch.deleteRec(new java.io.File(
-        graft.Scratch.dir("txtable", s"sqlcat_${tag}_i${inv - 2}")))
-    }
     s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
             |FROM graft_tx.db.orders_t ORDER BY o_orderkey""".stripMargin)
   }

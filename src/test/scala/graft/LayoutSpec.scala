@@ -1444,6 +1444,130 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     }.getMessage != null)
   }
 
+  test("snapshotWhere reads kept files under the manifest-tracked " +
+      "schema: identical to snapshot().filter across schema evolution " +
+      "and type promotion (ADVICE r18)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.Scratch.dir("txtable", "spec_swschema")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark,
+      root, Seq((1, 10.0f), (2, 20.0f)).toDF("k", "x"))
+    // promote int→bigint, float→double: old files stay narrow on disk
+    sources.TxTable.promoteColumnType(spark, root, "k", "bigint")
+    sources.TxTable.promoteColumnType(spark, root, "x", "double")
+    // evolve: a later append adds column `lang` — the first file
+    // physically lacks it
+    sources.TxTable.append(spark,
+      root, Seq((3L, 30.0, "en"), (4L, 40.0, "de")).toDF("k", "x", "lang"))
+    val pred = col("k") <= 3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    val full = sources.TxTable.snapshot(spark, root).filter(pred)
+    val pruned = sources.TxTable.snapshotWhere(spark, root, pred)
+    assert(pruned.schema == full.schema,
+      s"pruned-read schema drifted: ${pruned.schema.catalogString} vs " +
+        full.schema.catalogString)
+    assert(rows(pruned) == rows(full))
+    // the all-pruned branch serves the SAME (evolved, promoted) schema
+    val none = sources.TxTable.snapshotWhere(spark, root, col("k") > 99)
+    assert(none.schema == full.schema && none.count() == 0)
+  }
+
+  test("append replans when a metadata commit (promote) lands between " +
+      "schema planning and the OCC commit — the promotion is NOT " +
+      "reverted by the append's stale props (ADVICE r18)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.Scratch.dir("txtable", "spec_metarace")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark, root, Seq((1, 5)).toDF("k", "v"))
+    // a UDF that fires a CONCURRENT promote while the append is staging
+    // its files — i.e. after the append planned its schema props but
+    // before its commit attempt (local mode: the UDF runs in-JVM)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sneak = udf { (x: Int) =>
+      if (fired.compareAndSet(false, true)) {
+        sources.TxTable.promoteColumnType(spark, root, "v", "bigint"): Unit
+      }
+      x
+    }
+    val df = Seq((2, 7)).toDF("k", "v")
+      .withColumn("v", sneak(col("v")).cast("int"))
+    sources.TxTable.append(spark, root, df)
+    val m = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    val schema = sources.TxTable.schemaOf(m).get
+    assert(schema("v").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "append's stale schema props reverted the concurrent promotion")
+    val got = sources.TxTable.snapshot(spark, root)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(1L, 5L), Seq(2L, 7L))
+      .map(_.map(_.asInstanceOf[Any])) ||
+      got.map(_.map(_.toString)) ==
+        Seq(Seq("1", "5"), Seq("2", "7")))
+  }
+
+  test("string pruning compares parquet stats in unsigned UTF-8 order, " +
+      "not JVM UTF-16 order: supplementary-plane values are never " +
+      "wrongly pruned (ADVICE r18)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.Scratch.dir("txtable", "spec_u8prune")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    // one file holding only a supplementary-plane value: UTF-16 order
+    // says "😀" < "�" (surrogate 0xD83D < 0xFFFD), but
+    // Spark/parquet binary order says the opposite (UTF-8 F0 9F … >
+    // EF BF BD) — pruning in String order would drop the matching file
+    sources.TxTable.append(spark, root,
+      Seq(("😀", 1L)).toDF("s", "n"))
+    sources.TxTable.append(spark, root,
+      Seq(("aaa", 2L)).toDF("s", "n"))
+    val pred = col("s") > "�"
+    val expect = sources.TxTable.snapshot(spark, root).filter(pred).count()
+    assert(expect == 1L, "Spark's own binary order keeps the emoji row")
+    assert(sources.TxTable.snapshotWhere(spark, root, pred).count() ==
+      expect, "unsound pruning: stats skipping dropped a matching file")
+  }
+
+  test("a malformed manifest stats line degrades to no-stats instead " +
+      "of poisoning the table (ADVICE r18)") {
+    import spark.implicits._
+    val root = graft.Scratch.dir("txtable", "spec_badstats")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    sources.TxTable.append(spark, root, Seq((1, "a")).toDF("k", "s"))
+    val v = sources.TxTable.currentVersion(root)
+    val mf = new java.io.File(root, s"_txlog/v$v").toPath
+    // simulate a stats field whose min token is not valid base64 (the
+    // shape a separator-bearing column name would have produced)
+    java.nio.file.Files.write(mf,
+      "\n#s\tdata/zzz.parquet\t1\tbad,name,!!notb64!!,alsobad"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND): Unit
+    val m = sources.TxTable.readManifest(root, v)
+    assert(m.files.nonEmpty, "file list must survive a bad stats line")
+    assert(!m.stats.contains("data/zzz.parquet"),
+      "malformed stats line should be dropped, not decoded")
+    // the table stays fully readable
+    assert(sources.TxTable.snapshot(spark, root).count() == 1L)
+  }
+
+  test("qTableSql is re-invocation-safe: the catalog instance caches " +
+      "its first warehouse, so a second same-session invocation must " +
+      "still succeed (DROP-then-CREATE over one stable warehouse)") {
+    // the r18 driver bench's rerun pass hit TABLE_OR_VIEW_ALREADY_EXISTS
+    // here — the per-invocation warehouse conf was dead after the first
+    // call because TxTableCatalog.initialize reads `warehouse` once
+    val r1 = sources.TxTable.qTableSql(spark, sf0001).collect()
+    val r2 = sources.TxTable.qTableSql(spark, sf0001).collect()
+    assert(r1.length > 0 && r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
   test("TxTable DSv2 batch read: a partition predicate plans exactly " +
       "the matching partition's files and the partition column " +
       "re-derives from the path") {
