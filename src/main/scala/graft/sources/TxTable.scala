@@ -531,7 +531,7 @@ object TxTable {
     * and vacuum-proof instead of an O(versions) scan over retained
     * manifests). */
   private val ColMapProps: Set[String] =
-    Set("colmap", "colmapdrop", "lastbatch", "tblschema")
+    Set("colmap", "colmapdrop", "lastbatch", "tblschema", "partcol")
 
   /** The subset of inherited props that define what a WRITE plans
     * against (names + types). A DSv2 write captures these at build and
@@ -756,13 +756,30 @@ object TxTable {
     * schema as the inherited `tblschema` prop — the table is readable
     * (empty, real schema), appendable by every surface, and cost one
     * manifest write regardless of eventual size. */
-  private[graft] def createEmpty(root: String, schema: StructType): Int = {
+  private[graft] def createEmpty(root: String, schema: StructType,
+      partCol: Option[String] = None): Int = {
     init(root)
     require(currentVersion(root) == 0,
       s"createEmpty: $root already has commits")
+    partCol.foreach { c =>
+      requireIdent(c)
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the declared schema " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+    }
     commit(root, "create", _ => Nil,
-      encodeSchemaProp(mergeTblSchema(StructType(Nil), schema)))
+      encodeSchemaProp(mergeTblSchema(StructType(Nil), schema)) ++
+        partCol.map("partcol" -> _))
   }
+
+  /** The table's PHYSICAL partition column: the `partcol` prop when the
+    * table was created with declared partitioning (a SQL
+    * `PARTITIONED BY` create — the prop is what lets an EMPTY
+    * partitioned table route its first write), falling back to the
+    * layout-derived column for tables partitioned by their first
+    * [[appendPartitioned]]. */
+  private[graft] def partitionColumn(m: Manifest): Option[String] =
+    m.props.get("partcol").orElse(partColOf(dataEntries(m.files)))
 
   /** ALTER COLUMN TYPE as an O(1) metadata-only commit: the declared
     * schema widens (int→bigint, float→double — [[promotable]]), zero
@@ -794,6 +811,46 @@ object TxTable {
       prev
     }, encodeSchemaProp(StructType(cur.fields.map(f =>
       if (f.name == phys) f.copy(dataType = tgt) else f))))
+  }
+
+  /** ALTER TABLE ADD COLUMN as a metadata-only commit (round 19): the
+    * declared schema gains a nullable column, zero data files are
+    * touched, and every existing file NULL-backfills it on read (the
+    * same add-column evolution contract as an append that introduces
+    * the column — this is just the column arriving before any data
+    * does). A logical name colliding with a TOMBSTONED physical name
+    * (re-add after drop) registers a fresh `<name>__r<version>`
+    * physical name in the same commit, so dropped data never
+    * resurrects — mirroring [[append]]'s re-add discipline. */
+  private[graft] def addColumn(root: String, name: String,
+      dt: DataType): Int = {
+    requireIdent(name)
+    val v = currentVersion(root)
+    require(v > 0, s"no committed version at $root")
+    val m = readManifest(root, v)
+    val cur = schemaOf(m).getOrElse(sys.error(
+      s"ADD COLUMN needs schema-tracking metadata at $root (table " +
+        "predates tblschema or was staged externally) — add the column " +
+        "via an append instead"))
+    val visible = inferLogicalSchema(root, v).get.fieldNames.toSet
+    require(!visible.contains(name),
+      s"column '$name' already exists in ${visible.toSeq.sorted}")
+    val cm = colMapOf(m)
+    val tombstoned = cm.exists(_.droppedPhys.contains(name)) ||
+      cur.fieldNames.contains(name)
+    val phys = if (tombstoned) s"${name}__r${v + 1}" else name
+    val cmProps =
+      if (!tombstoned) Map.empty[String, String]
+      else {
+        val base = cm.getOrElse(ColMapping(Nil, Nil))
+        encodeColMapProps(base.copy(renames = base.renames :+ (name -> phys)))
+      }
+    commit(root, "addcol", { prev =>
+      require(prev == m.files,
+        s"concurrent commit during ADD COLUMN at $root — retry")
+      prev
+    }, encodeSchemaProp(StructType(cur.fields :+
+      org.apache.spark.sql.types.StructField(phys, dt))) ++ cmProps)
   }
 
   /** The table's partition column, derived from its data entries
@@ -2393,7 +2450,109 @@ object TxTable {
             |FROM graft_tx.db.orders_t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q_table_sql_dml — SQL row-level DML end-to-end (round 19): UPDATE
+    * (group-based copy-on-write rewrite of only the stats-matching
+    * files), DELETE FROM (the metadata fast path — a position-delete
+    * commit, zero rewrites, because the predicate converts to source
+    * filters), and MERGE INTO (matched updates + unmatched inserts as
+    * ONE atomic commit), all through [[graft.streaming
+    * .TxRowLevelOperationBuilder]]'s group-based row-level hooks and
+    * [[graft.streaming.TxTableTable]]'s SupportsDelete. Oracle:
+    * recompute of the final state. LayoutSpec pins the per-command
+    * mechanics (op names, fast-path vs rewrite, file pruning). */
+  def qTableSqlDml(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.dml_t")
+    s.sql("""CREATE TABLE graft_tx.db.dml_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sqldml_src")
+    s.sql("INSERT INTO graft_tx.db.dml_t " +
+      "SELECT * FROM graft_sqldml_src")
+    // UPDATE: exact binary +1.0 (hash-stable across engines)
+    s.sql("""UPDATE graft_tx.db.dml_t
+            |SET o_totalprice = o_totalprice + 1.0
+            |WHERE o_orderkey % 4 = 1""".stripMargin)
+    // DELETE: fully filter-convertible → the DV fast path
+    s.sql("DELETE FROM graft_tx.db.dml_t WHERE o_custkey < 100")
+    // MERGE: matched rows take the source payload, unmatched insert
+    s.sql("""CREATE OR REPLACE TEMP VIEW graft_sqldml_merge AS
+            |SELECT o_orderkey, o_custkey,
+            |       CAST(-1.0 AS DOUBLE) AS o_totalprice
+            |FROM graft_sqldml_src WHERE o_orderkey % 6 = 0
+            |""".stripMargin)
+    s.sql("""MERGE INTO graft_tx.db.dml_t t USING graft_sqldml_merge m
+            |ON t.o_orderkey = m.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_totalprice = m.o_totalprice
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_tx.db.dml_t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q_table_sql_alter — SQL ALTER TABLE as the library's metadata-only
+    * evolution commits (round 19): RENAME COLUMN (colmap commit),
+    * ALTER COLUMN TYPE int→bigint (O(1) promote; pre-promotion files
+    * read-widened), ADD COLUMN (NULL-backfilled), with an INSERT on
+    * each side of the evolution. Zero data files are touched by any
+    * ALTER — LayoutSpec pins the manifests. Oracle: recompute with the
+    * post-evolution names and types. */
+  def qTableSqlAlter(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.alter_t")
+    s.sql("""CREATE TABLE graft_tx.db.alter_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, units INT)
+            |""".stripMargin)
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .createOrReplaceTempView("graft_sqlalter_src")
+    s.sql("""INSERT INTO graft_tx.db.alter_t
+            |SELECT o_orderkey, o_custkey,
+            |       CAST(o_orderkey % 1000 AS INT)
+            |FROM graft_sqlalter_src WHERE o_orderkey % 2 = 0
+            |""".stripMargin)
+    s.sql("ALTER TABLE graft_tx.db.alter_t RENAME COLUMN o_custkey " +
+      "TO cust")
+    s.sql("ALTER TABLE graft_tx.db.alter_t ALTER COLUMN units " +
+      "TYPE BIGINT")
+    s.sql("ALTER TABLE graft_tx.db.alter_t ADD COLUMN note STRING")
+    s.sql("""INSERT INTO graft_tx.db.alter_t
+            |SELECT o_orderkey, o_custkey,
+            |       CAST(o_orderkey % 1000 AS BIGINT),
+            |       concat('n', o_orderkey)
+            |FROM graft_sqlalter_src WHERE o_orderkey % 2 = 1
+            |""".stripMargin)
+    s.sql("""SELECT o_orderkey, cust, units, note
+            |FROM graft_tx.db.alter_t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q_table_ctas — CREATE TABLE AS SELECT with PARTITIONED BY through
+    * the catalog (round 19): the CTAS payload routes per-task into
+    * `data/<col>=<v>/` directories via the DSv2 partitioned writer
+    * (clustered write distribution), and the final partition-predicate
+    * SELECT plans only the matching partitions' files (path-segment
+    * min=max stats — partition pruning IS stats skipping). Oracle:
+    * recompute of the selected partitions. */
+  def qTableCtas(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.ctas_t")
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sqlctas_src")
+    s.sql("""CREATE TABLE graft_tx.db.ctas_t PARTITIONED BY (bucket) AS
+            |SELECT o_orderkey, o_custkey, o_totalprice,
+            |       CAST(o_orderkey % 8 AS INT) AS bucket
+            |FROM graft_sqlctas_src""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, bucket
+            |FROM graft_tx.db.ctas_t WHERE bucket IN (2, 5)
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_sql_dml" -> (qTableSqlDml _),
+    "q_table_sql_alter" -> (qTableSqlAlter _),
+    "q_table_ctas" -> (qTableCtas _),
     "q_table_sql" -> (qTableSql _),
     "q_table_stream_sink" -> (qTableStreamSink _),
     "q_table_cluster" -> (qTableCluster _),
@@ -2414,6 +2573,34 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_sql_dml" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 4 = 1
+        |              THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders),
+        |kept AS (SELECT * FROM upd WHERE o_custkey >= 100)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 6 = 0 THEN -1.0 ELSE p END
+        |         AS o_totalprice
+        |FROM kept
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice
+        |FROM upd WHERE o_orderkey % 6 = 0 AND o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_sql_alter" ->
+      """SELECT o_orderkey, o_custkey AS cust,
+        |       CAST(o_orderkey % 1000 AS BIGINT) AS units,
+        |       CASE WHEN o_orderkey % 2 = 1
+        |            THEN 'n' || CAST(o_orderkey AS VARCHAR)
+        |            ELSE NULL END AS note
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_table_ctas" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(o_orderkey % 8 AS INT) AS bucket
+        |FROM orders WHERE CAST(o_orderkey % 8 AS INT) IN (2, 5)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_sql" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)

@@ -60,7 +60,9 @@ import graft.sources.TxTable
   */
 private[streaming] class TxTableScanBuilder(declared: StructType,
     root: String, versionAsOf: Option[Int], skipChange: Boolean,
-    maxVersions: Int, startingVersion: Option[String])
+    maxVersions: Int, startingVersion: Option[String],
+    startingTimestamp: Option[String] = None,
+    recorder: Option[TxRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -81,7 +83,8 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
     required = requiredSchema
 
   override def build(): Scan = new TxTableScan(required, pushed, root,
-    versionAsOf, skipChange, maxVersions, startingVersion)
+    versionAsOf, skipChange, maxVersions, startingVersion,
+    startingTimestamp, recorder)
 }
 
 /** One Scan serving both read modes: `toBatch` plans the (possibly
@@ -89,7 +92,9 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   * subscribes to the commit log (round 17's source, unchanged). */
 private[streaming] class TxTableScan(required: StructType,
     pushed: Array[sources.Filter], root: String, versionAsOf: Option[Int],
-    skipChange: Boolean, maxVersions: Int, startingVersion: Option[String])
+    skipChange: Boolean, maxVersions: Int, startingVersion: Option[String],
+    startingTimestamp: Option[String] = None,
+    recorder: Option[TxRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -97,7 +102,7 @@ private[streaming] class TxTableScan(required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new TxTableMicroBatchStream(required, root, skipChange, maxVersions,
-      startingVersion)
+      startingVersion, startingTimestamp)
 
   private lazy val readVersion: Int =
     versionAsOf.getOrElse(TxTable.currentVersion(root))
@@ -122,43 +127,64 @@ private[streaming] class TxTableScan(required: StructType,
   }
 
   /** One kept data file → one partition, carrying the read version's
-    * column mapping and the file's own position-delete ordinals
-    * (commit-bounded, sorted — the reader skips them while iterating,
-    * the Iceberg per-file delete-vector hand-off). */
+    * column mapping and the PATHS of the position-delete files whose
+    * fname range may address it (footer min/max, driver-side metadata
+    * only) — the reader opens those files EXECUTOR-SIDE and skips the
+    * matching ordinals while iterating (round 19, VERDICT r18 item 6:
+    * the Iceberg shape of shipping delete-file paths per InputPartition
+    * instead of collecting every (fname, pos) address to the driver —
+    * a month of un-compacted GDPR deletes no longer inflates driver
+    * memory or task binaries). */
   override def planInputPartitions(): Array[InputPartition] = {
     require(!required.fieldNames.contains("_commit_version"),
       "_commit_version is the streaming CDF column; a batch snapshot " +
         "read has no per-row commit provenance — drop it from the " +
         "schema or use readStream")
     manifest match {
-      case None => Array.empty
+      case None =>
+        recorder.foreach(_.planned =
+          Some(TxPlannedGroups(readVersion, Nil, Nil)))
+        Array.empty
       case Some(m) =>
         val (kept, _) = pruned
+        // row-level ops (round 19): the files this scan PLANS are the
+        // GROUPS the companion ReplaceData write must replace — record
+        // them (plus the version and DV set the recomputation read, for
+        // the commit-time conflict checks) on the shared operation
+        recorder.foreach(_.planned = Some(TxPlannedGroups(readVersion,
+          kept, TxTable.deleteEntries(m.files))))
         val logToPhys = TxTable.colMapOf(m)
           .map(_.logToPhys).getOrElse(Map.empty[String, String])
         kept.map { f =>
           val fname = f.substring(f.lastIndexOf('/') + 1)
+          val covering = dvRanges.collect {
+            case (dvPath, range, _)
+                if range.forall { case (mn, mx) =>
+                  mn <= fname && fname <= mx } => dvPath
+          }
           TxFilePartition(readVersion, s"$root/$f", logToPhys,
-            dvByFile.getOrElse(fname, TxFilePartition.NoDeletes))
+            dvFiles = covering)
         }.toArray[InputPartition]
     }
   }
 
-  /** The snapshot's position deletes grouped per target file, sorted by
-    * ordinal. Driver-side and commit-bounded by the same argument as
-    * the manifest itself: a delete vector is KBs of addresses (that is
-    * the point of merge-on-read), and compaction materializes it away.
-    * Cached — planning and statistics estimation share one read. */
-  private lazy val dvByFile: Map[String, Array[Long]] = manifest match {
-    case None => Map.empty
+  /** Per delete file: absolute path, the fname [min, max] its footer
+    * stats cover (None = stats unreadable — the file then covers
+    * everything, sound by omission), and its row count. FOOTER METADATA
+    * ONLY, never rows: the driver plans which delete files each scan
+    * partition must consult; the addresses themselves are read
+    * executor-side by the partition reader. Cached — planning and
+    * statistics estimation share one read. */
+  private lazy val dvRanges
+      : Seq[(String, Option[(String, String)], Long)] = manifest match {
+    case None => Nil
     case Some(m) =>
-      val dvs = TxTable.deleteEntries(m.files)
-      if (dvs.isEmpty) Map.empty
-      else SparkSession.active.read
-        .parquet(dvs.map(f => s"$root/$f"): _*)
-        .select("fname", "pos").collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+      TxTable.deleteEntries(m.files).map { f =>
+        val st = scala.util.Try(TxTable.computeStats(root, f)).toOption
+        (s"$root/$f",
+          st.flatMap(_.cols.get("fname").map(c => (c.min, c.max))),
+          st.map(_.rows).getOrElse(0L))
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -175,11 +201,21 @@ private[streaming] class TxTableScan(required: StructType,
       val st = kept.map(mf.stats.get)
       if (st.exists(_.isEmpty)) None
       else {
-        // subtract only the PLANNED files' delete ordinals — a pruned
-        // file's deletes never reduce what this scan produces
-        val dvDeleted = kept
-          .map(f => f.substring(f.lastIndexOf('/') + 1))
-          .map(fn => dvByFile.get(fn).fold(0L)(_.length.toLong)).sum
+        // subtract delete ordinals that PROVABLY target planned files —
+        // from footer metadata alone (fname ranges), never materialized
+        // addresses: when every data file is planned all DV rows
+        // subtract; otherwise only single-target DV files whose target
+        // is planned. A multi-target DV over a pruned set stays
+        // unsubtracted (estimate errs high, which only makes join
+        // sizing conservative).
+        val keptNames = kept
+          .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val allPlanned = kept.size == pruned._2.size
+        val dvDeleted = dvRanges.collect {
+          case (_, _, n) if allPlanned => n
+          case (_, Some((mn, mx)), n)
+              if mn == mx && keptNames(mn) => n
+        }.sum
         Some(st.flatten.map(_.rows).sum - dvDeleted)
       }
     }
@@ -246,18 +282,44 @@ private[streaming] class TxTableWriteBuilder(root: String,
     new TxTableBatchWrite(root, querySchema, overwrite)
 }
 
-private[streaming] case class TxFileCommitMessage(name: String)
+/** Names of the files ONE task staged and made visible at task commit.
+  * A flat-table task stages exactly one; a partitioned task stages one
+  * per distinct partition value it saw (the clustered distribution
+  * keeps that near 1). */
+private[streaming] case class TxFileCommitMessage(names: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[streaming] class TxTableBatchWrite(root: String,
     querySchema: StructType, overwrite: Boolean)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
-    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
-  import org.apache.spark.sql.types.StructField
 
   override def toBatch: BatchWrite = this
+
+  /** PARTITIONED targets (round 19, VERDICT r18 item 5): cluster the
+    * incoming query by the partition column so each task sees (near)
+    * one partition value and stages (near) one file per partition —
+    * the dynamic-partition write discipline. Flat tables require
+    * nothing. Non-strict: a distribution miss costs extra files, never
+    * correctness (the writer routes rows per-task regardless). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    plan.partLogical match {
+      case Some(c) => org.apache.spark.sql.connector.distributions
+        .Distributions.clustered(Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c)))
+      case None => org.apache.spark.sql.connector.distributions
+        .Distributions.unspecified()
+    }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
 
   // both parent traits default-define this; Scala requires the diamond
   // be resolved explicitly (same semantics: tasks commit via the
@@ -277,20 +339,18 @@ private[streaming] class TxTableBatchWrite(root: String,
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!overwrite,
       "txtable streaming sink supports append output mode only")
-    fields: Unit // force plan-time validation at stream start
+    plan: Unit // force plan-time validation at stream start
     this
   }
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
-    TxTableStreamWriterFactory(root,
-      StructType(fields.map { case (p, _, d) => StructField(p, d) }),
-      StructType(fields.map { case (p, q, _) => StructField(p, q) }))
+    TxTableStreamWriterFactory(plan)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     TxTable.commitEpoch(root, epochId, messages.collect {
-      case TxFileCommitMessage(n) => n
-    }.toSeq.sorted, checkMeta): Unit
+      case TxFileCommitMessage(ns) => ns
+    }.toSeq.flatten.sorted, checkMeta): Unit
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
@@ -306,8 +366,8 @@ private[streaming] class TxTableBatchWrite(root: String,
     * ([[TxTable.commitChecked]]): the staged files carry the planned
     * physical names and declared types, so landing them under changed
     * metadata would silently drift the table. */
-  private var plannedMeta: Map[String, String] = Map.empty
-  private def checkMeta(cur: Map[String, String]): Unit = {
+  protected var plannedMeta: Map[String, String] = Map.empty
+  protected def checkMeta(cur: Map[String, String]): Unit = {
     val now = cur.filter { case (k, _) => TxTable.SchemaProps(k) }
     if (now != plannedMeta) sys.error(
       s"txtable DSv2 write to $root planned against a schema/column-" +
@@ -315,18 +375,25 @@ private[streaming] class TxTableBatchWrite(root: String,
         "— aborting instead of drifting the table; retry the write")
   }
 
-  private val fields: Seq[(String,
-      org.apache.spark.sql.types.DataType,
-      org.apache.spark.sql.types.DataType)] = {
+  /** Leading row fields the EXECUTED rows carry beyond info.schema().
+    * 0 for ordinary writes. Group-based row-level writes get 1: Spark's
+    * rewritten plan prepends an int `__row_operation` marker column
+    * (RowDeltaUtils.OPERATION_COLUMN) and only strips it via
+    * ReplaceDataProjections when the operation requests metadata
+    * attributes — with none requested, ReplaceDataExec.writingTask
+    * falls back to the plain DataWritingSparkTask and the marker
+    * reaches the writer. The marker is dispatch metadata (every
+    * ReplaceData row is new content), so the writer skips past it. */
+  protected def rowIndexOffset: Int = 0
+
+  protected lazy val plan: TxWritePlan = {
     val v = TxTable.currentVersion(root)
     require(v > 0, s"txtable DSv2 write needs an existing table at " +
-      s"$root — bootstrap with the library append (the CREATE-then-" +
-      "write flow), then df.write.format(\"txtable\") appends")
+      s"$root — bootstrap with the library append or a catalog " +
+      "CREATE TABLE [AS SELECT] (the CREATE-then-write flow), then " +
+      "df.write.format(\"txtable\") appends")
     val m = TxTable.readManifest(root, v)
     plannedMeta = m.props.filter { case (k, _) => TxTable.SchemaProps(k) }
-    require(TxTable.partColOf(TxTable.dataEntries(m.files)).isEmpty,
-      s"txtable DSv2 write targets flat tables; $root is partitioned — " +
-        "use TxTable.appendPartitioned")
     val declared = TxTable.inferLogicalSchema(root, v).getOrElse(
       sys.error(s"txtable DSv2 write needs a schema-tracking table at " +
         s"$root (no tblschema manifest prop) — bootstrap with the " +
@@ -338,34 +405,52 @@ private[streaming] class TxTableBatchWrite(root: String,
         s"match the table schema ${declNames.toSeq.sorted} exactly " +
         "(resolution is by name; add-column evolution is the library " +
         "append's job)")
-    val logToPhys = TxTable.colMapOf(m)
-      .map(_.logToPhys).getOrElse(Map.empty[String, String])
-    querySchema.fields.toSeq.map { qf =>
-      val dt = declared(qf.name).dataType
-      if (qf.dataType != dt && !TxTable.promotable(qf.dataType, dt))
-        sys.error(if (TxTable.promotable(dt, qf.dataType))
-          s"txtable DSv2 write widens column '${qf.name}' from " +
-            s"${dt.sql} to ${qf.dataType.sql}: promote the declared " +
-            "type first (promoteColumnType), so the widening is a " +
-            "visible commit"
-        else
-          s"txtable DSv2 write: column '${qf.name}' is " +
-            s"${qf.dataType.sql}, table declares ${dt.sql} — " +
-            "incompatible")
-      (logToPhys.getOrElse(qf.name, qf.name), qf.dataType, dt)
+    val cm = TxTable.colMapOf(m)
+    val logToPhys = cm.map(_.logToPhys).getOrElse(Map.empty[String, String])
+    // partitioned targets (round 19): the partition column routes rows
+    // to data/<col>=<v>/ directories instead of landing in the file
+    val physPart = TxTable.partitionColumn(m)
+    val partLogical = physPart.map(p =>
+      cm.flatMap(_.physToLog.get(p)).getOrElse(p))
+    val off = rowIndexOffset
+    val cols = querySchema.fields.toSeq.zipWithIndex.map {
+      case (qf, i0) =>
+        val i = i0 + off
+        val dt = declared(qf.name).dataType
+        if (qf.dataType != dt && !TxTable.promotable(qf.dataType, dt))
+          sys.error(if (TxTable.promotable(dt, qf.dataType))
+            s"txtable DSv2 write widens column '${qf.name}' from " +
+              s"${dt.sql} to ${qf.dataType.sql}: promote the declared " +
+              "type first (promoteColumnType), so the widening is a " +
+              "visible commit"
+          else
+            s"txtable DSv2 write: column '${qf.name}' is " +
+              s"${qf.dataType.sql}, table declares ${dt.sql} — " +
+              "incompatible")
+        TxWriteCol(i, logToPhys.getOrElse(qf.name, qf.name),
+          qf.dataType, dt)
     }
+    val (partCols, fileCols) = cols.partition(c =>
+      partLogical.contains(querySchema.fields(c.rowIdx - off).name))
+    partCols.headOption.foreach { pc =>
+      require(pc.incoming == org.apache.spark.sql.types.IntegerType ||
+        pc.incoming == org.apache.spark.sql.types.LongType ||
+        pc.incoming == org.apache.spark.sql.types.StringType,
+        s"txtable partition column '${partLogical.get}' must be " +
+          s"int/bigint/string, got ${pc.incoming.sql}")
+    }
+    TxWritePlan(root, fileCols, partCols.headOption, partLogical,
+      numFields = querySchema.fields.length + off)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    TxTableWriterFactory(root,
-      StructType(fields.map { case (p, _, d) => StructField(p, d) }),
-      StructType(fields.map { case (p, q, _) => StructField(p, q) }))
+    TxTableWriterFactory(plan)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect {
-      case TxFileCommitMessage(n) => n
-    }.toSeq.sorted
+      case TxFileCommitMessage(ns) => ns
+    }.toSeq.flatten.sorted
     if (overwrite)
       TxTable.commitChecked(root, "overwrite", _ => staged,
         Map.empty, checkMeta): Unit
@@ -376,31 +461,47 @@ private[streaming] class TxTableBatchWrite(root: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case TxFileCommitMessage(n) =>
+      case TxFileCommitMessage(ns) => ns.foreach { n =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(root, n)): Unit
+      }
       case _ => ()
     }
 }
 
-private[streaming] case class TxTableWriterFactory(root: String,
-    physSchema: StructType, inSchema: StructType)
+/** One query column's write shape: its ordinal in the incoming row,
+  * the PHYSICAL name it stages under, the incoming type (drives the
+  * row getter) and the declared type (what the file stores — a
+  * narrower incoming numeric widens executor-side). */
+private[streaming] case class TxWriteCol(rowIdx: Int, phys: String,
+    incoming: org.apache.spark.sql.types.DataType,
+    declared: org.apache.spark.sql.types.DataType)
+
+/** The validated write plan shipped to tasks: file columns (excluding
+  * the partition column — a partitioned file's column lives in its
+  * directory name, Spark-layout style) plus the optional partition
+  * routing column. */
+private[streaming] case class TxWritePlan(root: String,
+    fileCols: Seq[TxWriteCol], part: Option[TxWriteCol],
+    partLogical: Option[String], numFields: Int)
+
+private[streaming] case class TxTableWriterFactory(plan: TxWritePlan)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new TxTableDataWriter(root, physSchema, inSchema, partitionId, taskId)
+    new TxTableDataWriter(plan, partitionId, taskId)
 }
 
-private[streaming] case class TxTableStreamWriterFactory(root: String,
-    physSchema: StructType, inSchema: StructType)
+private[streaming] case class TxTableStreamWriterFactory(
+    plan: TxWritePlan)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new TxTableDataWriter(root, physSchema, inSchema, partitionId, taskId)
+    new TxTableDataWriter(plan, partitionId, taskId)
 }
 
 /** One task → one staged parquet file, written hidden
@@ -414,115 +515,193 @@ private[streaming] case class TxTableStreamWriterFactory(root: String,
   * types — a narrower numeric reads through its own getter and widens
   * here, so files stay type-uniform (the append write boundary's
   * cast-up, executor-side). */
-private[streaming] class TxTableDataWriter(root: String,
-    physSchema: StructType, inSchema: StructType, partitionId: Int,
-    taskId: Long)
+private[streaming] class TxTableDataWriter(plan: TxWritePlan,
+    partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[
       org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PT}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.spark.sql.types._
 
-  private val fname =
-    s"part-dsv2-$partitionId-$taskId-${java.util.UUID.randomUUID}.parquet"
-  private val hiddenPath = new java.io.File(root, s"data/.$fname")
+  private val root = plan.root
 
   private val messageType: org.apache.parquet.schema.MessageType = {
     val b = PT.buildMessage()
-    physSchema.fields.foreach { f =>
-      f.dataType match {
-        case LongType => b.addField(
-          PT.optional(INT64).named(f.name))
-        case IntegerType => b.addField(
-          PT.optional(INT32).named(f.name))
-        case DoubleType => b.addField(PT.optional(DOUBLE).named(f.name))
-        case FloatType => b.addField(PT.optional(FLOAT).named(f.name))
+    plan.fileCols.foreach { c =>
+      c.declared match {
+        case LongType => b.addField(PT.optional(INT64).named(c.phys))
+        case IntegerType => b.addField(PT.optional(INT32).named(c.phys))
+        case DoubleType => b.addField(PT.optional(DOUBLE).named(c.phys))
+        case FloatType => b.addField(PT.optional(FLOAT).named(c.phys))
         case BooleanType => b.addField(
-          PT.optional(BOOLEAN).named(f.name))
+          PT.optional(BOOLEAN).named(c.phys))
         case StringType => b.addField(PT.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+          .as(LogicalTypeAnnotation.stringType()).named(c.phys))
         case dt => sys.error(
           s"txtable DSv2 writer: unsupported column type $dt for " +
-            s"${f.name} (supported: long/int/double/float/boolean/" +
+            s"${c.phys} (supported: long/int/double/float/boolean/" +
             "string)")
       }
     }
     b.named("spark_schema")
   }
 
-  private val writer = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    org.apache.parquet.hadoop.example.GroupWriteSupport
-      .setSchema(messageType, conf)
-    org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(hiddenPath.getPath))
-      .withConf(conf)
-      .withType(messageType)
-      .build()
+  /** One staged file under `dir` (`data` for flat, `data/<k>=<v>` for a
+    * partition): written hidden (`.part-…`, invisible to every
+    * directory scan and manifest), renamed visible at task commit
+    * (same-directory rename: metadata-only), deleted by abort. Hadoop's
+    * local ChecksumFileSystem shadows every write with a `.<name>.crc`
+    * sibling; reclaim it with the data file. */
+  private class OneFile(dir: String) {
+    val fname = s"part-dsv2-$partitionId-$taskId-" +
+      s"${java.util.UUID.randomUUID}.parquet"
+    private val d = new java.io.File(root, dir)
+    d.mkdirs(): Unit
+    val hiddenPath = new java.io.File(d, s".$fname")
+    def crcPath = new java.io.File(d, s"..$fname.crc")
+    def rel = s"$dir/$fname"
+    val writer = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport
+        .setSchema(messageType, conf)
+      org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(hiddenPath.getPath))
+        .withConf(conf)
+        .withType(messageType)
+        .build()
+    }
   }
+
+  /** Per-partition-value open files; flat tables use the single "data"
+    * key. The clustered write distribution keeps this map near size 1
+    * per task; a distribution miss only widens it (more, smaller
+    * files), never breaks routing. */
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, OneFile]
   private val factory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(
       messageType)
 
+  private def dirOf(row: org.apache.spark.sql.catalyst.InternalRow)
+      : String = plan.part match {
+    case None => "data"
+    case Some(pc) =>
+      require(!row.isNullAt(pc.rowIdx),
+        s"txtable partitioned write: NULL partition value refused " +
+          s"(column '${pc.phys}')")
+      val v = pc.incoming match {
+        case IntegerType => row.getInt(pc.rowIdx).toString
+        case LongType => row.getLong(pc.rowIdx).toString
+        case StringType => row.getUTF8String(pc.rowIdx).toString
+        case dt => sys.error(s"unreachable: partition type $dt " +
+          "passed plan validation")
+      }
+      s"data/${pc.phys}=${org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v)}"
+  }
+
   override def write(row: org.apache.spark.sql.catalyst.InternalRow)
       : Unit = {
+    // arity guard: the plan's row indexes were computed for exactly
+    // this layout (info.schema() plus the declared leading offset) —
+    // a mismatch must fail loudly, never write misaligned columns
+    require(row.numFields == plan.numFields,
+      s"txtable writer: row has ${row.numFields} fields, plan " +
+        s"expects ${plan.numFields} — row layout drifted")
     val g = factory.newGroup()
-    var i = 0
-    while (i < physSchema.fields.length) {
+    plan.fileCols.foreach { c =>
+      val i = c.rowIdx
       if (!row.isNullAt(i)) {
-        val f = physSchema.fields(i)
         // read through the INCOMING type's getter, widen to declared
-        (f.dataType, inSchema.fields(i).dataType) match {
+        (c.declared, c.incoming) match {
           case (LongType, IntegerType) =>
-            g.add(f.name, row.getInt(i).toLong)
+            g.add(c.phys, row.getInt(i).toLong)
           case (LongType, ShortType) =>
-            g.add(f.name, row.getShort(i).toLong)
+            g.add(c.phys, row.getShort(i).toLong)
           case (LongType, ByteType) =>
-            g.add(f.name, row.getByte(i).toLong)
+            g.add(c.phys, row.getByte(i).toLong)
           case (IntegerType, ShortType) =>
-            g.add(f.name, row.getShort(i).toInt)
+            g.add(c.phys, row.getShort(i).toInt)
           case (IntegerType, ByteType) =>
-            g.add(f.name, row.getByte(i).toInt)
+            g.add(c.phys, row.getByte(i).toInt)
           case (DoubleType, FloatType) =>
-            g.add(f.name, row.getFloat(i).toDouble)
-          case (LongType, _) => g.add(f.name, row.getLong(i))
-          case (IntegerType, _) => g.add(f.name, row.getInt(i))
-          case (DoubleType, _) => g.add(f.name, row.getDouble(i))
-          case (FloatType, _) => g.add(f.name, row.getFloat(i))
-          case (BooleanType, _) => g.add(f.name, row.getBoolean(i))
-          case (StringType, _) => g.add(f.name,
+            g.add(c.phys, row.getFloat(i).toDouble)
+          case (LongType, _) => g.add(c.phys, row.getLong(i))
+          case (IntegerType, _) => g.add(c.phys, row.getInt(i))
+          case (DoubleType, _) => g.add(c.phys, row.getDouble(i))
+          case (FloatType, _) => g.add(c.phys, row.getFloat(i))
+          case (BooleanType, _) => g.add(c.phys, row.getBoolean(i))
+          case (StringType, _) => g.add(c.phys,
             org.apache.parquet.io.api.Binary.fromString(
               row.getUTF8String(i).toString))
           case (dt, _) =>
             sys.error(s"unreachable: $dt passed schema check")
         }
       }
-      i += 1
     }
-    writer.write(g)
+    open.getOrElseUpdate(dirOf(row), new OneFile(dirOf(row)))
+      .writer.write(g)
   }
-
-  /** Hadoop's local ChecksumFileSystem shadows every write with a
-    * `.<name>.crc` sibling; reclaim it with the data file (it would
-    * otherwise leak as a stray hidden file next to the renamed one). */
-  private def crcPath = new java.io.File(root, s"data/..$fname.crc")
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close()
-    java.nio.file.Files.move(hiddenPath.toPath,
-      new java.io.File(root, s"data/$fname").toPath): Unit
-    java.nio.file.Files.deleteIfExists(crcPath.toPath): Unit
-    TxFileCommitMessage(s"data/$fname")
+    val names = open.values.toSeq.map { f =>
+      f.writer.close()
+      java.nio.file.Files.move(f.hiddenPath.toPath,
+        new java.io.File(f.hiddenPath.getParentFile, f.fname)
+          .toPath): Unit
+      java.nio.file.Files.deleteIfExists(f.crcPath.toPath): Unit
+      f.rel
+    }
+    TxFileCommitMessage(names)
   }
 
-  override def abort(): Unit = {
-    scala.util.Try(writer.close()): Unit
-    java.nio.file.Files.deleteIfExists(hiddenPath.toPath): Unit
-    java.nio.file.Files.deleteIfExists(crcPath.toPath): Unit
+  override def abort(): Unit = open.values.foreach { f =>
+    scala.util.Try(f.writer.close()): Unit
+    java.nio.file.Files.deleteIfExists(f.hiddenPath.toPath): Unit
+    java.nio.file.Files.deleteIfExists(f.crcPath.toPath): Unit
   }
 
   override def close(): Unit = ()
+}
+
+/** `sources.Filter` → `Column` for the metadata-delete fast path: a
+  * DELETE condition that converts COMPLETELY lands as a position-delete
+  * commit instead of a file rewrite ([[TxTableTable.deleteWhere]]).
+  * None = not convertible — the caller's canDeleteWhere then returns
+  * false and Spark keeps the group-based rewrite (never wrong, just
+  * copy-on-write). Filter semantics match SQL DELETE: rows where the
+  * condition is NULL survive (Column.filter keeps only true). */
+private[streaming] object TxFilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def apply(f: sources.Filter): Option[Column] = f match {
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case sources.EqualTo(a, v) => ref(a).map(_ === lit(v))
+    case sources.EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+    case sources.GreaterThan(a, v) => ref(a).map(_ > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+    case sources.LessThan(a, v) => ref(a).map(_ < lit(v))
+    case sources.LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+    case sources.In(a, vs) => ref(a).map(_.isin(vs.toSeq: _*))
+    case sources.IsNull(a) => ref(a).map(_.isNull)
+    case sources.IsNotNull(a) => ref(a).map(_.isNotNull)
+    case sources.StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+    case sources.StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+    case sources.StringContains(a, v) => ref(a).map(_.contains(v))
+    case sources.Not(c) => apply(c).map(!_)
+    case sources.And(l, r) =>
+      for { a <- apply(l); b <- apply(r) } yield a && b
+    case sources.Or(l, r) =>
+      for { a <- apply(l); b <- apply(r) } yield a || b
+    case _ => None
+  }
+  // nested attributes: this format's tables are flat — refuse, so the
+  // command falls back to the group-based path instead of mis-resolving
+  private def ref(a: String): Option[Column] =
+    if (a.contains('.')) None else Some(col(a))
 }
 
 /** `sources.Filter` → [[PlanBridge.PredNode]]: the normalization that

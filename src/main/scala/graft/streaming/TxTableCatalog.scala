@@ -34,9 +34,9 @@ import graft.sources.TxTable
   * and streamed by `readStream`). `CREATE TABLE` is [[TxTable]]'s
   * empty schema-tracking commit (v1 lists zero files, carries
   * `tblschema` — the metadata-only CREATE every real format does);
-  * DROP deletes the directory; evolution (rename/drop/promote) stays
-  * on the library's commit API — `ALTER TABLE` refuses loudly rather
-  * than shadowing those semantics.
+  * DROP deletes the directory; `ALTER TABLE` (round 19) maps each
+  * TableChange onto the library's existing metadata-only evolution
+  * commits — see [[alterTable]].
   *
   * Scale shape: every catalog operation is manifest metadata — create
   * is one manifest write, load is one manifest read (schema included —
@@ -83,9 +83,12 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
     val root = rootOf(ident)
     if (!isTable(root)) noSuchTable(ident)
     val v = TxTable.currentVersion(root)
+    val m = TxTable.readManifest(root, v)
     val schema = TxTable.inferLogicalSchema(root, v).getOrElse(
       sys.error(s"catalog table $root has no schema-tracking manifest"))
-    new TxTableTable(schema, Some(root))
+    val partLogical = TxTable.partitionColumn(m).map(p =>
+      TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p))
+    new TxTableTable(schema, Some(root), partitionCol = partLogical)
   }
 
   /** SQL time travel: `VERSION AS OF <v>` — the returned table is
@@ -126,26 +129,90 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident, at.max.toString)
   }
 
+  /** CREATE TABLE [AS SELECT] — a zero-file schema-tracking commit.
+    * `PARTITIONED BY (col)` (round 19) accepts a single IDENTITY
+    * transform: the column is recorded as the inherited `partcol` prop,
+    * so the first write (the CTAS payload, an INSERT, or a streaming
+    * sink epoch) routes rows into `data/<col>=<v>/` directories and
+    * partition pruning rides the same stats-skipping mechanism as
+    * everything else. Bucket/temporal transforms refuse loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])
       : Table = {
-    require(partitions.isEmpty,
-      "txtable catalog CREATE TABLE is unpartitioned; partitioned " +
-        "loads go through TxTable.appendPartitioned")
+    // (IdentityTransform itself is private[sql]; the generic Transform
+    // surface — name + a single one-part column reference — is public)
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => sys.error(
+        "txtable PARTITIONED BY takes exactly one identity-transform " +
+          s"column, got ${other.mkString(", ")}")
+    }
     val root = rootOf(ident)
     if (isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         (catalogName +: ident.namespace.toSeq :+ ident.name)
           .map(s => s"`$s`").mkString("."))
-    TxTable.createEmpty(root, schema): Unit
-    new TxTableTable(schema, Some(root))
+    TxTable.createEmpty(root, schema, partCol): Unit
+    new TxTableTable(schema, Some(root), partitionCol = partCol)
   }
 
+  /** SQL `ALTER TABLE` (round 19) — each TableChange maps onto the
+    * format's existing METADATA-ONLY evolution commits, so the SQL
+    * surface and the library commit API are one mechanism:
+    * RENAME COLUMN → [[TxTable.renameColumn]] (colmap commit),
+    * DROP COLUMN → [[TxTable.dropColumn]] (tombstone commit),
+    * ALTER COLUMN TYPE → [[TxTable.promoteColumnType]] (widening only —
+    * the Iceberg promotion lattice, narrowing refuses loudly),
+    * ADD COLUMN → [[TxTable.addColumn]] (nullable, NULL-backfilled).
+    * Zero data files are touched by any of them; time travel across an
+    * ALTER serves each version under its own names and types. */
   override def alterTable(ident: Identifier, changes: TableChange*)
-      : Table = sys.error(
-    "txtable schema evolution is commit-API surface " +
-      "(renameColumn/dropColumn/promoteColumnType/append-merge) — " +
-      "ALTER TABLE via the catalog would shadow those semantics")
+      : Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) noSuchTable(ident)
+    val s = org.apache.spark.sql.SparkSession.active
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"txtable ALTER TABLE $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        TxTable.renameColumn(s, root,
+          top(r.fieldNames, "RENAME COLUMN"), r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        val name = top(d.fieldNames, "DROP COLUMN")
+        val have = TxTable.inferLogicalSchema(
+          root, TxTable.currentVersion(root))
+          .exists(_.fieldNames.contains(name))
+        if (have) TxTable.dropColumn(s, root, name): Unit
+        else if (d.ifExists == null || !d.ifExists.booleanValue())
+          sys.error(s"DROP COLUMN: no such column '$name' in " +
+            s"${ident.name}")
+      case u: TableChange.UpdateColumnType =>
+        TxTable.promoteColumnType(s, root,
+          top(u.fieldNames, "ALTER COLUMN TYPE"),
+          u.newDataType.catalogString): Unit
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "txtable ADD COLUMN is nullable-only (existing rows " +
+            "NULL-backfill it)")
+        require(a.defaultValue == null,
+          "txtable ADD COLUMN does not support DEFAULT values")
+        TxTable.addColumn(root,
+          top(a.fieldNames, "ADD COLUMN"), a.dataType): Unit
+      case other => sys.error(
+        s"txtable ALTER TABLE does not support ${other.getClass
+          .getSimpleName} (supported: RENAME COLUMN, DROP COLUMN, " +
+          "ALTER COLUMN TYPE widening, ADD COLUMN)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -115,11 +115,60 @@ class TxTableSourceProvider extends TableProvider with DataSourceRegister {
   * `VERSION AS OF` pin rides `pinnedVersion` (an explicit
   * `versionAsOf` option still wins). */
 private[streaming] class TxTableTable(userSchema: StructType,
-    defaultRoot: Option[String] = None, pinnedVersion: Option[Int] = None)
+    defaultRoot: Option[String] = None, pinnedVersion: Option[Int] = None,
+    partitionCol: Option[String] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = defaultRoot.getOrElse("txtable")
+
+  private def dmlRoot(what: String): String = {
+    require(pinnedVersion.isEmpty,
+      s"cannot run $what on a VERSION AS OF pinned table")
+    defaultRoot.getOrElse(sys.error(
+      s"txtable $what needs a catalog-addressed table " +
+        "(register a TxTableCatalog and address <catalog>.<ns>.<name>)"))
+  }
+
+  /** SQL DELETE/UPDATE/MERGE via the group-based row-level hooks —
+    * see [[TxRowLevelOperationBuilder]] for the full contract. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new TxRowLevelOperationBuilder(
+      dmlRoot(s"${info.command} (row-level DML)"), info)
+
+  /** Metadata-delete fast path: a fully filter-convertible DELETE
+    * condition lands as [[TxTable.deleteVector]]'s position-delete
+    * commit — O(matching rows) merge-on-read, zero file rewrites. The
+    * optimizer only takes this route when canDeleteWhere is true, so an
+    * unconvertible condition falls back to the group-based rewrite
+    * rather than failing. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    defaultRoot.isDefined && pinnedVersion.isEmpty &&
+      filters.forall(f => TxFilterToColumn(f).isDefined)
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.flatMap(TxFilterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxTable.deleteVector(org.apache.spark.sql.SparkSession.active,
+      dmlRoot("DELETE"), pred): Unit
+  }
+
+  /** SQL TRUNCATE TABLE: one overwrite-to-empty commit (history stays
+    * time-travelable until vacuum) — not a row-at-a-time DV sweep. */
+  override def truncateTable(): Boolean = {
+    TxTable.commit(dmlRoot("TRUNCATE"), "overwrite", _ => Nil): Unit
+    true
+  }
   override def schema(): StructType = userSchema
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCol.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -146,10 +195,11 @@ private[streaming] class TxTableTable(userSchema: StructType,
     val skipChange = options.getBoolean("skipChangeCommits", false)
     val maxVersions = options.getInt("maxVersionsPerTrigger", Int.MaxValue)
     val startingVersion = Option(options.get("startingVersion"))
+    val startingTimestamp = Option(options.get("startingTimestamp"))
     val versionAsOf = Option(options.get("versionAsOf")).map(_.trim.toInt)
       .orElse(pinnedVersion)
     new TxTableScanBuilder(userSchema, root, versionAsOf, skipChange,
-      maxVersions, startingVersion)
+      maxVersions, startingVersion, startingTimestamp)
   }
 }
 
@@ -161,8 +211,12 @@ private[streaming] case class TxVersionOffset(v: Int) extends Offset {
 private[streaming] class TxTableMicroBatchStream(schema: StructType,
     root: String, skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Int = Int.MaxValue,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    startingTimestamp: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
 
   // Trigger.AvailableNow pins the head at prepare time: the run drains
   // exactly the commits that existed when it started, then stops, even
@@ -184,9 +238,37 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
     * RESUMED consumer whose checkpointed offset predates the retention
     * window fails later (on the pruned manifest) — the reader-lease
     * contract. */
+  /** `startingTimestamp` (round 19, VERDICT r18 item 7) — the streaming
+    * mirror of SQL `TIMESTAMP AS OF`: the stream starts at the FIRST
+    * commit whose manifest mtime is ≥ the timestamp (a manifest's mtime
+    * IS its commit time — the hardlink lands it once). A timestamp
+    * between v2 and v3 therefore yields exactly v3+; one after the
+    * current head subscribes to future commits (Delta's contract). */
+  private def resolveStartingTimestamp(ts: String): Option[String] = {
+    val millis: Long = {
+      val t = ts.trim
+      scala.util.Try(java.sql.Timestamp.valueOf(t).getTime)
+        .orElse(scala.util.Try(java.time.Instant.parse(t).toEpochMilli))
+        .orElse(scala.util.Try(
+          java.sql.Date.valueOf(t).getTime))
+        .getOrElse(throw new IllegalArgumentException(
+          s"startingTimestamp must be 'yyyy-MM-dd[ HH:mm:ss[.S]]' or " +
+            s"ISO-8601 instant, got '$ts'"))
+    }
+    TxTable.versions(root)
+      .find(v => new java.io.File(s"$root/_txlog/v$v")
+        .lastModified() >= millis)
+      .map(_.toString) // None: after the head — subscribe to the future
+  }
+
   override def initialOffset(): Offset = {
     val vs = TxTable.versions(root)
-    TxVersionOffset(startingVersion match {
+    val effectiveStart = startingTimestamp match {
+      case Some(ts) =>
+        resolveStartingTimestamp(ts).orElse(Some("latest"))
+      case None => startingVersion
+    }
+    TxVersionOffset(effectiveStart match {
       case Some("latest") => TxTable.currentVersion(root)
       case Some(sv) =>
         val n = try sv.trim.toInt catch {
@@ -307,13 +389,41 @@ private[streaming] object TxTableMicroBatchStream {
 
 private[streaming] case class TxFilePartition(version: Int, path: String,
     logToPhys: Map[String, String] = Map.empty,
-    deleted: Array[Long] = TxFilePartition.NoDeletes)
+    deleted: Array[Long] = TxFilePartition.NoDeletes,
+    dvFiles: Seq[String] = Nil)
     extends InputPartition
 
 private[streaming] object TxFilePartition {
   /** Shared empty delete vector (streaming partitions are append-only
     * adds and never carry one). */
   val NoDeletes: Array[Long] = Array.empty
+
+  /** EXECUTOR-SIDE position-delete resolution (round 19): read the
+    * partition's candidate delete files (parquet of `fname` string,
+    * `pos` long — pre-filtered driver-side by footer fname range) and
+    * keep the ordinals addressing THIS file. The driver never
+    * materializes an address; each task reads the KB-scale delete
+    * files it actually needs — the Iceberg delete-file hand-off. */
+  def readDeleted(dvFiles: Seq[String], fname: String): Array[Long] = {
+    if (dvFiles.isEmpty) return NoDeletes
+    val out = Array.newBuilder[Long]
+    dvFiles.foreach { p =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val rd = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p))
+        .withConf(conf).build()
+      try {
+        var g = rd.read()
+        while (g != null) {
+          if (g.getString("fname", 0) == fname)
+            out += g.getLong("pos", 0)
+          g = rd.read()
+        }
+      } finally rd.close()
+    }
+    out.result().sorted
+  }
 }
 
 private[streaming] case class TxTableReaderFactory(schema: StructType)
@@ -407,17 +517,22 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
   }
 
   // merge-on-read: skip this file's position-delete ordinals while
-  // iterating (the batch scan ships them sorted in the partition; the
-  // vectorized reader emits rows in file order, so a running row index
-  // IS the `_metadata.row_index` the delete vector addresses)
+  // iterating (the batch scan ships DELETE-FILE PATHS in the partition,
+  // resolved to sorted ordinals HERE on the executor; the vectorized
+  // reader emits rows in file order, so a running row index IS the
+  // `_metadata.row_index` the delete vector addresses)
+  private val deleted: Array[Long] =
+    if (part.dvFiles.isEmpty) part.deleted
+    else (part.deleted ++ TxFilePartition.readDeleted(part.dvFiles,
+      part.path.substring(part.path.lastIndexOf('/') + 1))).sorted
   private var rowIdx: Long = -1L
   private var delPtr: Int = 0
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
       rowIdx += 1
-      while (delPtr < part.deleted.length && part.deleted(delPtr) < rowIdx)
+      while (delPtr < deleted.length && deleted(delPtr) < rowIdx)
         delPtr += 1
-      if (delPtr >= part.deleted.length || part.deleted(delPtr) != rowIdx)
+      if (delPtr >= deleted.length || deleted(delPtr) != rowIdx)
         return true
     }
     false

@@ -1125,7 +1125,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
   test("TxTable DSv2 batch write: task-staged files land as ONE OCC " +
       "commit with skipping stats, overwrite truncates with time travel " +
       "intact, Catalyst enforces the schema contract, and fresh/" +
-      "partitioned targets are refused loudly") {
+      "fresh targets are refused while partitioned targets route") {
     import org.apache.spark.sql.functions._
     val root = mkTable("dsv2w")
     val orders = Tables.orders(spark, sf0001)
@@ -1230,15 +1230,21 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       (eFresh.getMessage.contains("bootstrap") ||
         eFresh.getMessage.contains("explicit .schema")),
       s"fresh-table write must point at the bootstrap: ${eFresh.getMessage}")
+    // a PARTITIONED target routes the DSv2 write into its partition
+    // directories (round 19 — the old loud refusal is closed)
     val partRoot = mkTable("dsv2w_part")
     sources.TxTable.buildPartHistory(spark, partRoot, sf0001)
-    val ePart = intercept[Exception] {
-      spark.read.format("txtable").load(partRoot)
-        .write.format("txtable").mode("append").save(partRoot)
-    }
-    assert(ePart.getMessage != null &&
-      ePart.getMessage.contains("appendPartitioned"),
-      s"partitioned-table write must refuse: ${ePart.getMessage}")
+    val before = sources.TxTable.snapshot(spark, partRoot).count()
+    val firstRows = sources.TxTable.snapshot(spark, partRoot).limit(5)
+    firstRows.write.format("txtable").mode("append").save(partRoot)
+    assert(sources.TxTable.snapshot(spark, partRoot).count() ==
+      before + 5)
+    val mPart = sources.TxTable.readManifest(partRoot,
+      sources.TxTable.currentVersion(partRoot))
+    assert(mPart.files.filter(_.startsWith("data/"))
+      .forall(_.matches("data/[^/=]+=[^/]*/[^/]+\\.parquet")),
+      "DSv2 write to a partitioned table must land partition-routed " +
+        s"files: ${mPart.files}")
   }
 
   test("TxTable OPTIMIZE ZORDER: the cluster commit is content-neutral, " +
@@ -1427,12 +1433,41 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(rows(spark.sql("SELECT * FROM spec_tx.db.t")) ==
       rows(orders.filter(col("o_orderkey") % 3 === 2)))
 
-    // ALTER refuses loudly (evolution is the commit API's surface)
-    val alter = intercept[Exception] {
-      spark.sql("ALTER TABLE spec_tx.db.t RENAME COLUMN o_custkey TO c")
-    }
-    assert(alter.getMessage.contains("commit-API") ||
-      alter.getMessage.contains("ALTER TABLE"), alter.getMessage)
+    // SQL ALTER TABLE == the library's metadata-only evolution commits
+    // (round 19): RENAME lands a colmap commit, time travel across it
+    // serves the pre-rename name, ADD COLUMN NULL-backfills, ALTER
+    // COLUMN TYPE widens — all with ZERO data files touched
+    val vA = sources.TxTable.currentVersion(root)
+    val filesA = sources.TxTable.readManifest(root, vA).files
+    spark.sql("ALTER TABLE spec_tx.db.t RENAME COLUMN o_custkey TO cust")
+    assert(spark.sql("SELECT * FROM spec_tx.db.t").columns.toSeq ==
+      Seq("o_orderkey", "cust", "o_totalprice"))
+    val mRen = sources.TxTable.readManifest(root, vA + 1)
+    assert(mRen.props.get("op").contains("rename") &&
+      mRen.files == filesA, "SQL RENAME must be the library's " +
+        "metadata-only colmap commit (zero file churn)")
+    assert(spark.sql(
+      s"SELECT * FROM spec_tx.db.t VERSION AS OF $vA").columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      "time travel across a SQL rename must serve the old name")
+    spark.sql("ALTER TABLE spec_tx.db.t ADD COLUMN units INT")
+    assert(spark.sql("SELECT units FROM spec_tx.db.t WHERE units IS " +
+      "NOT NULL").count() == 0, "ADD COLUMN must NULL-backfill")
+    spark.sql("ALTER TABLE spec_tx.db.t ALTER COLUMN units TYPE BIGINT")
+    assert(spark.sql("SELECT * FROM spec_tx.db.t").schema("units")
+      .dataType == org.apache.spark.sql.types.LongType)
+    val mProm = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(mProm.props.get("op").contains("promote") &&
+      mProm.files == filesA, "SQL type widening must be the library's " +
+        "metadata-only promote commit")
+    // narrowing refuses loudly (the promotion lattice is one-way)
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE spec_tx.db.t ALTER COLUMN units TYPE INT")
+    }.getMessage != null)
+    spark.sql("ALTER TABLE spec_tx.db.t DROP COLUMN units")
+    assert(!spark.sql("SELECT * FROM spec_tx.db.t").columns
+      .contains("units"))
 
     // listing + DROP
     assert(spark.sql("SHOW TABLES IN spec_tx.db").collect()
@@ -1555,6 +1590,207 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       "malformed stats line should be dropped, not decoded")
     // the table stays fully readable
     assert(sources.TxTable.snapshot(spark, root).count() == 1L)
+  }
+
+  test("SQL row-level DML: DELETE takes the metadata DV fast path on " +
+      "convertible predicates and the group rewrite on subqueries, " +
+      "UPDATE rewrites only stats-matching files, MERGE INTO equals " +
+      "the library merge, TRUNCATE is one commit (round 19)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_dml")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.dml_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dml_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dml_tx.db")
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.createOrReplaceTempView("spec_dml_src")
+    spark.sql("""CREATE TABLE dml_tx.db.t AS
+                |SELECT * FROM spec_dml_src""".stripMargin)
+    val root = s"$wh/db/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    // mirror frame of expected state, evolved alongside the SQL
+    var expect = orders.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // 1. DELETE with a fully convertible predicate → the METADATA
+    //    fast path: a position-delete commit (op delete-dv), zero data
+    //    files removed from the manifest
+    val vBefore = sources.TxTable.currentVersion(root)
+    val dataBefore = sources.TxTable.readManifest(root, vBefore)
+      .files.filter(_.startsWith("data/")).toSet
+    spark.sql("DELETE FROM dml_tx.db.t " +
+      "WHERE o_custkey <= 40 OR o_custkey IN (77, 78)")
+    expect = expect.filterNot(t =>
+      t._2 <= 40 || t._2 == 77 || t._2 == 78)
+    val mDv = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(mDv.props.get("op").contains("delete-dv"),
+      s"convertible DELETE must take the DV fast path, op was " +
+        s"${mDv.props.get("op")}")
+    assert(mDv.files.filter(_.startsWith("data/")).toSet == dataBefore,
+      "DV delete must not rewrite or remove data files")
+    assert(rows(spark.sql("SELECT * FROM dml_tx.db.t")) ==
+      expect.sortBy(_._1).map(t => Seq[Any](t._1, t._2, t._3)))
+
+    // 2. DELETE with a subquery condition → the group-based rewrite
+    //    (op delete), which also absorbs the DV from step 1
+    spark.sql("""DELETE FROM dml_tx.db.t
+                |WHERE o_custkey IN (SELECT o_custkey FROM spec_dml_src
+                |                    WHERE o_orderkey % 100 = 7)""".stripMargin)
+    val badCust = orders.filter(col("o_orderkey") % 100 === 7)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    expect = expect.filterNot(t => badCust(t._2))
+    val mGrp = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(mGrp.props.get("op").contains("delete"),
+      s"subquery DELETE must take the group rewrite, op was " +
+        s"${mGrp.props.get("op")}")
+    assert(rows(spark.sql("SELECT * FROM dml_tx.db.t")) ==
+      expect.sortBy(_._1).map(t => Seq[Any](t._1, t._2, t._3)))
+
+    // 3. UPDATE — and the group selection is FILE PRUNING: make the
+    //    table multi-file with disjoint key ranges first, then update
+    //    one range and check untouched ranges' files survive verbatim
+    spark.sql("""UPDATE dml_tx.db.t SET o_totalprice = o_totalprice * 2
+                |WHERE o_orderkey % 5 = 0""".stripMargin)
+    expect = expect.map(t =>
+      if (t._1 % 5 == 0) (t._1, t._2, t._3 * 2) else t)
+    assert(rows(spark.sql("SELECT * FROM dml_tx.db.t")) ==
+      expect.sortBy(_._1).map(t => Seq[Any](t._1, t._2, t._3)))
+    val mUpd = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(mUpd.props.get("op").contains("update"))
+
+    // file pruning evidence: append a disjoint high range as its own
+    // file, then UPDATE only that range — the low files must survive
+    val preFiles = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+      .files.filter(_.startsWith("data/")).toSet
+    spark.sql("""INSERT INTO dml_tx.db.t
+                |SELECT o_orderkey + 900000000, o_custkey, o_totalprice
+                |FROM spec_dml_src LIMIT 50""".stripMargin)
+    spark.sql("""UPDATE dml_tx.db.t SET o_totalprice = 0.0
+                |WHERE o_orderkey >= 900000000""".stripMargin)
+    val mUpd2 = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(preFiles.subsetOf(
+      mUpd2.files.filter(_.startsWith("data/")).toSet),
+      "an UPDATE outside the old files' key ranges must not rewrite " +
+        "them (group selection = stats pruning)")
+    spark.sql("DELETE FROM dml_tx.db.t WHERE o_orderkey >= 900000000")
+
+    // 4. MERGE INTO == the library-computed expectation: updates hit,
+    //    inserts append, one atomic commit
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        col("o_custkey"),
+        lit(-1.0).as("o_totalprice"))
+      .unionByName(
+        spark.range(3).select(
+          (col("id") + 950000000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit(9.9).as("o_totalprice")))
+      .createOrReplaceTempView("spec_dml_merge_src")
+    spark.sql("""MERGE INTO dml_tx.db.t t USING spec_dml_merge_src s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET
+                |  o_totalprice = s.o_totalprice
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val present = expect.map(_._1).toSet
+    expect = expect.map(t =>
+      if (t._1 % 7 == 0) (t._1, t._2, -1.0) else t) ++
+      (0 until 3).map(i => (950000000L + i, 1L, 9.9)) ++
+      orders.filter(col("o_orderkey") % 7 === 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), -1.0))
+        .filterNot(t => present(t._1))
+    val mMrg = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(mMrg.props.get("op").contains("merge"))
+    assert(rows(spark.sql("SELECT * FROM dml_tx.db.t")) ==
+      expect.sortBy(_._1).map(t => Seq[Any](t._1, t._2, t._3)))
+
+    // 5. TRUNCATE: one overwrite-to-empty commit, schema intact,
+    //    history time-travelable
+    val vPre = sources.TxTable.currentVersion(root)
+    spark.sql("TRUNCATE TABLE dml_tx.db.t")
+    assert(spark.sql("SELECT * FROM dml_tx.db.t").count() == 0)
+    assert(spark.sql("SELECT * FROM dml_tx.db.t").columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(spark.sql(
+      s"SELECT * FROM dml_tx.db.t VERSION AS OF $vPre").count() ==
+      expect.size.toLong)
+    spark.sql("DROP TABLE dml_tx.db.t")
+  }
+
+  test("CTAS + PARTITIONED BY through the catalog: rows route to " +
+      "partition directories via the DSv2 writer, partition stats " +
+      "prune the scan, and INSERT INTO keeps routing (round 19)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_ctas")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.ctas_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ctas_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ctas_tx.db")
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"))
+      .createOrReplaceTempView("spec_ctas_src")
+    spark.sql("""CREATE TABLE ctas_tx.db.po PARTITIONED BY (bucket)
+                |AS SELECT * FROM spec_ctas_src
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+    val root = s"$wh/db/po"
+    // the CTAS payload landed as data/bucket=<v>/ files via the DSv2
+    // partitioned writer (no library appendPartitioned involved)
+    val m = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    val dataEntries = m.files.filter(_.startsWith("data/"))
+    assert(dataEntries.nonEmpty &&
+      dataEntries.forall(_.matches("data/bucket=\\d+/.*\\.parquet")),
+      s"unpartitioned CTAS layout: $dataEntries")
+    assert(m.props.get("partcol").contains("bucket"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val expect = spark.table("spec_ctas_src")
+      .filter(col("o_orderkey") % 2 === 0)
+    assert(rows(spark.sql("SELECT * FROM ctas_tx.db.po")) ==
+      rows(expect.select("o_orderkey", "o_custkey", "o_totalprice",
+        "bucket")) ||
+      rows(spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, bucket " +
+          "FROM ctas_tx.db.po")) ==
+        rows(expect.select("o_orderkey", "o_custkey", "o_totalprice",
+          "bucket")))
+    // partition predicate plans ONLY that partition's files (the
+    // path-segment min=max stats — one mechanism with stats skipping)
+    val pred = col("bucket") === 2
+    val (kept, all) = sources.TxTable.pruneDataFilesTree(m,
+      org.apache.spark.sql.graft.PlanBridge.PredCmp("=", "bucket", 2))
+    assert(kept.nonEmpty && kept.size < all.size &&
+      kept.forall(_.startsWith("data/bucket=2/")),
+      s"partition pruning failed: kept $kept of $all")
+    assert(sources.TxTable.snapshotWhere(spark, root, pred).count() ==
+      expect.filter(pred).count())
+    // INSERT INTO keeps routing new rows into partition directories
+    spark.sql("""INSERT INTO ctas_tx.db.po
+                |SELECT * FROM spec_ctas_src
+                |WHERE o_orderkey % 2 = 1""".stripMargin)
+    val m2 = sources.TxTable.readManifest(
+      root, sources.TxTable.currentVersion(root))
+    assert(m2.files.filter(_.startsWith("data/"))
+      .forall(_.matches("data/bucket=\\d+/.*\\.parquet")))
+    assert(spark.sql("SELECT count(*) FROM ctas_tx.db.po")
+      .collect()(0).getLong(0) == spark.table("spec_ctas_src").count())
+    // a partitioned CREATE + streaming-independent second surface: the
+    // library snapshot sees the same rows (one format, all surfaces)
+    assert(sources.TxTable.snapshot(spark, root).count() ==
+      spark.table("spec_ctas_src").count())
+    spark.sql("DROP TABLE ctas_tx.db.po")
   }
 
   test("qTableSql is re-invocation-safe: the catalog instance caches " +

@@ -367,6 +367,69 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView(qn): Unit
   }
 
+  test("txtable streaming SOURCE: startingTimestamp mirrors TIMESTAMP " +
+      "AS OF — an instant between v2 and v3 streams exactly v3+, one " +
+      "after the head subscribes to future commits only (round 19)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val root = graft.Scratch.dir("txtable", "stream_sts")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    def appendIds(lo: Int, hi: Int): Unit =
+      sources.TxTable.append(spark, root,
+        spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 2.0).as("v")).repartition(1)): Unit
+    appendIds(0, 10); appendIds(10, 20)
+    // a commit-time gap so "between v2 and v3" is a real instant
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    appendIds(20, 30) // v3
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_commit_version", IntegerType)))
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli(between))
+    val q = spark.readStream.format("txtable").schema(sch)
+      .option("startingTimestamp", iso).load(root)
+      .writeStream.format("memory").queryName("txsrc_sts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("txsrc_sts").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    spark.catalog.dropTempView("txsrc_sts")
+    assert(got.size == 10 && got.forall { case (k, v) =>
+      k >= 20 && v == 3 },
+      s"timestamp between v2 and v3 must stream exactly v3+: $got")
+    // an instant after the head = subscribe to future commits only
+    val after = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli(
+        System.currentTimeMillis() + 3600 * 1000))
+    val q2 = spark.readStream.format("txtable").schema(sch)
+      .option("startingTimestamp", after).load(root)
+      .writeStream.format("memory").queryName("txsrc_sts2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("txsrc_sts2").count() == 0,
+      "a post-head timestamp must emit nothing at subscribe time")
+    spark.catalog.dropTempView("txsrc_sts2")
+    // both options together refuse loudly
+    assert(intercept[Exception] {
+      spark.readStream.format("txtable").schema(sch)
+        .option("startingTimestamp", iso)
+        .option("startingVersion", "2").load(root)
+        .writeStream.format("memory").queryName("txsrc_sts3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }.getMessage != null)
+  }
+
   test("txtable streaming SOURCE: startingVersion picks where a fresh " +
       "stream subscribes — an integer streams commits >= N, 'latest' " +
       "subscribes after the head, and a start past the retention " +
