@@ -77,9 +77,16 @@ private[streaming] class TxRowLevelOperation(root: String,
     val v = TxTable.currentVersion(root)
     val schema = TxTable.inferLogicalSchema(root, v).getOrElse(
       sys.error(s"row-level DML needs a schema-tracking table at $root"))
+    // PARTITIONED targets get runtime group filtering at partition
+    // grain (see TxRuntimeFilteredScan — the attribute must be
+    // group-constant, which only the partition column is)
+    val m = TxTable.readManifest(root, v)
+    val partLogical = TxTable.partitionColumn(m).map(p =>
+      TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p))
     new TxTableScanBuilder(schema, root, versionAsOf = None,
       skipChange = false, maxVersions = Int.MaxValue,
-      startingVersion = None, recorder = Some(this))
+      startingVersion = None, recorder = Some(this),
+      runtimePartCol = partLogical)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

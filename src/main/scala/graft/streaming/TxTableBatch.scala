@@ -62,7 +62,8 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
     root: String, versionAsOf: Option[Int], skipChange: Boolean,
     maxVersions: Int, startingVersion: Option[String],
     startingTimestamp: Option[String] = None,
-    recorder: Option[TxRowLevelOperation] = None)
+    recorder: Option[TxRowLevelOperation] = None,
+    runtimePartCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -82,9 +83,14 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TxTableScan(required, pushed, root,
-    versionAsOf, skipChange, maxVersions, startingVersion,
-    startingTimestamp, recorder)
+  override def build(): Scan = runtimePartCol match {
+    case Some(c) => new TxRuntimeFilteredScan(required, pushed, root,
+      versionAsOf, skipChange, maxVersions, startingVersion,
+      startingTimestamp, recorder, c)
+    case None => new TxTableScan(required, pushed, root,
+      versionAsOf, skipChange, maxVersions, startingVersion,
+      startingTimestamp, recorder)
+  }
 }
 
 /** One Scan serving both read modes: `toBatch` plans the (possibly
@@ -109,6 +115,38 @@ private[streaming] class TxTableScan(required: StructType,
   private lazy val manifest: Option[TxTable.Manifest] =
     if (readVersion <= 0) None
     else Some(TxTable.readManifest(root, readVersion))
+
+  /** Runtime group filter (round 19): the EXACT set of partition values
+    * a row-level scan may keep — set by [[TxRuntimeFilteredScan
+    * .filter]], applied by PATH SEGMENT (not stats, which are advisory:
+    * a stats-less file wrongly kept here would have its non-matching
+    * rows dropped by the injected row filter and then be REPLACED by
+    * the shrunken content — silent row loss; the path segment is exact
+    * by construction). None = no runtime filter. */
+  @volatile protected var runtimePartKeep
+      : Option[(String, Set[String])] = None
+
+  /** A data entry's unescaped partition value, when laid out as
+    * `data/<col>=<v>/file`. */
+  private def partValueOf(entry: String): Option[String] = {
+    val segs = entry.split("/")
+    if (segs.length == 3 && segs(1).contains('='))
+      Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(segs(1).split("=", 2)(1)))
+    else None
+  }
+
+  private def applyRuntimeKeep(kept: Seq[String]): Seq[String] =
+    runtimePartKeep match {
+      case None => kept
+      case Some((_, vals)) => kept.filter(f => partValueOf(f) match {
+        case Some(v) => vals(v)
+        case None => sys.error(
+          s"txtable runtime group filter: data entry $f carries no " +
+            "partition segment — refusing to guess (a wrongly kept " +
+            "file would lose rows under the injected row filter)")
+      })
+    }
 
   /** (kept, all-data-entries) under the pushed predicate tree — the
     * files-planned < files-listed evidence, surfaced in
@@ -146,11 +184,15 @@ private[streaming] class TxTableScan(required: StructType,
           Some(TxPlannedGroups(readVersion, Nil, Nil)))
         Array.empty
       case Some(m) =>
-        val (kept, _) = pruned
+        val (kept0, _) = pruned
+        val kept = applyRuntimeKeep(kept0)
         // row-level ops (round 19): the files this scan PLANS are the
         // GROUPS the companion ReplaceData write must replace — record
         // them (plus the version and DV set the recomputation read, for
-        // the commit-time conflict checks) on the shared operation
+        // the commit-time conflict checks) on the shared operation.
+        // Recorded on EVERY planning call: the execution-time call (the
+        // one after a runtime filter lands) is last, so the write
+        // replaces exactly the executed groups.
         recorder.foreach(_.planned = Some(TxPlannedGroups(readVersion,
           kept, TxTable.deleteEntries(m.files))))
         val logToPhys = TxTable.colMapOf(m)
@@ -663,6 +705,74 @@ private[streaming] class TxTableDataWriter(plan: TxWritePlan,
   }
 
   override def close(): Unit = ()
+}
+
+/** RUNTIME GROUP FILTERING for row-level ops on PARTITIONED tables
+  * (round 19) — the Iceberg move, at partition grain: Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule plans a matching-rows
+  * subquery (for MERGE, an EXISTS against the source), collects the
+  * DISTINCT values of [[filterAttributes]], injects them as a row
+  * filter over the scan AND hands them here — so a MERGE whose keys
+  * touch one partition rewrites ONE partition, not the table.
+  *
+  * The attribute MUST be group-constant (every row of a file shares
+  * it): the injected filter applies to ROWS, so the kept files'
+  * replacement content must equal their full recomputation — true
+  * exactly when file-pruning and row-filtering coincide, which a
+  * partition column guarantees (Iceberg uses its `_file` metadata
+  * column for the same reason at file grain; flat tables keep the
+  * documented full-rewrite bound until a `_file` column exists here).
+  * Consequently [[filter]] converts predicates EXACTLY or aborts —
+  * under-pruning would silently drop rows from wrongly-kept files. */
+private[streaming] class TxRuntimeFilteredScan(required: StructType,
+    pushed: Array[sources.Filter], root: String, versionAsOf: Option[Int],
+    skipChange: Boolean, maxVersions: Int, startingVersion: Option[String],
+    startingTimestamp: Option[String],
+    recorder: Option[TxRowLevelOperation], partLogical: String)
+    extends TxTableScan(required, pushed, root, versionAsOf, skipChange,
+      maxVersions, startingVersion, startingTimestamp, recorder)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions,
+    Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partLogical))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keeps = predicates.map { p =>
+      valuesOf(p).getOrElse(sys.error(
+        s"txtable runtime group filter: unconvertible predicate $p — " +
+          "refusing to under-prune a row-level scan (kept files would " +
+          "lose rows under the injected row filter)"))
+    }
+    if (keeps.nonEmpty)
+      runtimePartKeep = Some((partLogical, keeps.reduce(_ intersect _)))
+  }
+
+  /** The exact partition-value set `p` admits, or None. Handles the
+    * shapes the runtime-filter planner emits: IN(col, lits…) and
+    * =(col, lit) over the declared attribute. */
+  private def valuesOf(p: Predicate): Option[Set[String]] = {
+    def colIs(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(partLogical)
+      case _ => false
+    }
+    def litStr(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: Literal[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name match {
+      case "IN" if p.children.nonEmpty && colIs(p.children()(0)) =>
+        val vs = p.children.drop(1).map(litStr)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if p.children.length == 2 && colIs(p.children()(0)) =>
+        litStr(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
 }
 
 /** `sources.Filter` → `Column` for the metadata-delete fast path: a

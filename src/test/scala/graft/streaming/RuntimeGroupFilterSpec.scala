@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxTable
+
+/** Round 19: runtime group filtering for row-level DML on PARTITIONED
+  * tables — a MERGE/UPDATE whose matching rows live in one partition
+  * rewrites that partition only (Spark's
+  * RowLevelOperationRuntimeGroupFiltering × TxRuntimeFilteredScan). */
+class RuntimeGroupFilterSpec extends AnyFunSuite with graft.SparkFixture {
+
+  private def mkPartitioned(tag: String): String = {
+    val wh = graft.Scratch.dir("txtable", s"spec_rgf_$tag")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set(s"spark.sql.catalog.rgf_$tag",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.rgf_$tag.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS rgf_$tag.db")
+    spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("b"),
+        (col("id") * 1.0).as("v"))
+      .createOrReplaceTempView(s"rgf_src_$tag")
+    spark.sql(s"""CREATE TABLE rgf_$tag.db.t PARTITIONED BY (b) AS
+                 |SELECT * FROM rgf_src_$tag""".stripMargin)
+    s"$wh/db/t"
+  }
+  private def dataFiles(root: String): Set[String] =
+    TxTable.readManifest(root, TxTable.currentVersion(root))
+      .files.filter(_.startsWith("data/")).toSet
+
+  test("MERGE INTO a partitioned table whose source keys live in ONE " +
+      "partition rewrites only that partition's files") {
+    val root = mkPartitioned("merge")
+    val before = dataFiles(root)
+    val untouched = before.filterNot(_.startsWith("data/b=1/"))
+    assert(untouched.nonEmpty && before.exists(_.startsWith("data/b=1/")))
+    // source keys: k ≡ 1 (mod 4) → partition b=1 only, plus fresh keys
+    // that also land in b=1
+    spark.range(0, 50)
+      .select((col("id") * 4 + 1).as("k"), lit(1).cast("int").as("b"),
+        lit(-5.0).as("v"))
+      .createOrReplaceTempView("rgf_merge_src")
+    spark.sql("""MERGE INTO rgf_merge.db.t t USING rgf_merge_src s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = dataFiles(root)
+    assert(untouched.subsetOf(after),
+      "runtime group filtering must leave non-matching partitions' " +
+        s"files untouched; lost: ${untouched -- after}")
+    assert(!before.filter(_.startsWith("data/b=1/")).subsetOf(after),
+      "the matching partition must have been rewritten")
+    // correctness: merged values present, everything else intact
+    val got = spark.sql("SELECT * FROM rgf_merge.db.t")
+    assert(got.filter(col("k") % 4 === 1 && col("k") < 200).agg(
+      sum(when(col("v") === -5.0, 1).otherwise(0))).collect()(0)
+      .getLong(0) == 50L)
+    assert(got.count() == 4000L)
+    assert(got.filter(col("b") =!= 1 && col("v") < 0).count() == 0)
+    // full-content check against a recompute
+    val expect = spark.table("rgf_merge_src").select("k")
+      .collect().map(_.getLong(0)).toSet
+    val recompute = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("b"),
+        when(col("id").isin(expect.toSeq.map(Long.box): _*), -5.0)
+          .otherwise(col("id") * 1.0).as("v"))
+    assert(got.orderBy("k").collect().map(_.toSeq).toSeq ==
+      recompute.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
+  test("UPDATE with a subquery condition on a partitioned table keeps " +
+      "non-matching partitions' files (group filter via the matching-" +
+      "rows subquery)") {
+    val root = mkPartitioned("upd")
+    val before = dataFiles(root)
+    val untouched = before.filterNot(_.startsWith("data/b=2/"))
+    // subquery condition (not pushable statically): keys ≡ 2 (mod 4)
+    spark.sql("""UPDATE rgf_upd.db.t SET v = -9.0
+                |WHERE k IN (SELECT k FROM rgf_src_upd
+                |            WHERE b = 2 AND k < 100)""".stripMargin)
+    val after = dataFiles(root)
+    assert(untouched.subsetOf(after),
+      "subquery UPDATE must rewrite only the matching partition; " +
+        s"lost: ${untouched -- after}")
+    val got = spark.sql("SELECT * FROM rgf_upd.db.t")
+    assert(got.filter(col("v") === -9.0).count() ==
+      spark.table("rgf_src_upd").filter(col("b") === 2 && col("k") < 100)
+        .count())
+    assert(got.count() == 4000L)
+  }
+}
