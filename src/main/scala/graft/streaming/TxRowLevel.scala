@@ -72,21 +72,27 @@ private[streaming] class TxRowLevelOperation(root: String,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"txtable group-based $cmd"
 
+  /** `_tx_file` rides every row-level scan (resolved from the table's
+    * metadata columns): it is what the runtime group filter collects
+    * and prunes on — FILE-grain copy-on-write, the Iceberg `_file`
+    * shape (see [[TxRuntimeFilteredScan]]). Requesting a metadata
+    * attribute also means Spark's ReplaceData carries a metadata
+    * projection, so the writer receives rows PROJECTED to the table
+    * schema (no marker-column offset). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_tx_file"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val v = TxTable.currentVersion(root)
     val schema = TxTable.inferLogicalSchema(root, v).getOrElse(
       sys.error(s"row-level DML needs a schema-tracking table at $root"))
-    // PARTITIONED targets get runtime group filtering at partition
-    // grain (see TxRuntimeFilteredScan — the attribute must be
-    // group-constant, which only the partition column is)
-    val m = TxTable.readManifest(root, v)
-    val partLogical = TxTable.partitionColumn(m).map(p =>
-      TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p))
     new TxTableScanBuilder(schema, root, versionAsOf = None,
       skipChange = false, maxVersions = Int.MaxValue,
       startingVersion = None, recorder = Some(this),
-      runtimePartCol = partLogical)
+      runtimeFileFilter = true)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -107,11 +113,14 @@ private[streaming] class TxGroupReplaceWrite(root: String,
     op: TxRowLevelOperation)
     extends TxTableBatchWrite(root, querySchema, overwrite = false) {
 
-  /** Group-based rewritten plans prepend the `__row_operation` int
-    * marker to every row and (with no metadata attributes requested)
-    * hand it through unprojected — see
-    * [[TxTableBatchWrite.rowIndexOffset]]. Skip past it. */
-  override protected def rowIndexOffset: Int = 1
+  /** The operation requests the `_tx_file` metadata attribute, so
+    * Spark's ReplaceData carries a metadata projection and the
+    * DataAndMetadataWritingSparkTask hands this writer rows ALREADY
+    * projected to the table schema (the `__row_operation` marker and
+    * `_tx_file` are stripped; the 2-arg DataWriter.write default
+    * discards the metadata row). Offset 0 — and the writer's arity
+    * guard still verifies the layout on every row. */
+  override protected def rowIndexOffset: Int = 0
 
   private def opName: String = op.command() match {
     case RowLevelOperation.Command.DELETE => "delete"

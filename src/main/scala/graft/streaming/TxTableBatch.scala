@@ -63,7 +63,7 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
     maxVersions: Int, startingVersion: Option[String],
     startingTimestamp: Option[String] = None,
     recorder: Option[TxRowLevelOperation] = None,
-    runtimePartCol: Option[String] = None)
+    runtimeFileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -83,14 +83,14 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = runtimePartCol match {
-    case Some(c) => new TxRuntimeFilteredScan(required, pushed, root,
-      versionAsOf, skipChange, maxVersions, startingVersion,
-      startingTimestamp, recorder, c)
-    case None => new TxTableScan(required, pushed, root,
-      versionAsOf, skipChange, maxVersions, startingVersion,
-      startingTimestamp, recorder)
-  }
+  override def build(): Scan =
+    if (runtimeFileFilter)
+      new TxRuntimeFilteredScan(required, pushed, root, versionAsOf,
+        skipChange, maxVersions, startingVersion, startingTimestamp,
+        recorder)
+    else
+      new TxTableScan(required, pushed, root, versionAsOf, skipChange,
+        maxVersions, startingVersion, startingTimestamp, recorder)
 }
 
 /** One Scan serving both read modes: `toBatch` plans the (possibly
@@ -116,36 +116,20 @@ private[streaming] class TxTableScan(required: StructType,
     if (readVersion <= 0) None
     else Some(TxTable.readManifest(root, readVersion))
 
-  /** Runtime group filter (round 19): the EXACT set of partition values
-    * a row-level scan may keep — set by [[TxRuntimeFilteredScan
-    * .filter]], applied by PATH SEGMENT (not stats, which are advisory:
-    * a stats-less file wrongly kept here would have its non-matching
-    * rows dropped by the injected row filter and then be REPLACED by
-    * the shrunken content — silent row loss; the path segment is exact
-    * by construction). None = no runtime filter. */
-  @volatile protected var runtimePartKeep
-      : Option[(String, Set[String])] = None
-
-  /** A data entry's unescaped partition value, when laid out as
-    * `data/<col>=<v>/file`. */
-  private def partValueOf(entry: String): Option[String] = {
-    val segs = entry.split("/")
-    if (segs.length == 3 && segs(1).contains('='))
-      Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(segs(1).split("=", 2)(1)))
-    else None
-  }
+  /** Runtime group filter (round 19): the EXACT set of data-file
+    * ABSOLUTE PATHS a row-level scan may keep — set by
+    * [[TxRuntimeFilteredScan.filter]] from the collected `_tx_file`
+    * values of the command's matching rows. Exact by construction:
+    * `_tx_file` is constant across a file's rows, so file pruning and
+    * the injected row filter coincide (anything less exact would let a
+    * wrongly kept file lose its filtered-away rows on rewrite). None =
+    * no runtime filter. */
+  @volatile protected var runtimeFileKeep: Option[Set[String]] = None
 
   private def applyRuntimeKeep(kept: Seq[String]): Seq[String] =
-    runtimePartKeep match {
+    runtimeFileKeep match {
       case None => kept
-      case Some((_, vals)) => kept.filter(f => partValueOf(f) match {
-        case Some(v) => vals(v)
-        case None => sys.error(
-          s"txtable runtime group filter: data entry $f carries no " +
-            "partition segment — refusing to guess (a wrongly kept " +
-            "file would lose rows under the injected row filter)")
-      })
+      case Some(paths) => kept.filter(f => paths(s"$root/$f"))
     }
 
   /** (kept, all-data-entries) under the pushed predicate tree — the
@@ -418,14 +402,16 @@ private[streaming] class TxTableBatchWrite(root: String,
   }
 
   /** Leading row fields the EXECUTED rows carry beyond info.schema().
-    * 0 for ordinary writes. Group-based row-level writes get 1: Spark's
-    * rewritten plan prepends an int `__row_operation` marker column
-    * (RowDeltaUtils.OPERATION_COLUMN) and only strips it via
-    * ReplaceDataProjections when the operation requests metadata
-    * attributes — with none requested, ReplaceDataExec.writingTask
-    * falls back to the plain DataWritingSparkTask and the marker
-    * reaches the writer. The marker is dispatch metadata (every
-    * ReplaceData row is new content), so the writer skips past it. */
+    * 0 for every current write path: ordinary writes are unprojected
+    * but exact, and row-level writes request the `_tx_file` metadata
+    * attribute, which makes Spark's ReplaceData carry projections that
+    * strip the `__row_operation` marker before rows reach the writer.
+    * (A row-level operation that requested NO metadata attributes
+    * would receive the marker unprojected — ReplaceDataExec
+    * .writingTask only applies the row projection when a metadata
+    * projection exists — and would need offset 1; the per-row arity
+    * guard in the writer turns any such drift into a loud error, never
+    * misaligned columns.) */
   protected def rowIndexOffset: Int = 0
 
   protected lazy val plan: TxWritePlan = {
@@ -681,8 +667,8 @@ private[streaming] class TxTableDataWriter(plan: TxWritePlan,
         }
       }
     }
-    open.getOrElseUpdate(dirOf(row), new OneFile(dirOf(row)))
-      .writer.write(g)
+    val dir = dirOf(row)
+    open.getOrElseUpdate(dir, new OneFile(dir)).writer.write(g)
   }
 
   override def commit()
@@ -707,28 +693,27 @@ private[streaming] class TxTableDataWriter(plan: TxWritePlan,
   override def close(): Unit = ()
 }
 
-/** RUNTIME GROUP FILTERING for row-level ops on PARTITIONED tables
-  * (round 19) — the Iceberg move, at partition grain: Spark's
+/** RUNTIME GROUP FILTERING for row-level DML (round 19) — the Iceberg
+  * move, at FILE grain via the `_tx_file` metadata column: Spark's
   * RowLevelOperationRuntimeGroupFiltering rule plans a matching-rows
   * subquery (for MERGE, an EXISTS against the source), collects the
-  * DISTINCT values of [[filterAttributes]], injects them as a row
-  * filter over the scan AND hands them here — so a MERGE whose keys
-  * touch one partition rewrites ONE partition, not the table.
+  * DISTINCT `_tx_file` values of the matching rows, injects them as a
+  * row filter over the scan AND hands them here — so a MERGE whose
+  * keys live in one file rewrites ONE file, not the table.
   *
-  * The attribute MUST be group-constant (every row of a file shares
-  * it): the injected filter applies to ROWS, so the kept files'
-  * replacement content must equal their full recomputation — true
-  * exactly when file-pruning and row-filtering coincide, which a
-  * partition column guarantees (Iceberg uses its `_file` metadata
-  * column for the same reason at file grain; flat tables keep the
-  * documented full-rewrite bound until a `_file` column exists here).
-  * Consequently [[filter]] converts predicates EXACTLY or aborts —
-  * under-pruning would silently drop rows from wrongly-kept files. */
+  * The filter attribute MUST be group-constant (every row of a file
+  * shares it): the injected filter also applies to ROWS, so the kept
+  * files' replacement content must equal their full recomputation —
+  * true exactly when file-pruning and row-filtering coincide, which a
+  * per-row file path guarantees by definition (the role Iceberg's
+  * `_file` plays). Consequently [[filter]] converts predicates EXACTLY
+  * or aborts — under-pruning would silently drop rows from wrongly-
+  * kept files. */
 private[streaming] class TxRuntimeFilteredScan(required: StructType,
     pushed: Array[sources.Filter], root: String, versionAsOf: Option[Int],
     skipChange: Boolean, maxVersions: Int, startingVersion: Option[String],
     startingTimestamp: Option[String],
-    recorder: Option[TxRowLevelOperation], partLogical: String)
+    recorder: Option[TxRowLevelOperation])
     extends TxTableScan(required, pushed, root, versionAsOf, skipChange,
       maxVersions, startingVersion, startingTimestamp, recorder)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -737,7 +722,7 @@ private[streaming] class TxRuntimeFilteredScan(required: StructType,
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(partLogical))
+    Array(Expressions.column("_tx_file"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val keeps = predicates.map { p =>
@@ -747,29 +732,31 @@ private[streaming] class TxRuntimeFilteredScan(required: StructType,
           "lose rows under the injected row filter)"))
     }
     if (keeps.nonEmpty)
-      runtimePartKeep = Some((partLogical, keeps.reduce(_ intersect _)))
+      runtimeFileKeep = Some(keeps.reduce(_ intersect _))
   }
 
-  /** The exact partition-value set `p` admits, or None. Handles the
+  /** The exact `_tx_file` path set `p` admits, or None. Handles the
     * shapes the runtime-filter planner emits: IN(col, lits…) and
-    * =(col, lit) over the declared attribute. */
+    * =(col, lit) over the declared attribute. A NULL literal (a
+    * MERGE's inserted rows carry no file) admits no file — dropped. */
   private def valuesOf(p: Predicate): Option[Set[String]] = {
     def colIs(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
-      case r: NamedReference => r.fieldNames.toSeq == Seq(partLogical)
+      case r: NamedReference => r.fieldNames.toSeq == Seq("_tx_file")
       case _ => false
     }
     def litStr(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] = e match {
-      case l: Literal[_] => Option(l.value).map(_.toString)
+        : Option[Option[String]] = e match {
+      case l: Literal[_] => Some(Option(l.value).map(_.toString))
       case _ => None
     }
     p.name match {
       case "IN" if p.children.nonEmpty && colIs(p.children()(0)) =>
         val vs = p.children.drop(1).map(litStr)
-        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+        if (vs.forall(_.isDefined)) Some(vs.flatten.flatten.toSet)
+        else None
       case "=" if p.children.length == 2 && colIs(p.children()(0)) =>
-        litStr(p.children()(1)).map(Set(_))
+        litStr(p.children()(1)).map(_.toSet)
       case _ => None
     }
   }

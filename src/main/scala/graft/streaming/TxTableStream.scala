@@ -120,8 +120,26 @@ private[streaming] class TxTableTable(userSchema: StructType,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = defaultRoot.getOrElse("txtable")
+
+  /** `_tx_file` — the file-provenance metadata column (round 19; the
+    * `_metadata.file_path` analogue for this format): user-selectable
+    * (`SELECT _tx_file, … FROM tx.db.t`) and, because it is constant
+    * across every row of a file, the EXACT runtime group-filter
+    * attribute row-level DML prunes with (the role Iceberg's `_file`
+    * plays). Nullable: a MERGE's inserted rows come from no file. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_tx_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "absolute path of the data file this row was read from"
+    })
 
   private def dmlRoot(what: String): String = {
     require(pinnedVersion.isEmpty,
@@ -474,7 +492,8 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
   }
   private val fileFields: Seq[String] = fileSchema.map(_._1)
   private val filePrimTypes: Map[String, String] = fileSchema.toMap
-  private val declared = schema.fields.filter(_.name != "_commit_version")
+  private val declared = schema.fields.filter(f =>
+    f.name != "_commit_version" && f.name != "_tx_file")
   // declared names are LOGICAL; files carry PHYSICAL columns — resolve
   // through the commit's column mapping (identity when unmapped)
   private def physOf(logical: String): String =
@@ -551,6 +570,15 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
         case dt => sys.error(
           s"txtable streaming reader: _commit_version must be declared " +
             s"int or bigint, got $dt")
+      }
+      // file-provenance metadata column (round 19): the absolute path
+      // of the file this row came from — group-constant by definition,
+      // which is what makes it the runtime group-filter attribute for
+      // row-level DML ([[TxRuntimeFilteredScan]])
+      else if (f.name == "_tx_file") f.dataType match {
+        case StringType => UTF8String.fromString(part.path)
+        case dt => sys.error(
+          s"txtable reader: _tx_file must be declared string, got $dt")
       }
       else presentIdx.get(physOf(f.name)) match {
         case None => partValues.getOrElse(f.name, null) // partition dir value, or pre-evolution file

@@ -31,15 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 199,
-      s"expected the SURVEY §2 199-key inventory (190 as of round 17 + " +
-        s"round 18's q_table_skipping/q_table_partitioned/" +
-        s"q_table_column_mapping/q_table_type_promotion/" +
-        s"q_table_scan_pushdown/q_table_dsv2_write/q_table_cluster/" +
-        s"q_table_stream_sink/q_table_sql), " +
+    assert(SparkEntry.queries.size == 202,
+      s"expected the SURVEY §2 202-key inventory (199 as of round 18 + " +
+        s"round 19's q_table_sql_dml/q_table_sql_alter/q_table_ctas), " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 171,
-      s"expected 171 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 174,
+      s"expected 174 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -1725,6 +1725,71 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE dml_tx.db.t")
   }
 
+  test("MERGE conditional clauses: WHEN MATCHED AND cond THEN DELETE, " +
+      "unconditional UPDATE fallback, WHEN NOT MATCHED AND cond INSERT " +
+      "— one atomic commit (round 19)") {
+    import spark.implicits._
+    val wh = graft.Scratch.dir("txtable", "spec_mergecond")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.mc_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mc_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mc_tx.db")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v").createOrReplaceTempView("mc_base")
+    spark.sql("CREATE TABLE mc_tx.db.t AS SELECT * FROM mc_base")
+    // source: k=1 (v<0 → DELETE), k=2 (v≥0 → UPDATE),
+    //         k=9 (v>100 → INSERT), k=8 (v≤100 → dropped)
+    Seq((1L, -1.0), (2L, 22.0), (9L, 999.0), (8L, 5.0))
+      .toDF("k", "v").createOrReplaceTempView("mc_src")
+    val vBefore = sources.TxTable.currentVersion(s"$wh/db/t")
+    spark.sql("""MERGE INTO mc_tx.db.t t USING mc_src s
+                |ON t.k = s.k
+                |WHEN MATCHED AND s.v < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED AND s.v > 100 THEN INSERT *
+                |""".stripMargin)
+    assert(sources.TxTable.currentVersion(s"$wh/db/t") == vBefore + 1,
+      "a multi-clause MERGE must land as ONE commit")
+    val got = spark.sql("SELECT * FROM mc_tx.db.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 22.0), (3L, 30.0), (4L, 40.0), (9L, 999.0)),
+      s"conditional MERGE produced $got")
+    spark.sql("DROP TABLE mc_tx.db.t")
+  }
+
+  test("the SQL keys' scratch stays bounded across repeated " +
+      "invocations: one stable warehouse, DROP-then-CREATE per key " +
+      "(VERDICT r18 item 8)") {
+    val wh = graft.Scratch.dir("txtable", "sqlcat_warehouse")
+    def run(): Unit = {
+      sources.TxTable.qTableSql(spark, sf0001).count(): Unit
+      sources.TxTable.qTableSqlDml(spark, sf0001).count(): Unit
+      sources.TxTable.qTableCtas(spark, sf0001).count(): Unit
+      sources.TxTable.qTableSqlAlter(spark, sf0001).count(): Unit
+    }
+    def fileCount: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else 1
+      walk(new java.io.File(wh))
+    }
+    run(); run()
+    val afterTwo = fileCount
+    run(); run()
+    val afterFour = fileCount
+    assert(afterFour <= afterTwo,
+      s"SQL-key scratch grew across invocations: $afterTwo -> " +
+        s"$afterFour files under $wh")
+    // exactly the four tables' dirs live under db/ — no per-invocation
+    // warehouses, no orphaned table dirs
+    val dbDirs = Option(new java.io.File(wh, "db").listFiles())
+      .toSeq.flatten.map(_.getName).sorted
+    assert(dbDirs == Seq("alter_t", "ctas_t", "dml_t", "orders_t"),
+      s"unexpected table dirs: $dbDirs")
+  }
+
   test("CTAS + PARTITIONED BY through the catalog: rows route to " +
       "partition directories via the DSv2 writer, partition stats " +
       "prune the scan, and INSERT INTO keeps routing (round 19)") {

@@ -71,6 +71,57 @@ class RuntimeGroupFilterSpec extends AnyFunSuite with graft.SparkFixture {
       recompute.orderBy("k").collect().map(_.toSeq).toSeq)
   }
 
+  test("FLAT-table MERGE rewrites only the files holding matching " +
+      "keys: file-grain runtime group filtering via _tx_file") {
+    val wh = graft.Scratch.dir("txtable", "spec_rgf_flat")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.rgf_flat",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rgf_flat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rgf_flat.db")
+    spark.sql("""CREATE TABLE rgf_flat.db.t
+                |(k BIGINT, v DOUBLE)""".stripMargin)
+    val root = s"$wh/db/t"
+    // two files with DISJOINT key ranges (separate commits)
+    TxTable.append(spark, root, spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .repartition(1))
+    TxTable.append(spark, root, spark.range(100000, 101000)
+      .select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .repartition(1))
+    val before = dataFiles(root)
+    assert(before.size == 2, s"expected two files, got $before")
+    // source keys hit only the LOW file's range
+    spark.range(0, 20).select(col("id").as("k"), lit(-3.0).as("v"))
+      .createOrReplaceTempView("rgf_flat_src")
+    spark.sql("""MERGE INTO rgf_flat.db.t t USING rgf_flat_src s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = dataFiles(root)
+    val highFile = before.filter { f =>
+      val m0 = TxTable.readManifest(root, 3) // after both appends
+      m0.stats.get(f).exists(_.cols.get("k").exists(_.min == "100000"))
+    }
+    assert(highFile.size == 1 && highFile.subsetOf(after),
+      s"file-grain group filtering must keep the non-matching file: " +
+        s"before=$before after=$after high=$highFile")
+    assert(!before.subsetOf(after), "the matching file must be rewritten")
+    // correctness
+    val got = spark.sql("SELECT * FROM rgf_flat.db.t")
+    assert(got.count() == 2000L)
+    assert(got.filter(col("v") === -3.0).count() == 20L)
+    assert(got.filter(col("k") >= 100000 && col("v") < 0).count() == 0L)
+    // the _tx_file metadata column is user-selectable and file-constant
+    val files = spark.sql(
+      "SELECT DISTINCT _tx_file FROM rgf_flat.db.t WHERE k >= 100000")
+      .collect().map(_.getString(0)).toSeq
+    assert(files == highFile.toSeq.map(f => s"$root/$f"),
+      s"_tx_file must surface the provenance path: $files")
+    spark.sql("DROP TABLE rgf_flat.db.t")
+  }
+
   test("UPDATE with a subquery condition on a partitioned table keeps " +
       "non-matching partitions' files (group filter via the matching-" +
       "rows subquery)") {
