@@ -753,6 +753,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"expected the txtable scan description in:\n$plan")
   }
 
+  test("a catalog partition-predicate SELECT plans exactly the " +
+      "matching partition's files (the q_table_ctas read shape, " +
+      "round 19)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_planctas")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.pln_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pln_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pln_tx.db")
+    spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("b"))
+      .createOrReplaceTempView("pln_src")
+    spark.sql("""CREATE TABLE pln_tx.db.t PARTITIONED BY (b) AS
+                |SELECT * FROM pln_src""".stripMargin)
+    val df = spark.sql("SELECT * FROM pln_tx.db.t WHERE b = 2")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan self-reports files planned < files listed, and the
+    // partition predicate rode pushFilters into the description
+    val m = "files planned (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected the txtable scan description in:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt &&
+      m.get.group(1).toInt > 0,
+      s"partition predicate must prune the plan: ${m.get.matched}")
+    assert(df.count() == 1000L)
+    spark.sql("DROP TABLE pln_tx.db.t")
+  }
+
   test("ts_resample aggregates the corpus before touching the grid (the " +
       "LOCF window runs over O(calendar) rows)") {
     val plan = planOf(relational.TimeSeries.qTsResample(spark, sf0001))

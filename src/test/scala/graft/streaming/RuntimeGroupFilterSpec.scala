@@ -122,6 +122,112 @@ class RuntimeGroupFilterSpec extends AnyFunSuite with graft.SparkFixture {
     spark.sql("DROP TABLE rgf_flat.db.t")
   }
 
+  test("a group rewrite over a table with OUTSTANDING position deletes " +
+      "absorbs them: DV-deleted rows stay gone, the update applies, and " +
+      "the commit records the DV set it read") {
+    val wh = graft.Scratch.dir("txtable", "spec_rgf_dv")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.rgf_dv",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rgf_dv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rgf_dv.db")
+    spark.sql("CREATE TABLE rgf_dv.db.t (k BIGINT, v DOUBLE)")
+    val root = s"$wh/db/t"
+    TxTable.append(spark, root, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .repartition(1))
+    // merge-on-read deletes FIRST (convertible → DV fast path)
+    spark.sql("DELETE FROM rgf_dv.db.t WHERE k >= 90")
+    assert(TxTable.readManifest(root, TxTable.currentVersion(root))
+      .props.get("op").contains("delete-dv"))
+    // then a COPY-ON-WRITE update over the same file (subquery forces
+    // the group rewrite, which must absorb the outstanding DV)
+    spark.range(0, 10).select(col("id").as("k"))
+      .createOrReplaceTempView("rgf_dv_keys")
+    spark.sql("""UPDATE rgf_dv.db.t SET v = -1.0
+                |WHERE k IN (SELECT k FROM rgf_dv_keys)""".stripMargin)
+    val got = spark.sql("SELECT * FROM rgf_dv.db.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 90, s"DV-deleted rows resurrected: ${got.size}")
+    assert(got.takeWhile(_._1 < 10).forall(_._2 == -1.0))
+    assert(got.filter(t => t._1 >= 10 && t._1 < 90)
+      .forall(t => t._2 == t._1 * 1.0))
+    spark.sql("DROP TABLE rgf_dv.db.t")
+  }
+
+  test("a concurrent position-delete landing mid-rewrite ABORTS the " +
+      "SQL UPDATE loudly (scan-to-commit DV conflict check), discards " +
+      "its staged files, and loses no committed state") {
+    val wh = graft.Scratch.dir("txtable", "spec_rgf_race")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.rgf_race",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rgf_race.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rgf_race.db")
+    spark.sql("CREATE TABLE rgf_race.db.t (k BIGINT, v DOUBLE)")
+    val root = s"$wh/db/t"
+    TxTable.append(spark, root, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .repartition(1))
+    // a DRIVER-SIDE thread lands ONE conflicting merge-on-read delete
+    // while the UPDATE's rewrite is recomputing rows (after its scan
+    // planned groups and captured the DV set, before its commit): the
+    // recomputation's UDF signals the thread and BLOCKS until the
+    // delete commits (a task thread cannot launch nested jobs itself)
+    val sess = spark
+    import RgfRaceCoordination._
+    val sneaker = new Thread(() => {
+      started.await()
+      try TxTable.deleteVector(sess, root,
+        col("k") === 77): Unit
+      finally done.countDown()
+    })
+    sneaker.start()
+    // the lambda references only the static coordination object, so the
+    // closure stays serializable (local mode still serializes tasks)
+    spark.udf.register("rgf_race_sneak", (x: Double) => {
+      if (RgfRaceCoordination.fired.compareAndSet(false, true)) {
+        RgfRaceCoordination.started.countDown()
+        RgfRaceCoordination.done.await()
+      }
+      x + 100.0
+    })
+    val vBefore = TxTable.currentVersion(root)
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE rgf_race.db.t SET v = rgf_race_sneak(v)
+                  |WHERE k IN (SELECT id FROM range(0, 50))"""
+        .stripMargin)
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("position-delete conflict"),
+      s"expected the DV conflict abort, got: ${rootMsg(e)}")
+    // the UPDATE aborted: no version landed beyond the sneak's delete,
+    // no update applied, the DV delete IS applied, and no staged file
+    // leaked (visible files == manifest files)
+    val m = TxTable.readManifest(root, TxTable.currentVersion(root))
+    assert(m.props.get("op").contains("delete-dv") &&
+      m.version == vBefore + 1)
+    val got = spark.sql("SELECT * FROM rgf_race.db.t")
+    assert(got.count() == 99L, "the concurrent DV delete must hold")
+    assert(got.filter(col("v") >= 100.0).count() == 0,
+      "the aborted UPDATE must not be partially applied")
+    val visible = Option(new java.io.File(root, "data").listFiles())
+      .toSeq.flatten.filterNot(_.getName.startsWith(".")).map(_.getName)
+      .toSet
+    val listed = m.files.filter(_.startsWith("data/"))
+      .map(_.stripPrefix("data/")).toSet
+    assert(visible == listed,
+      s"aborted rewrite leaked staged files: ${visible -- listed}")
+    spark.sql("DROP TABLE rgf_race.db.t")
+  }
+
   test("UPDATE with a subquery condition on a partitioned table keeps " +
       "non-matching partitions' files (group filter via the matching-" +
       "rows subquery)") {
@@ -142,4 +248,12 @@ class RuntimeGroupFilterSpec extends AnyFunSuite with graft.SparkFixture {
         .count())
     assert(got.count() == 4000L)
   }
+}
+
+/** Driver/executor coordination for the mid-rewrite conflict test —
+  * static so the UDF closure captures nothing non-serializable. */
+object RgfRaceCoordination {
+  val started = new java.util.concurrent.CountDownLatch(1)
+  val done = new java.util.concurrent.CountDownLatch(1)
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
