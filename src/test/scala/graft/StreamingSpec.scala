@@ -1196,4 +1196,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sources.TxTable.snapshot(spark, dst).count() ==
       orders.count() + 2)
   }
+
+  test("DSv2 streaming SINK to a PARTITIONED target routes each " +
+      "epoch's rows into partition directories (the batch writer's " +
+      "dynamic routing, inherited — round 19)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "dsv2sink_part")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.psink_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.psink_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS psink_tx.db")
+    spark.sql("""CREATE TABLE psink_tx.db.t
+                |(k BIGINT, b INT, v DOUBLE) PARTITIONED BY (b)
+                |""".stripMargin)
+    val dst = s"$wh/db/t"
+    val src = graft.Scratch.dir("txtable", "dsv2sink_part_src")
+    sources.TxTable.init(src)
+    sources.TxTable.append(spark, src, spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") % 3).cast("int").as("b"),
+        (col("id") * 1.0).as("v"))): Unit
+    val q = spark.readStream.format("txtable").load(src)
+      .writeStream.format("txtable")
+      .option("path", dst)
+      .option("checkpointLocation", s"$dst/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = sources.TxTable.readManifest(dst,
+      sources.TxTable.currentVersion(dst))
+    val data = m.files.filter(_.startsWith("data/"))
+    assert(data.nonEmpty &&
+      data.forall(_.matches("data/b=\\d+/.*\\.parquet")),
+      s"streamed epoch must land partition-routed files: $data")
+    assert((0 to 2).forall(i =>
+      data.exists(_.startsWith(s"data/b=$i/"))),
+      s"all three partitions must be populated: $data")
+    assert(sources.TxTable.snapshot(spark, dst).count() == 300L)
+    // partition pruning works on the streamed layout too
+    assert(sources.TxTable.snapshotWhere(spark, dst,
+      col("b") === 1).count() == 100L)
+    val (kept, all) = sources.TxTable.lastSkip.get()
+    assert(kept < all, s"partition predicate must prune: $kept/$all")
+    spark.sql("DROP TABLE psink_tx.db.t")
+  }
 }
