@@ -140,6 +140,16 @@ object TxTable {
   private[graft] def currentVersion(root: String): Int =
     versions(root).lastOption.getOrElse(0)
 
+  /** Commit wall-clock millis of version `v`: the manifest's durable
+    * `ts` prop (written by every commit since round 20, monotonic by
+    * construction), falling back to the manifest file's mtime only for
+    * legacy pre-prop manifests (ADVICE r19 — mtimes don't survive
+    * table copies / backup tooling and are not guaranteed monotonic). */
+  private[graft] def commitTimeMillis(root: String, v: Int): Long =
+    readManifest(root, v).props.get("ts")
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(new java.io.File(s"$root/_txlog/v$v").lastModified())
+
   private[graft] def readManifest(root: String, v: Int): Manifest = {
     val lines = java.nio.file.Files.readAllLines(
       logDir(root).toPath.resolve(s"v$v"),
@@ -233,8 +243,17 @@ object TxTable {
       // changes them (round 18 — the Delta metadata-carry discipline)
       checkProps(curProps)
       val inherited = curProps.filter { case (k, _) => ColMapProps(k) }
-      val props = Map("op" -> op, "parent" -> cur.toString) ++
-        inherited ++ extraProps
+      // commit wall-clock rides the manifest (ADVICE r19): timestamp
+      // travel / startingTimestamp resolve against this DURABLE prop —
+      // file mtimes survive neither copies nor backup tooling. Clamped
+      // monotonic vs the parent so clock skew can never make a later
+      // version claim an earlier instant (resolution scans in version
+      // order and both resolvers assume non-decreasing commit times).
+      val parentTs = curProps.get("ts").flatMap(t =>
+        scala.util.Try(t.toLong).toOption).getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(), parentTs)
+      val props = Map("op" -> op, "parent" -> cur.toString,
+        "ts" -> ts.toString) ++ inherited ++ extraProps
       val newFiles = update(curFiles)
       // skipping stats (VERDICT r17 item 1): carried files keep their
       // parent-manifest stats verbatim (a staged file is immutable, so
@@ -347,9 +366,16 @@ object TxTable {
             }.toOption
           }
         }.toMap
+      // partition VALUES are stored path-escaped on disk (the writers
+      // run ExternalCatalogUtils.escapePathName; ':' '%' '=' etc. in a
+      // value — timestamps, URLs — arrive encoded): unescape here so an
+      // equality predicate on the LITERAL value prunes correctly
+      // (ADVICE r19 — a raw-segment compare wrongly pruned such files)
       val partCols = rel.split("/").dropRight(1)
         .filter(_.contains('=')).map { seg =>
-          val Array(k, v) = seg.split("=", 2)
+          val Array(k, v0) = seg.split("=", 2)
+          val v = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v0)
           k -> ColStats("part", v, v)
         }.toMap
       FileStats(rows, perCol ++ partCols)
@@ -602,6 +628,29 @@ object TxTable {
   private def logicalColumns(s: SparkSession, root: String, v: Int)
       : Seq[String] = snapshot(s, root, v).columns.toSeq
 
+  /** Metadata-only DDL commit shared by rename/drop/promote/add: the
+    * update closure republishes the parent's file list verbatim and a
+    * [[commitChecked]] props check asserts the SCHEMA/COLMAP props the
+    * DDL planned against are still current. The file-list check alone
+    * cannot see a concurrent metadata-only commit (rename/drop/promote
+    * republish the same list — ADVICE r19: an ADD COLUMN racing a
+    * rename would have silently reverted it); the SchemaProps-equality
+    * check makes every such race fail loudly instead. */
+  private[graft] def commitMetadataDdl(root: String, op: String,
+      m: Manifest, props: Map[String, String]): Int = {
+    val planned = m.props.filter { case (k, _) => SchemaProps(k) }
+    commitChecked(root, op, { prev =>
+      require(prev == m.files,
+        s"concurrent commit during $op at $root — retry on the new head")
+      prev
+    }, props, cur => {
+      val now = cur.filter { case (k, _) => SchemaProps(k) }
+      require(now == planned,
+        s"concurrent schema/column-mapping commit during $op at $root " +
+          "— committing would revert it; retry on the new head")
+    })
+  }
+
   /** RENAME COLUMN as an O(1) metadata commit: zero data files touched
     * (the update closure republishes the parent's list verbatim), the
     * new mapping rides the manifest, and every later commit inherits it
@@ -620,11 +669,7 @@ object TxTable {
     val phys = cm.logToPhys.getOrElse(from, from)
     val cm2 = cm.copy(renames =
       cm.renames.filterNot(_._1 == from) :+ (to -> phys))
-    commit(root, "rename", { prev =>
-      require(prev == m.files,
-        s"concurrent commit during rename at $root — retry on the new head")
-      prev
-    }, encodeColMapProps(cm2))
+    commitMetadataDdl(root, "rename", m, encodeColMapProps(cm2))
   }
 
   /** DROP COLUMN as an O(1) metadata commit: the physical column stays
@@ -645,11 +690,7 @@ object TxTable {
     val phys = cm.logToPhys.getOrElse(name, name)
     val cm2 = ColMapping(cm.renames.filterNot(_._1 == name),
       cm.droppedPhys :+ phys)
-    commit(root, "drop", { prev =>
-      require(prev == m.files,
-        s"concurrent commit during drop at $root — retry on the new head")
-      prev
-    }, encodeColMapProps(cm2))
+    commitMetadataDdl(root, "drop", m, encodeColMapProps(cm2))
   }
 
   // --- schema tracking + type promotion (round 18) --------------------
@@ -805,12 +846,9 @@ object TxTable {
     require(promotable(from, tgt),
       s"illegal type change ${from.sql} -> ${tgt.sql}: only widening " +
         "within one numeric family (int→bigint, float→double)")
-    commit(root, "promote", { prev =>
-      require(prev == m.files,
-        s"concurrent commit during type promotion at $root — retry")
-      prev
-    }, encodeSchemaProp(StructType(cur.fields.map(f =>
-      if (f.name == phys) f.copy(dataType = tgt) else f))))
+    commitMetadataDdl(root, "promote", m,
+      encodeSchemaProp(StructType(cur.fields.map(f =>
+        if (f.name == phys) f.copy(dataType = tgt) else f))))
   }
 
   /** ALTER TABLE ADD COLUMN as a metadata-only commit (round 19): the
@@ -845,12 +883,9 @@ object TxTable {
         val base = cm.getOrElse(ColMapping(Nil, Nil))
         encodeColMapProps(base.copy(renames = base.renames :+ (name -> phys)))
       }
-    commit(root, "addcol", { prev =>
-      require(prev == m.files,
-        s"concurrent commit during ADD COLUMN at $root — retry")
-      prev
-    }, encodeSchemaProp(StructType(cur.fields :+
-      org.apache.spark.sql.types.StructField(phys, dt))) ++ cmProps)
+    commitMetadataDdl(root, "addcol", m,
+      encodeSchemaProp(StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField(phys, dt))) ++ cmProps)
   }
 
   /** The table's partition column, derived from its data entries

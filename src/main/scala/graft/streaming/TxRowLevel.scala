@@ -66,8 +66,19 @@ private[streaming] class TxRowLevelOperation(root: String,
 
   /** Set by the shared scan's planInputPartitions; read by the write's
     * commit. Volatile: planning and commit run on driver threads that
-    * need not be the same one. */
+    * need not be the same one. Records the STATS-PRUNED file set (before
+    * any runtime group filter) — the commit re-derives the final groups
+    * as pruned ∩ [[runtimeKeep]], so correctness never depends on WHICH
+    * planning call ran last (ADVICE r19: trusting call order would lose
+    * rows if a future Spark re-planned the unfiltered partitions after
+    * the filtered ones). */
   @volatile private[streaming] var planned: Option[TxPlannedGroups] = None
+
+  /** The exact `_tx_file` path set the runtime group filter admitted
+    * (None = no runtime filter ran) — mirrored here by
+    * [[TxRuntimeFilteredScan.filter]] so the commit derives its groups
+    * from filter state, not planning-call order. */
+  @volatile private[streaming] var runtimeKeep: Option[Set[String]] = None
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"txtable group-based $cmd"
@@ -136,11 +147,18 @@ private[streaming] class TxGroupReplaceWrite(root: String,
       "txtable row-level write committed before its scan planned " +
         "groups — the ReplaceData contract shares one operation " +
         "instance between scan and write"))
-    if (g.kept.isEmpty && staged.isEmpty) return // nothing matched: no-op
-    val keptSet = g.kept.toSet
+    // final groups = stats-pruned files ∩ the runtime filter's admitted
+    // set, derived HERE from the filter state itself — never from which
+    // planInputPartitions call happened to run last (ADVICE r19)
+    val kept = op.runtimeKeep match {
+      case None => g.kept
+      case Some(paths) => g.kept.filter(f => paths(s"$root/$f"))
+    }
+    if (kept.isEmpty && staged.isEmpty) return // nothing matched: no-op
+    val keptSet = kept.toSet
     try {
       TxTable.commitChecked(root, opName, { prev =>
-        require(g.kept.forall(prev.toSet),
+        require(kept.forall(prev.toSet),
           s"concurrent rewrite conflict at $root: a file this $opName " +
             "read is no longer in the current snapshot — retry")
         require(TxTable.deleteEntries(prev) == g.dvs,

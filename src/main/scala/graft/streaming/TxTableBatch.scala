@@ -172,13 +172,15 @@ private[streaming] class TxTableScan(required: StructType,
         val kept = applyRuntimeKeep(kept0)
         // row-level ops (round 19): the files this scan PLANS are the
         // GROUPS the companion ReplaceData write must replace — record
-        // them (plus the version and DV set the recomputation read, for
-        // the commit-time conflict checks) on the shared operation.
-        // Recorded on EVERY planning call: the execution-time call (the
-        // one after a runtime filter lands) is last, so the write
-        // replaces exactly the executed groups.
+        // the STATS-PRUNED set (plus the version and DV set the
+        // recomputation read, for the commit-time conflict checks) on
+        // the shared operation. The runtime group filter is NOT folded
+        // in here: the commit derives final groups as pruned ∩ the
+        // filter's own recorded state ([[TxRowLevelOperation
+        // .runtimeKeep]]), so planning-call ORDER can never change
+        // which files the write removes (ADVICE r19).
         recorder.foreach(_.planned = Some(TxPlannedGroups(readVersion,
-          kept, TxTable.deleteEntries(m.files))))
+          kept0, TxTable.deleteEntries(m.files))))
         val logToPhys = TxTable.colMapOf(m)
           .map(_.logToPhys).getOrElse(Map.empty[String, String])
         kept.map { f =>
@@ -731,8 +733,12 @@ private[streaming] class TxRuntimeFilteredScan(required: StructType,
           "refusing to under-prune a row-level scan (kept files would " +
           "lose rows under the injected row filter)"))
     }
-    if (keeps.nonEmpty)
+    if (keeps.nonEmpty) {
       runtimeFileKeep = Some(keeps.reduce(_ intersect _))
+      // mirror onto the shared operation: the COMMIT derives its groups
+      // from this state (pruned ∩ keep), not from planning-call order
+      recorder.foreach(_.runtimeKeep = runtimeFileKeep)
+    }
   }
 
   /** The exact `_tx_file` path set `p` admits, or None. Handles the

@@ -108,20 +108,21 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
     new TxTableTable(schema, Some(root), Some(v))
   }
 
-  /** SQL `TIMESTAMP AS OF`: micros → the LATEST version whose manifest
-    * file was committed at or before that instant — the manifest's
-    * mtime IS the commit time (the hardlink lands it once, nothing
-    * rewrites it), so timestamp travel needs no format change; Delta
-    * maps timestamps to commit-file modification times the same way. */
+  /** SQL `TIMESTAMP AS OF`: micros → the LATEST version committed at or
+    * before that instant, per the manifest's durable `ts` commit-time
+    * prop (round 20 — manifest-file mtime is only the legacy fallback:
+    * mtimes survive neither table copies nor backup tooling, the reason
+    * Delta eventually grew in-commit timestamps too). */
   override def loadTable(ident: Identifier, timestampMicros: Long)
       : Table = {
     val root = rootOf(ident)
     if (!isTable(root)) noSuchTable(ident)
     val tsMillis = timestampMicros / 1000L
     val vs = TxTable.versions(root)
-    val at = vs.filter { v =>
-      new java.io.File(s"$root/_txlog/v$v").lastModified() <= tsMillis
-    }
+    // durable `ts` commit-time prop, mtime fallback for legacy
+    // manifests (ADVICE r19)
+    val at = vs.filter(v =>
+      TxTable.commitTimeMillis(root, v) <= tsMillis)
     require(at.nonEmpty,
       s"TIMESTAMP AS OF precedes every retained commit of " +
         s"${ident.name} (earliest retained: v${vs.headOption

@@ -273,9 +273,10 @@ private[streaming] class TxTableMicroBatchStream(schema: StructType,
           s"startingTimestamp must be 'yyyy-MM-dd[ HH:mm:ss[.S]]' or " +
             s"ISO-8601 instant, got '$ts'"))
     }
+    // resolve against the manifest's durable `ts` commit-time prop
+    // (mtime fallback for legacy manifests only — ADVICE r19)
     TxTable.versions(root)
-      .find(v => new java.io.File(s"$root/_txlog/v$v")
-        .lastModified() >= millis)
+      .find(v => TxTable.commitTimeMillis(root, v) >= millis)
       .map(_.toString) // None: after the head — subscribe to the future
   }
 
@@ -506,10 +507,14 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
   // column exists only as a path segment, so fill it as a per-file
   // constant (typed like _commit_version — unparseable declared types
   // fail loudly, never NULL-backfill a value the path carries)
+  // values were path-escaped by the writers (escapePathName) — decode,
+  // so ':' '%' '=' etc. in a string partition value round-trip exactly
+  // (ADVICE r19: the raw segment surfaced escaped values to readers)
   private val partValues: Map[String, Any] = part.path.split("/")
     .dropRight(1).filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> v
+      k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v)
     }.toMap.collect {
       // the path segment carries the PHYSICAL name; key the map by the
       // declared LOGICAL name it resolves to

@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxTable
+
+/** Round 20 — the four ADVICE-r19 hardenings, each pinned:
+  *  1. partition-value escaping round-trips (write-side escapePathName
+  *     vs read-side raw-segment parsing silently dropped rows for
+  *     values containing ':', '%', '=');
+  *  2. metadata-only DDL commits carry a SchemaProps conflict check (a
+  *     concurrent rename racing an ADD COLUMN was silently reverted);
+  *  3. the row-level commit derives its groups from the runtime
+  *     filter's own recorded state, never from planning-call order;
+  *  4. commit timestamps are a durable manifest prop — timestamp
+  *     travel survives mtime perturbation (table copies, backups). */
+class HardeningSpec extends AnyFunSuite with graft.SparkFixture {
+
+  test("partition values with ':', '%', '=' round-trip through the " +
+      "escaped directory layout: DSv2 reader unescapes, equality " +
+      "predicates prune to the RIGHT file instead of none (ADVICE r19)") {
+    val wh = graft.Scratch.dir("txtable", "spec_escape")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.esc_tx",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.esc_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS esc_tx.db")
+    // timestamp-like and separator-bearing partition values — exactly
+    // the shapes escapePathName encodes on disk
+    val vals = Seq("2024-01-01 10:30:00", "p%q", "a=b", "plain")
+    spark.createDataFrame(
+      (0 until 40).map(i => (i.toLong, vals(i % 4))))
+      .toDF("k", "pc").createOrReplaceTempView("esc_src")
+    spark.sql("""CREATE TABLE esc_tx.db.t PARTITIONED BY (pc) AS
+                |SELECT * FROM esc_src""".stripMargin)
+    val root = s"$wh/db/t"
+    val m = TxTable.readManifest(root, TxTable.currentVersion(root))
+    // the layout IS escaped on disk (write side unchanged)
+    assert(m.files.exists(_.contains("pc=2024-01-01 10%3A30%3A00")),
+      s"expected escaped ':' in layout, got ${m.files}")
+    // 1. the DSv2 reader surfaces the UNESCAPED value
+    val got = spark.read.format("txtable").load(root)
+      .select("pc").distinct().collect().map(_.getString(0)).toSet
+    assert(got == vals.toSet, s"reader surfaced escaped values: $got")
+    // 2. an equality predicate on the unescaped literal keeps the
+    //    matching file (manifest part stats now store decoded values)
+    val (kept, all) = TxTable.pruneDataFilesTree(m,
+      org.apache.spark.sql.graft.PlanBridge.PredCmp("=", "pc",
+        "2024-01-01 10:30:00"))
+    assert(kept.nonEmpty && kept.size < all.size &&
+      kept.forall(_.contains("pc=2024-01-01")),
+      s"escaped-value pruning is wrong: kept $kept of $all")
+    // 3. end-to-end: the pushed-down equality read returns the rows
+    assert(spark.read.format("txtable").load(root)
+      .filter(col("pc") === "2024-01-01 10:30:00").count() == 10)
+    assert(TxTable.snapshotWhere(spark, root,
+      col("pc") === "a=b").count() == 10)
+    spark.sql("DROP TABLE esc_tx.db.t")
+  }
+
+  test("metadata-only DDL racing a concurrent rename fails LOUDLY " +
+      "instead of silently reverting it (ADVICE r19: the file-list " +
+      "check cannot see metadata-only commits)") {
+    val root = graft.Scratch.dir("txtable", "spec_ddlrace")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    TxTable.init(root)
+    TxTable.append(spark, root,
+      spark.range(10).select(col("id").as("k"),
+        (col("id") * 2.0).as("v"))): Unit
+    // DDL planned against THIS manifest …
+    val planned = TxTable.readManifest(root, TxTable.currentVersion(root))
+    // … then a concurrent rename lands: SAME file list, new colmap
+    TxTable.renameColumn(spark, root, "v", "w"): Unit
+    val files = TxTable.readManifest(root,
+      TxTable.currentVersion(root)).files
+    assert(files == planned.files, "rename must republish the file list")
+    // the stale-planned DDL must refuse (committing its props would
+    // silently revert the rename)
+    val e = intercept[Exception] {
+      TxTable.commitMetadataDdl(root, "addcol", planned,
+        Map("tblschema" -> "c3RhbGU="))
+    }
+    assert(e.getMessage.contains("concurrent schema"),
+      s"wrong failure: ${e.getMessage}")
+    // and the real DDL surface, planned against the CURRENT head, works
+    TxTable.addColumn(root, "note",
+      org.apache.spark.sql.types.StringType): Unit
+    assert(TxTable.snapshot(spark, root).columns.toSeq ==
+      Seq("k", "w", "note"))
+  }
+
+  test("row-level commit derives groups from the runtime filter's " +
+      "recorded state, not planning-call order: a stale unfiltered " +
+      "planning pass cannot widen the removed set (ADVICE r19)") {
+    val root = graft.Scratch.dir("txtable", "spec_rlorder")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    TxTable.init(root)
+    // two files, distinguishable by k range
+    TxTable.append(spark, root, spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(1)): Unit
+    TxTable.append(spark, root, spark.range(10, 20)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(1)): Unit
+    val v0 = TxTable.currentVersion(root)
+    val m = TxTable.readManifest(root, v0)
+    val dataFiles = m.files.filter(_.startsWith("data/"))
+    assert(dataFiles.size == 2)
+    val target = dataFiles.head
+    // simulate the adversarial order: the operation's LAST planning
+    // record is the UNFILTERED full set; only runtimeKeep carries the
+    // filter's admitted file
+    val op = new TxRowLevelOperation(root,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    op.planned = Some(TxPlannedGroups(v0, dataFiles, Nil))
+    op.runtimeKeep = Some(Set(s"$root/$target"))
+    // a staged replacement for the one admitted group
+    val staged = TxTable.writeData(spark, root, spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 3.0).as("v"))
+      .repartition(1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val w = new TxGroupReplaceWrite(root, schema, op)
+    w.requiredDistribution(): Unit // force plan (captures plannedMeta)
+    w.commit(Array(TxFileCommitMessage(staged)))
+    val after = TxTable.readManifest(root, TxTable.currentVersion(root))
+      .files.filter(_.startsWith("data/")).toSet
+    assert(!after.contains(target), "the admitted group must be replaced")
+    assert(after.intersect(dataFiles.toSet) ==
+      dataFiles.toSet - target,
+      s"commit removed files OUTSIDE the runtime-filtered group: " +
+        s"kept $after of $dataFiles")
+    assert(staged.forall(after), "staged replacement must be listed")
+  }
+
+  test("commit timestamps are durable manifest props: timestamp " +
+      "travel and commitTimeMillis survive mtime perturbation " +
+      "(ADVICE r19 — mtimes don't survive table copies)") {
+    val root = graft.Scratch.dir("txtable", "spec_tsdur")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    TxTable.init(root)
+    def app(lo: Int, hi: Int): Unit = TxTable.append(spark, root,
+      spark.range(lo, hi).select(col("id").as("k"))): Unit
+    app(0, 10); Thread.sleep(20); app(10, 20); Thread.sleep(20)
+    app(20, 30)
+    val ts = (1 to 3).map(v => TxTable.commitTimeMillis(root, v))
+    assert(ts == ts.sorted, s"commit times must be monotonic: $ts")
+    // perturb every manifest mtime OUT OF ORDER (v3 oldest)
+    (1 to 3).foreach { v =>
+      new java.io.File(s"$root/_txlog/v$v")
+        .setLastModified(1000000000000L - v * 1000L): Unit
+    }
+    val ts2 = (1 to 3).map(v => TxTable.commitTimeMillis(root, v))
+    assert(ts2 == ts,
+      s"commitTimeMillis must read the durable prop, not mtime: $ts2")
+    // streaming startingTimestamp between v2 and v3 still resolves to
+    // v3+ despite the scrambled mtimes
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("_commit_version", IntegerType)))
+    val between = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli((ts(1) + ts(2)) / 2))
+    val q = spark.readStream.format("txtable").schema(sch)
+      .option("startingTimestamp", between).load(root)
+      .writeStream.format("memory").queryName("tsdur_q")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("tsdur_q").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    spark.catalog.dropTempView("tsdur_q")
+    assert(got.nonEmpty && got.forall { case (k, v) => k >= 20 && v == 3 },
+      s"perturbed mtimes changed timestamp resolution: $got")
+  }
+}
