@@ -2584,7 +2584,30 @@ object TxTable {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q_table_agg_pushdown — AGGREGATE PUSHDOWN from manifest stats
+    * (round 20, VERDICT r19 item 2): a global COUNT(*)/MIN/MAX over a
+    * txtable answers from the manifest's row counts and min/max stats
+    * as a driver-side LocalScan — the plan contains a LocalTableScan
+    * and ZERO data-file partitions
+    * ([[graft.streaming.TxTableScanBuilder.pushAggregation]]). The
+    * soundness gate (no filters, no group-by, no position deletes,
+    * stats on every row-bearing file, type-matched) refuses anything
+    * not provably exact and falls back to the ordinary file scan —
+    * LayoutSpec pins both the zero-file plan and the fallbacks. At
+    * 100 TB this is one manifest read instead of a full-table scan.
+    * Oracle: the same aggregates recomputed from the source table. */
+  def qTableAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir, "dsv2tbl")
+    s.read.format("txtable").load(root)
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_cust"),
+        max("o_custkey").as("max_cust"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_agg_pushdown" -> (qTableAggPushdown _),
     "q_table_sql_dml" -> (qTableSqlDml _),
     "q_table_sql_alter" -> (qTableSqlAlter _),
     "q_table_ctas" -> (qTableCtas _),
@@ -2608,6 +2631,15 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_agg_pushdown" ->
+      """WITH base AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 97 <> 0)
+        |SELECT COUNT(*) AS n_rows, MIN(o_custkey) AS min_cust,
+        |       MAX(o_custkey) AS max_cust,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price
+        |FROM base""".stripMargin,
     "q_table_sql_dml" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey,

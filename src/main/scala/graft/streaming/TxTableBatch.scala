@@ -65,7 +65,8 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
     recorder: Option[TxRowLevelOperation] = None,
     runtimeFileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = declared
   private var pushed: Array[sources.Filter] = Array.empty
@@ -83,14 +84,157 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    if (runtimeFileFilter)
-      new TxRuntimeFilteredScan(required, pushed, root, versionAsOf,
-        skipChange, maxVersions, startingVersion, startingTimestamp,
-        recorder)
-    else
-      new TxTableScan(required, pushed, root, versionAsOf, skipChange,
-        maxVersions, startingVersion, startingTimestamp, recorder)
+  // --- AGGREGATE PUSHDOWN from manifest stats (round 20, VERDICT r19
+  // item 2): a global COUNT(*)/MIN/MAX whose answer is ALREADY in the
+  // manifest (row counts, per-file min/max lifted at commit time)
+  // plans as a driver-side LocalScan — ZERO data-file partitions, the
+  // O(1)-metadata-vs-100-TB-scan win. Complete pushdown only, and only
+  // when every input is provably exact:
+  //  - no pushed filters (rows inside kept files would need evaluating;
+  //    Spark only attempts agg pushdown on fully-pushed filters, and
+  //    this source keeps every filter residual — so in practice this
+  //    path serves unfiltered scans),
+  //  - no GROUP BY (global aggregates answer from table-level stats),
+  //  - no position deletes (a DV could have removed the min/max row or
+  //    any counted row),
+  //  - every data file carries stats for the referenced column (a
+  //    zero-row file is exempt — it contributes nothing), with a stats
+  //    type matching the declared column type.
+  // Anything else refuses, and the ordinary file scan runs — pushdown
+  // here is an optimization with a soundness gate, never a fallback
+  // semantics change.
+  private var aggPushed: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = tryPushAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggPushed = tryPushAgg(agg)
+    aggPushed.isDefined
+  }
+
+  private def tryPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || runtimeFileFilter || recorder.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    val v = versionAsOf.getOrElse(TxTable.currentVersion(root))
+    if (v <= 0) return None
+    val m = TxTable.readManifest(root, v)
+    if (TxTable.deleteEntries(m.files).nonEmpty) return None
+    val data = TxTable.dataEntries(m.files)
+    if (data.exists(f => !m.stats.contains(f))) return None
+    val stats = data.map(m.stats)
+    val schema = TxTable.inferLogicalSchema(root, v).getOrElse(return None)
+    val logToPhys = TxTable.colMapOf(m)
+      .map(_.logToPhys).getOrElse(Map.empty[String, String])
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // min/max of column `ln` across all files' stats, typed per the
+    // DECLARED schema. None = not provable (missing stats on a
+    // row-bearing file, type mismatch) — refuse the whole pushdown.
+    def minMax(ln: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      if (!schema.fieldNames.contains(ln)) return None
+      val dt = schema(ln).dataType
+      val phys = logToPhys.getOrElse(ln, ln)
+      val per = stats.flatMap { fs =>
+        if (fs.rows == 0L) None // empty file: contributes nothing
+        else Some(fs.cols.get(phys).getOrElse(return None))
+      }
+      def u8(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val value: Any = dt match {
+        case _ if per.isEmpty => null // zero rows: MIN/MAX = NULL
+        case LongType | IntegerType =>
+          if (!per.forall(c => c.t == "long" || c.t == "part")) return None
+          val vs = per.map(c => scala.util.Try(
+            (if (wantMin) c.min else c.max).toLong)
+            .getOrElse(return None))
+          val picked = if (wantMin) vs.min else vs.max
+          if (dt == LongType) java.lang.Long.valueOf(picked)
+          else java.lang.Integer.valueOf(picked.toInt)
+        case DoubleType | FloatType =>
+          if (!per.forall(_.t == "double")) return None
+          val vs = per.map(c => scala.util.Try(
+            (if (wantMin) c.min else c.max).toDouble)
+            .getOrElse(return None))
+          val picked = if (wantMin) vs.min else vs.max
+          if (dt == DoubleType) java.lang.Double.valueOf(picked)
+          else java.lang.Float.valueOf(picked.toFloat)
+        case StringType =>
+          if (!per.forall(c => c.t == "string" || c.t == "part"))
+            return None
+          // parquet/Spark string order is unsigned UTF-8 bytes — JVM
+          // String order disagrees on supplementary-plane chars
+          val vs = per.map(c => if (wantMin) c.min else c.max)
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            vs.reduce((a, b) =>
+              if (wantMin == (u8(a, b) <= 0)) a else b))
+        case _ => return None
+      }
+      Some((dt, value))
+    }
+    val rows = java.lang.Long.valueOf(stats.map(_.rows).sum)
+    val results = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => (LongType: DataType, rows: Any)
+      case mn: Min =>
+        colOf(mn.column).flatMap(minMax(_, wantMin = true))
+          .getOrElse(return None)
+      case mx: Max =>
+        colOf(mx.column).flatMap(minMax(_, wantMin = false))
+          .getOrElse(return None)
+      case _ => return None // COUNT(col)/SUM/AVG need null counts/sums
+    }
+    val outSchema = StructType(results.zipWithIndex.map {
+      case ((dt, _), i) => StructField(s"agg_$i", dt)
+    })
+    Some((outSchema,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        results.map(_._2).toArray)))
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((sch, row)) => new TxAggLocalScan(sch, Array(row), root)
+    case None =>
+      if (runtimeFileFilter)
+        new TxRuntimeFilteredScan(required, pushed, root, versionAsOf,
+          skipChange, maxVersions, startingVersion, startingTimestamp,
+          recorder)
+      else
+        new TxTableScan(required, pushed, root, versionAsOf, skipChange,
+          maxVersions, startingVersion, startingTimestamp, recorder)
+  }
+}
+
+/** The aggregate-pushdown result: a driver-side LocalScan holding the
+  * single already-final row computed from manifest stats — Spark plans
+  * it as a LocalTableScan, ZERO data-file partitions, zero executor
+  * work. At 100 TB this is the difference between a full-table scan
+  * and one manifest read. */
+private[streaming] class TxAggLocalScan(schema: StructType,
+    resultRows: Array[org.apache.spark.sql.catalyst.InternalRow],
+    root: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    resultRows
+  override def description(): String =
+    s"txtable $root aggregate pushdown from manifest stats " +
+      "(0 data files planned)"
 }
 
 /** One Scan serving both read modes: `toBatch` plans the (possibly

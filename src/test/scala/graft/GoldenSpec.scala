@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 202,
-      s"expected the SURVEY §2 202-key inventory (199 as of round 18 + " +
-        s"round 19's q_table_sql_dml/q_table_sql_alter/q_table_ctas), " +
+    assert(SparkEntry.queries.size == 203,
+      s"expected the SURVEY §2 203-key inventory (202 as of round 19 + " +
+        s"round 20's q_table_agg_pushdown), " +
         s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 174,
-      s"expected 174 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 175,
+      s"expected 175 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

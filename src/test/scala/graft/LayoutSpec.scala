@@ -1894,4 +1894,53 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       rows(sources.TxTable.snapshotWhere(spark, root, pred)),
       "partition-pruned DSv2 read diverged from the library path")
   }
+
+  test("aggregate pushdown: COUNT(*)/MIN/MAX answer from manifest " +
+      "stats as a LocalTableScan (ZERO data files planned), and the " +
+      "soundness gate falls back to a real scan under filters or " +
+      "position deletes (round 20)") {
+    import org.apache.spark.sql.functions._
+    val root = mkTable("aggpd")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    sources.TxTable.init(root)
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(3)): Unit
+    sources.TxTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(2)): Unit
+    def agged(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), min("o_custkey").as("mn"),
+        max("o_custkey").as("mx"), max("o_totalprice").as("mp"))
+    val pushed = agged(spark.read.format("txtable").load(root))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregate did not push to a LocalScan:\n$plan")
+    val expect = agged(sources.TxTable.snapshot(spark, root))
+      .collect()(0).toSeq
+    assert(pushed.collect()(0).toSeq == expect,
+      "pushed-down aggregates diverged from the scan recompute")
+    // gate 1: a residual filter keeps the real scan (rows must filter)
+    val filtered = agged(spark.read.format("txtable").load(root)
+      .filter(col("o_custkey") % 2 === 0))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("BatchScan"), "filtered aggregate must scan files")
+    assert(filtered.collect()(0).toSeq ==
+      agged(sources.TxTable.snapshot(spark, root)
+        .filter(col("o_custkey") % 2 === 0)).collect()(0).toSeq)
+    // gate 2: position deletes make stats unprovable — fall back
+    sources.TxTable.deleteVector(spark, root,
+      col("o_custkey") % 5 === 0): Unit
+    val dvAgg = agged(spark.read.format("txtable").load(root))
+    assert(dvAgg.queryExecution.executedPlan.toString
+      .contains("BatchScan"),
+      "aggregate over a DV'd table must scan files")
+    assert(dvAgg.collect()(0).toSeq ==
+      agged(sources.TxTable.snapshot(spark, root)).collect()(0).toSeq)
+    // gate 3: GROUP BY refuses (table-level stats can't group)
+    val grouped = spark.read.format("txtable").load(root)
+      .groupBy((col("o_orderkey") % 3).as("g")).agg(count(lit(1)))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+  }
 }
