@@ -486,12 +486,17 @@ object TxTable {
       // manifest maps physical file columns to the version's logical
       // names — time travel across a rename for free.
       val rd0 = s.read.option("basePath", s"$root/data")
-      val raw = declared match {
+      val raw0 = declared match {
         case Some(st) => rd0.schema(st)
           .parquet(data.map(f => s"$root/$f"): _*)
         case None => rd0.option("mergeSchema", mergeSchema)
           .parquet(data.map(f => s"$root/$f"): _*)
       }
+      // a BUCKETED table's __bucket routing directory is layout, not
+      // data — partition discovery re-derives it even under an explicit
+      // schema, so strip it (the bucket COLUMN itself lives in the files)
+      val raw = if (bucketSpecOf(m).isDefined) raw0.drop("__bucket")
+        else raw0
       val cm = colMapOf(m)
       if (dvs.isEmpty && !withAddress) applyColMap(raw, cm)
       else {
@@ -557,7 +562,8 @@ object TxTable {
     * and vacuum-proof instead of an O(versions) scan over retained
     * manifests). */
   private val ColMapProps: Set[String] =
-    Set("colmap", "colmapdrop", "lastbatch", "tblschema", "partcol")
+    Set("colmap", "colmapdrop", "lastbatch", "tblschema", "partcol",
+      "bucketcol", "bucketn")
 
   /** The subset of inherited props that define what a WRITE plans
     * against (names + types). A DSv2 write captures these at build and
@@ -798,20 +804,51 @@ object TxTable {
     * (empty, real schema), appendable by every surface, and cost one
     * manifest write regardless of eventual size. */
   private[graft] def createEmpty(root: String, schema: StructType,
-      partCol: Option[String] = None): Int = {
+      partCol: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None): Int = {
     init(root)
     require(currentVersion(root) == 0,
       s"createEmpty: $root already has commits")
+    require(partCol.isEmpty || bucketSpec.isEmpty,
+      "a table is identity-partitioned OR bucketed, not both")
     partCol.foreach { c =>
       requireIdent(c)
       require(schema.fieldNames.contains(c),
         s"partition column '$c' is not in the declared schema " +
           schema.fieldNames.mkString("[", ", ", "]"))
     }
+    bucketSpec.foreach { case (c, n) =>
+      requireIdent(c)
+      require(n >= 2 && n <= (1 << 20),
+        s"bucket count must be in [2, 2^20], got $n")
+      require(schema.fieldNames.contains(c),
+        s"bucket column '$c' is not in the declared schema " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+      require(graft.streaming.TxBucket.supported(schema(c).dataType),
+        s"bucket column '$c' must be int/bigint/string, got " +
+          schema(c).dataType.catalogString)
+    }
     commit(root, "create", _ => Nil,
       encodeSchemaProp(mergeTblSchema(StructType(Nil), schema)) ++
-        partCol.map("partcol" -> _))
+        partCol.map("partcol" -> _) ++
+        bucketSpec.toSeq.flatMap { case (c, n) =>
+          Seq("bucketcol" -> c, "bucketn" -> n.toString)
+        })
   }
+
+  /** The table's bucket spec (PHYSICAL column, bucket count) — present
+    * iff the table was created `PARTITIONED BY (bucket(n, col))`.
+    * Bucketed layout routes rows to `data/__bucket=<b>/` via
+    * [[graft.streaming.TxBucket]]; the scan groups planned files per
+    * bucket and reports KeyGroupedPartitioning, which is what lets a
+    * join of two co-bucketed txtables plan with ZERO Exchange (round
+    * 20, VERDICT r19 item 1 — storage-partitioned joins). */
+  private[graft] def bucketSpecOf(m: Manifest): Option[(String, Int)] =
+    for {
+      c <- m.props.get("bucketcol")
+      n <- m.props.get("bucketn").flatMap(v =>
+        scala.util.Try(v.toInt).toOption)
+    } yield (c, n)
 
   /** The table's PHYSICAL partition column: the `partcol` prop when the
     * table was created with declared partitioning (a SQL
@@ -903,7 +940,11 @@ object TxTable {
     }.distinct
     require(cols.length <= 1,
       s"mixed flat/partitioned data entries in one table: $cols")
-    cols.headOption.flatten
+    // `__bucket=` is the BUCKET routing directory, not an identity
+    // partition column — the mixed-layout guard above still applies
+    // (bucketed and flat entries can't coexist), but the derived
+    // identity partition column is None
+    cols.headOption.flatten.filterNot(_ == "__bucket")
   }
 
   /** Stage rows like the table is laid out: flat via [[writeData]], or
@@ -912,11 +953,51 @@ object TxTable {
     * keeps the directory-derived column instead of flattening it away
     * (round 18 — closes the partitioned-rewrite guard). */
   private def writeDataLike(s: SparkSession, root: String,
-      df: DataFrame, partCol: Option[String]): Seq[String] =
-    partCol match {
-      case None => writeData(s, root, df)
-      case Some(c) => stagePartitioned(s, root, df, c)
+      df: DataFrame, partCol: Option[String],
+      bucket: Option[(String, Int)] = None): Seq[String] =
+    (partCol, bucket) match {
+      case (_, Some((c, n))) => stageBucketed(s, root, df, c, n)
+      case (None, _) => writeData(s, root, df)
+      case (Some(c), _) => stagePartitioned(s, root, df, c)
     }
+
+  /** The library-side bucket routing expression — a null-refusing UDF
+    * over [[graft.streaming.TxBucket]] (the SAME hash the DSv2 writer,
+    * the scan's grouping, and the catalog's `bucket` function use; a
+    * UDF is fine here — it runs only on rewrite/append staging, never
+    * in a read path). */
+  private def bucketColumn(c: Column, dt: DataType, n: Int): Column = {
+    def nn[T](v: T): T = {
+      require(v != null,
+        "txtable bucketed write: NULL bucket value refused")
+      v
+    }
+    dt match {
+      case LongType => udf((v: java.lang.Long) =>
+        graft.streaming.TxBucket.ofLong(nn(v).longValue, n)).apply(c)
+      case IntegerType => udf((v: java.lang.Integer) =>
+        graft.streaming.TxBucket.ofLong(nn(v).longValue, n)).apply(c)
+      case org.apache.spark.sql.types.StringType => udf((v: String) =>
+        graft.streaming.TxBucket.ofString(nn(v), n)).apply(c)
+      case other => sys.error(
+        s"txtable bucket column must be int/bigint/string, got $other")
+    }
+  }
+
+  /** Stage rows of a BUCKETED table: compute each row's bucket id with
+    * the shared hash, lay files out under `data/__bucket=<b>/`. The
+    * bucket column itself STAYS in the files (unlike an identity
+    * partition column, whose value lives only in the path) — the
+    * synthetic `__bucket` routing column is what partitionBy strips. */
+  private def stageBucketed(s: SparkSession, root: String,
+      df: DataFrame, physCol: String, n: Int): Seq[String] = {
+    require(df.columns.contains(physCol),
+      s"bucketed stage: frame lacks bucket column '$physCol'")
+    stagePartitioned(s, root,
+      df.withColumn("__bucket",
+        bucketColumn(col(physCol), df.schema(physCol).dataType, n)),
+      "__bucket")
+  }
 
   /** Anti-join an addressed frame (`__tx_file`/`__tx_pos`) against the
     * given position-delete entries. */
@@ -1116,11 +1197,13 @@ object TxTable {
     // so the kept subset still surfaces every column it carries.
     def readFiles(fs: Seq[String]): DataFrame = {
       val rd0 = s.read.option("basePath", s"$root/data")
-      schemaOf(m) match {
+      val raw = schemaOf(m) match {
         case Some(st) => rd0.schema(st).parquet(fs.map(f => s"$root/$f"): _*)
         case None => rd0.option("mergeSchema", true)
           .parquet(fs.map(f => s"$root/$f"): _*)
       }
+      // bucket routing dirs are layout, not data (see snapshotCore)
+      if (bucketSpecOf(m).isDefined) raw.drop("__bucket") else raw
     }
     if (all.isEmpty) snapshot(s, root, v).filter(pred)
     else if (kept.isEmpty) {
@@ -1191,7 +1274,14 @@ object TxTable {
       // recorded table schema (adds evolve, narrower numerics cast up,
       // wider ones fail loudly pointing at promoteColumnType)
       val (physCast, schemaProps) = withTblSchema(root, v, phys)
-      val added = writeData(s, root, physCast)
+      // a BUCKETED table's append routes rows under data/__bucket=<b>/
+      // with the shared hash — a flat stage would corrupt the layout
+      val bucket =
+        if (v == 0) None else bucketSpecOf(readManifest(root, v))
+      val added = bucket match {
+        case Some((bc, n)) => stageBucketed(s, root, physCast, bc, n)
+        case None => writeData(s, root, physCast)
+      }
       try {
         return commitChecked(root, "append", _ ++ added,
           extraProps ++ cmProps ++ schemaProps,
@@ -1342,7 +1432,7 @@ object TxTable {
       val rewritten = writeDataLike(s, root,
         toPhysical(surviving(applyColMap(
           readDataWithDeletes(s, root, affAbs, dvAtRead), cm0)), cm0),
-        partCol)
+        partCol, bucketSpecOf(m0))
       val affSet = affRel.toSet
       val v =
         try commit(root, "delete", { prev =>
@@ -1850,7 +1940,8 @@ object TxTable {
       toPhysical(snapshot(s, root, v0).repartitionByRange(4,
           col("o_custkey"), col("o_orderkey")),
         colMapOf(readManifest(root, v0))),
-      partColOf(dataEntries(f0)))
+      partColOf(dataEntries(f0)),
+      bucketSpecOf(readManifest(root, v0)))
     // abort path reclaims the staged rewrite like every other write
     // path (ADVICE r17): a refused compact commit would otherwise leak
     // its never-listed files forever — vacuum can only reclaim files
@@ -1890,6 +1981,9 @@ object TxTable {
     val m0 = readManifest(root, v0)
     require(partColOf(dataEntries(m0.files)).isEmpty,
       s"clusterBy targets flat tables; $root is partitioned")
+    require(bucketSpecOf(m0).isEmpty,
+      s"clusterBy targets flat tables; $root is bucketed (Z-order " +
+        "WITHIN buckets is a per-partition OPTIMIZE refinement)")
     val snap = snapshot(s, root, v0)
     val st = snap.agg(
       min(colA).as("__amn"), max(colA).as("__amx"),
@@ -2000,6 +2094,7 @@ object TxTable {
     // in, physical names out (column mapping)
     val m0 = readManifest(root, v0)
     val partCol = partColOf(dataEntries(m0.files))
+    val bucket0 = bucketSpecOf(m0)
     val cm0 = colMapOf(m0)
     val matchedKeys = matched.select(keyCol).distinct()
     // WHEN MATCHED [AND deleteWhen] THEN DELETE (VERDICT r17 item 7):
@@ -2032,11 +2127,12 @@ object TxTable {
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
           .select(cols.map(col): _*)
-      }, cm0), partCol)
+      }, cm0), partCol, bucket0)
     val appended =
       if (nIns == 0) Seq.empty[String]
       else writeDataLike(s, root,
-        toPhysical(inserts.select(cols.map(col): _*), cm0), partCol)
+        toPhysical(inserts.select(cols.map(col): _*), cm0), partCol,
+        bucket0)
     val affRel = affAbs.map(relOf(root, _))
     val affSet = affRel.toSet
     val v =
@@ -2606,7 +2702,43 @@ object TxTable {
         max("o_totalprice").as("max_price"))
   }
 
+  /** q_table_spj — STORAGE-PARTITIONED JOIN (round 20, VERDICT r19
+    * item 1): two tables created `PARTITIONED BY (bucket(8, key))`
+    * route rows to `data/__bucket=<b>/` with the format's shared hash
+    * ([[graft.streaming.TxBucket]]); each scan groups its planned
+    * files per bucket and reports `KeyGroupedPartitioning(bucket(8,
+    * key))`, resolved through the catalog's `bucket` function — so the
+    * join on the bucket key plans with ZERO Exchange on either side
+    * (SpjSpec pins the exchange-free plan; the MERGE hint keeps the
+    * key on the sort-merge path where the shuffle would otherwise
+    * live). At 100 TB this deletes the single largest avoidable
+    * shuffle: two co-bucketed fact tables join at scan parallelism
+    * with no data movement. Oracle: the join recomputed from source. */
+  def qTableSpj(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.spj_a")
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.spj_b")
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_spj_src")
+    s.sql("""CREATE TABLE graft_tx.db.spj_a
+            |PARTITIONED BY (bucket(8, o_orderkey)) AS
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_spj_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql("""CREATE TABLE graft_tx.db.spj_b
+            |PARTITIONED BY (bucket(8, o_orderkey)) AS
+            |SELECT o_orderkey, o_totalprice + 0.5 AS b_price
+            |FROM graft_spj_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql("""SELECT /*+ MERGE(a) */ a.o_orderkey, a.o_custkey,
+            |       a.o_totalprice, b.b_price
+            |FROM graft_tx.db.spj_a a JOIN graft_tx.db.spj_b b
+            |  ON a.o_orderkey = b.o_orderkey
+            |ORDER BY a.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_spj" -> (qTableSpj _),
     "q_table_agg_pushdown" -> (qTableAggPushdown _),
     "q_table_sql_dml" -> (qTableSqlDml _),
     "q_table_sql_alter" -> (qTableSqlAlter _),
@@ -2631,6 +2763,16 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_spj" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |b AS (
+        |  SELECT o_orderkey, o_totalprice + 0.5 AS b_price FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, b.b_price
+        |FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+        |ORDER BY a.o_orderkey""".stripMargin,
     "q_table_agg_pushdown" ->
       """WITH base AS (
         |  SELECT * FROM orders

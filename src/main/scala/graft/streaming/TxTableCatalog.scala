@@ -42,7 +42,8 @@ import graft.sources.TxTable
   * is one manifest write, load is one manifest read (schema included —
   * zero data-file footers), list is a directory listing of table
   * roots. */
-class TxTableCatalog extends TableCatalog with SupportsNamespaces {
+class TxTableCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -86,9 +87,14 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
     val m = TxTable.readManifest(root, v)
     val schema = TxTable.inferLogicalSchema(root, v).getOrElse(
       sys.error(s"catalog table $root has no schema-tracking manifest"))
-    val partLogical = TxTable.partitionColumn(m).map(p =>
-      TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p))
-    new TxTableTable(schema, Some(root), partitionCol = partLogical)
+    def toLogical(p: String): String =
+      TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p)
+    val partLogical = TxTable.partitionColumn(m).map(toLogical)
+    val bucketLogical = TxTable.bucketSpecOf(m).map {
+      case (c, n) => (toLogical(c), n)
+    }
+    new TxTableTable(schema, Some(root), partitionCol = partLogical,
+      bucketSpec = bucketLogical)
   }
 
   /** SQL time travel: `VERSION AS OF <v>` — the returned table is
@@ -142,24 +148,56 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces {
       : Table = {
     // (IdentityTransform itself is private[sql]; the generic Transform
     // surface — name + a single one-part column reference — is public)
-    val partCol = partitions.toSeq match {
-      case Seq() => None
+    val (partCol, bucketSpec) = partitions.toSeq match {
+      case Seq() => (None, None)
       case Seq(t) if t.name == "identity" &&
           t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
-        Some(t.references()(0).fieldNames()(0))
+        (Some(t.references()(0).fieldNames()(0)), None)
+      // PARTITIONED BY (bucket(n, col)) — storage bucketing (round 20):
+      // the bucket count is the transform's int literal argument, the
+      // column its single reference (argument ORDER is
+      // representation-defined, so collect by shape, not position)
+      case Seq(t) if t.name == "bucket" &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(sys.error(
+          s"bucket transform needs an int bucket count: $t"))
+        (None, Some((t.references()(0).fieldNames()(0), n)))
       case other => sys.error(
-        "txtable PARTITIONED BY takes exactly one identity-transform " +
-          s"column, got ${other.mkString(", ")}")
+        "txtable PARTITIONED BY takes one identity column or one " +
+          s"bucket(n, col) transform, got ${other.mkString(", ")}")
     }
     val root = rootOf(ident)
     if (isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         (catalogName +: ident.namespace.toSeq :+ ident.name)
           .map(s => s"`$s`").mkString("."))
-    TxTable.createEmpty(root, schema, partCol): Unit
-    new TxTableTable(schema, Some(root), partitionCol = partCol)
+    TxTable.createEmpty(root, schema, partCol, bucketSpec): Unit
+    new TxTableTable(schema, Some(root), partitionCol = partCol,
+      bucketSpec = bucketSpec)
   }
+
+  // --- FunctionCatalog: the `bucket` function (round 20) --------------
+  //
+  // Storage-partitioned joins hinge on this: when the scan reports
+  // KeyGroupedPartitioning(bucket(n, col)), Catalyst resolves that
+  // transform through the TABLE's FunctionCatalog — both sides binding
+  // to the same canonicalName is what proves two txtable scans
+  // co-partitioned (the Iceberg SPJ design).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") new TxBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** SQL `ALTER TABLE` (round 19) — each TableChange maps onto the
     * format's existing METADATA-ONLY evolution commits, so the SQL

@@ -116,7 +116,8 @@ class TxTableSourceProvider extends TableProvider with DataSourceRegister {
   * `versionAsOf` option still wins). */
 private[streaming] class TxTableTable(userSchema: StructType,
     defaultRoot: Option[String] = None, pinnedVersion: Option[Int] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -185,8 +186,12 @@ private[streaming] class TxTableTable(userSchema: StructType,
   override def schema(): StructType = userSchema
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partitionCol.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+    (partitionCol.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)) ++
+      bucketSpec.map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, c)
+      }).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -445,13 +450,48 @@ private[streaming] object TxFilePartition {
   }
 }
 
+/** One BUCKET of a bucketed table's scan: every planned file of bucket
+  * id `bucket`, read as ONE input partition. [[org.apache.spark.sql
+  * .connector.read.HasPartitionKey]] is what lets Spark's
+  * storage-partitioned join line partitions up by key across two
+  * co-bucketed scans instead of shuffling either side. */
+private[streaming] case class TxBucketPartition(bucket: Int,
+    files: Seq[TxFilePartition])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[streaming] case class TxTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[TxFilePartition]
-    new TxFilePartitionReader(p, schema)
+      : PartitionReader[InternalRow] = partition match {
+    case p: TxFilePartition => new TxFilePartitionReader(p, schema)
+    case b: TxBucketPartition => new TxChainedReader(b.files, schema)
+    case other => sys.error(s"unexpected partition type $other")
   }
+}
+
+/** Sequential reader over one bucket's files — files open lazily, one
+  * at a time (a bucket of K files costs one open reader, not K). */
+private[streaming] class TxChainedReader(parts: Seq[TxFilePartition],
+    schema: StructType) extends PartitionReader[InternalRow] {
+  private val it = parts.iterator
+  private var cur: TxFilePartitionReader = null
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new TxFilePartitionReader(it.next(), schema)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Executor-side reader: one added parquet file → InternalRows via

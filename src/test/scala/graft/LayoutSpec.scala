@@ -1768,6 +1768,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       sources.TxTable.qTableSqlDml(spark, sf0001).count(): Unit
       sources.TxTable.qTableCtas(spark, sf0001).count(): Unit
       sources.TxTable.qTableSqlAlter(spark, sf0001).count(): Unit
+      sources.TxTable.qTableSpj(spark, sf0001).count(): Unit
     }
     def fileCount: Int = {
       def walk(f: java.io.File): Int =
@@ -1786,7 +1787,8 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     // warehouses, no orphaned table dirs
     val dbDirs = Option(new java.io.File(wh, "db").listFiles())
       .toSeq.flatten.map(_.getName).sorted
-    assert(dbDirs == Seq("alter_t", "ctas_t", "dml_t", "orders_t"),
+    assert(dbDirs ==
+      Seq("alter_t", "ctas_t", "dml_t", "orders_t", "spj_a", "spj_b"),
       s"unexpected table dirs: $dbDirs")
   }
 
