@@ -2737,7 +2737,47 @@ object TxTable {
             |ORDER BY a.o_orderkey""".stripMargin)
   }
 
+  /** q_table_merge_cdc — the CDC-SYNC MERGE (round 20, VERDICT r19
+    * item 3): all three clause families through the SQL row-level path
+    * in ONE atomic commit — `WHEN MATCHED AND cond THEN UPDATE`
+    * (conditional update), `WHEN NOT MATCHED THEN INSERT` (new keys),
+    * and `WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE` (rows absent
+    * from the source snapshot expire — the idiom that syncs a table to
+    * a CDC source). A source-absent clause makes EVERY target row a
+    * candidate, so Spark plans the full table as groups (no runtime
+    * group filter — correctly, since unmatched rows live anywhere);
+    * the recomputation is one distributed outer join, the commit one
+    * manifest swap. Oracle: the synced state recomputed from source. */
+  def qTableMergeCdc(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.cdc_t")
+    s.sql("""CREATE TABLE graft_tx.db.cdc_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_cdc_orders")
+    s.sql("""INSERT INTO graft_tx.db.cdc_t
+            |SELECT * FROM graft_cdc_orders WHERE o_orderkey % 2 = 0
+            |""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMP VIEW graft_cdc_src AS
+            |SELECT o_orderkey, o_custkey,
+            |       CAST(-2.0 AS DOUBLE) AS o_totalprice
+            |FROM graft_cdc_orders WHERE o_orderkey % 3 = 0
+            |""".stripMargin)
+    s.sql("""MERGE INTO graft_tx.db.cdc_t t USING graft_cdc_src m
+            |ON t.o_orderkey = m.o_orderkey
+            |WHEN MATCHED AND t.o_custkey % 2 = 0 THEN UPDATE SET
+            |  o_totalprice = m.o_totalprice
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 5 = 0
+            |  THEN DELETE""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_tx.db.cdc_t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_merge_cdc" -> (qTableMergeCdc _),
     "q_table_spj" -> (qTableSpj _),
     "q_table_agg_pushdown" -> (qTableAggPushdown _),
     "q_table_sql_dml" -> (qTableSqlDml _),
@@ -2763,6 +2803,23 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_merge_cdc" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |s AS (
+        |  SELECT o_orderkey AS sk, CAST(-2.0 AS DOUBLE) AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT t.o_orderkey, t.o_custkey,
+        |  CASE WHEN s.sk IS NOT NULL AND t.o_custkey % 2 = 0
+        |       THEN s.p ELSE t.o_totalprice END AS o_totalprice
+        |FROM t LEFT JOIN s ON t.o_orderkey = s.sk
+        |WHERE s.sk IS NOT NULL OR t.o_custkey % 5 <> 0
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_custkey, CAST(-2.0 AS DOUBLE)
+        |FROM orders o
+        |WHERE o.o_orderkey % 3 = 0 AND o.o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_spj" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

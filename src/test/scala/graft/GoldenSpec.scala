@@ -31,12 +31,12 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 204,
-      s"expected the SURVEY §2 204-key inventory (202 as of round 19 + " +
-        s"round 20's q_table_agg_pushdown/q_table_spj), " +
-        s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 176,
-      s"expected 176 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 205,
+      s"expected the SURVEY §2 205-key inventory (202 as of round 19 + " +
+        s"round 20's q_table_agg_pushdown/q_table_spj/" +
+        s"q_table_merge_cdc), got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 177,
+      s"expected 177 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -1759,6 +1759,43 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE mc_tx.db.t")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE lands as ONE commit and " +
+      "deletes exactly the source-absent matches (round 20, the " +
+      "CDC-sync clause)") {
+    import spark.implicits._
+    val wh = graft.Scratch.dir("txtable", "spec_cdcmerge")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.cdc_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdc_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdc_tx.db")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("k", "v").createOrReplaceTempView("cdcm_base")
+    spark.sql("CREATE TABLE cdc_tx.db.t AS SELECT * FROM cdcm_base")
+    // source snapshot: k=2 (update), k=9 (insert); 1,3,4,5 are absent —
+    // absent AND k%2=1 (1,3,5) expire, 4 survives
+    Seq((2L, 22.0), (9L, 99.0)).toDF("k", "v")
+      .createOrReplaceTempView("cdcm_src")
+    val root = s"$wh/db/t"
+    val vBefore = sources.TxTable.currentVersion(root)
+    spark.sql("""MERGE INTO cdc_tx.db.t t USING cdcm_src s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 1 THEN DELETE
+                |""".stripMargin)
+    assert(sources.TxTable.currentVersion(root) == vBefore + 1,
+      "a CDC MERGE must land as ONE commit")
+    assert(sources.TxTable.readManifest(root, vBefore + 1).props
+      .get("op").contains("merge"))
+    val got = spark.sql("SELECT * FROM cdc_tx.db.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 22.0), (4L, 40.0), (9L, 99.0)),
+      s"CDC merge produced $got")
+    spark.sql("DROP TABLE cdc_tx.db.t")
+  }
+
   test("the SQL keys' scratch stays bounded across repeated " +
       "invocations: one stable warehouse, DROP-then-CREATE per key " +
       "(VERDICT r18 item 8)") {
@@ -1769,6 +1806,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       sources.TxTable.qTableCtas(spark, sf0001).count(): Unit
       sources.TxTable.qTableSqlAlter(spark, sf0001).count(): Unit
       sources.TxTable.qTableSpj(spark, sf0001).count(): Unit
+      sources.TxTable.qTableMergeCdc(spark, sf0001).count(): Unit
     }
     def fileCount: Int = {
       def walk(f: java.io.File): Int =
@@ -1788,7 +1826,8 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val dbDirs = Option(new java.io.File(wh, "db").listFiles())
       .toSeq.flatten.map(_.getName).sorted
     assert(dbDirs ==
-      Seq("alter_t", "ctas_t", "dml_t", "orders_t", "spj_a", "spj_b"),
+      Seq("alter_t", "cdc_t", "ctas_t", "dml_t", "orders_t",
+        "spj_a", "spj_b"),
       s"unexpected table dirs: $dbDirs")
   }
 
