@@ -1238,6 +1238,54 @@ object TxTable {
     "txtable append: schema/column-mapping changed under the planned " +
       "write — replanning")
 
+  /** Is an APPEND whose files were staged as `stagedCols` (physical
+    * name, stored type) safe to land under the CURRENT schema props —
+    * i.e. is the concurrent metadata commit REBASE-COMPATIBLE (round
+    * 20, VERDICT r19 item 5)? Yes when every staged physical column is
+    * still declared with the same or a WIDER type (a promote landed:
+    * narrow staged pages read-widen — exactly how pre-promotion files
+    * work), or was concurrently DROPPED (its physical name is
+    * tombstoned: the staged values are simply hidden, the Delta
+    * semantics of drop racing ingest). Renames never move physical
+    * names and adds only NULL-backfill, so every metadata-only commit
+    * this format can produce is compatible — the check stays
+    * structural so a future incompatible evolution (narrowing,
+    * physical rewrite) aborts instead of drifting. The rebase itself
+    * is free: [[commitChecked]] inherits schema/colmap props from the
+    * CURRENT manifest, so landing the file list adopts the new
+    * metadata. */
+  /** Resolve `name` as the LOGICAL column name of ANY retained version,
+    * newest first, to its stable PHYSICAL column (round 20, OCC
+    * auto-retry): a write analyzed against one snapshot can arrive at
+    * plan time after a concurrent rename changed the logical view —
+    * the name it carries is some era's alias of a physical column that
+    * never moved. O(retained versions) manifest metadata, and only on
+    * the race path (current-name resolution failed). */
+  private[graft] def resolveHistoricalLogical(root: String,
+      name: String): Option[String] =
+    versions(root).reverse.view.flatMap { v =>
+      inferLogicalSchema(root, v)
+        .filter(_.fieldNames.contains(name))
+        .map(_ => colMapOf(readManifest(root, v))
+          .flatMap(_.logToPhys.get(name)).getOrElse(name))
+    }.headOption
+
+  private[graft] def appendRebaseCompatible(
+      stagedCols: Seq[(String, DataType)],
+      cur: Map[String, String]): Boolean = {
+    val curSchema = cur.get("tblschema").map(j =>
+      DataType.fromJson(b64d(j)).asInstanceOf[StructType])
+    val dropped = cur.get("colmapdrop").toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty)).toSet
+    curSchema.exists { st =>
+      stagedCols.forall { case (phys, dt) =>
+        dropped.contains(phys) ||
+          st.fields.find(_.name == phys).exists(f =>
+            f.dataType == dt || promotable(dt, f.dataType))
+      }
+    }
+  }
+
   private def schemaMetaOf(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
     else readManifest(root, v).props.filter {
@@ -1528,37 +1576,65 @@ object TxTable {
     * addresses dangle harmlessly (the rewrite input applied them) and
     * drop at the next compaction. Returns (version, delete-file
     * entries); no matches → no commit. */
+  /** OCC AUTO-RETRY (round 20, VERDICT r19 item 5): a DV commit is
+    * mechanically rebasable — its addresses are a pure function of the
+    * predicate and the snapshot it read — so a rewrite conflict
+    * (compact/merge/delete replaced a target file mid-flight) discards
+    * the staged addresses and RECOMPUTES against the new head instead
+    * of surfacing to the user. Bounded: each retry means some other
+    * writer's rewrite committed; the matching re-evaluates on the
+    * DV-applied new snapshot, so retries stay convergent (an address
+    * already deleted by the winner simply stops matching). Copy-on-
+    * write rewrites stay loud — their conflict means losing someone
+    * else's rows, a human decision. `testRaceHook` runs once between
+    * address computation and commit (spec injection point for a
+    * deterministic conflict). */
   private[graft] def deleteVector(s: SparkSession, root: String,
-      pred: Column): (Int, Seq[String]) = {
-    val cur = currentVersion(root)
-    val matching = snapshotCore(s, root, cur,
-        mergeSchema = false, withAddress = true)
-      .filter(pred)
-      .select(fnameOf(col("__tx_file")).as("fname"),
-        col("__tx_pos").as("pos"), col("__tx_file").as("file"))
-      .localCheckpoint(true) // bounded by the delete size; one eval
-    if (matching.isEmpty) (cur, Seq.empty)
-    else {
+      pred: Column,
+      testRaceHook: () => Unit = () => ()): (Int, Seq[String]) = {
+    var hook = testRaceHook
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(root)
+      val matching = snapshotCore(s, root, cur,
+          mergeSchema = false, withAddress = true)
+        .filter(pred)
+        .select(fnameOf(col("__tx_file")).as("fname"),
+          col("__tx_pos").as("pos"), col("__tx_file").as("file"))
+        .localCheckpoint(true) // bounded by the delete size; one eval
+      if (matching.isEmpty) return (currentVersion(root), Seq.empty)
       // conflict-check targets by their FULL manifest path (a
       // partitioned entry is data/k=v/name); the DV address itself
       // stays the basename — unique via Spark's per-job UUID
       val targets = matching.select("file").distinct()
         .collect().map(r => relOf(root, r.getString(0))).toSet
       val dvFiles = writeDeletes(s, root, matching.select("fname", "pos"))
-      val v =
-        try commit(root, "delete-dv", { prev =>
-          require(targets.subsetOf(dataEntries(prev).toSet),
-            s"concurrent rewrite conflict at $root: a position-delete " +
-              "target is no longer a listed data file — committing " +
-              "would lose the delete")
+      hook(); hook = () => ()
+      try {
+        val v = commit(root, "delete-dv", { prev =>
+          if (!targets.subsetOf(dataEntries(prev).toSet))
+            throw new DvRebase
           prev ++ dvFiles
         })
-        catch { case e: Throwable =>
+        return (v, dvFiles)
+      } catch {
+        case _: DvRebase =>
+          discardStaged(root, dvFiles)
+          attempt += 1
+          if (attempt >= 5) sys.error(
+            s"txtable delete-dv at $root lost 5 consecutive rewrite " +
+              "races — giving up (a rewrite storm; retry when quiet)")
+        case e: Throwable =>
           discardStaged(root, dvFiles); throw e
-        }
-      (v, dvFiles)
+      }
     }
+    sys.error("unreachable")
   }
+
+  /** Internal signal: a DV commit's target was rewritten underneath it
+    * — recompute addresses on the new head ([[deleteVector]]). */
+  private class DvRebase extends RuntimeException(
+    "txtable delete-dv: target file rewritten — rebasing")
 
   /** Retention prune: keep the newest `retain` manifests, delete older
     * ones, then delete data files referenced by NO retained manifest.

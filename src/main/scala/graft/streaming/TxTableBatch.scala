@@ -595,18 +595,28 @@ private[streaming] class TxTableBatchWrite(root: String,
     * against it BY NAME. Returns, in query-column order, (physical
     * name, incoming type, declared type) — the writer reads values
     * through the incoming getter and widens to the declared type. */
-  /** The schema/colmap props this write PLANNED against — the commit
-    * refuses to land if a concurrent rename/drop/promote changed them
-    * ([[TxTable.commitChecked]]): the staged files carry the planned
-    * physical names and declared types, so landing them under changed
-    * metadata would silently drift the table. */
+  /** The schema/colmap props this write PLANNED against. A concurrent
+    * rename/drop/promote commit no longer aborts the write (round 20,
+    * VERDICT r19 item 5 — OCC auto-retry for rebasable commits): the
+    * staged files carry physical names and stored types, and every
+    * metadata-only commit this format produces is REBASE-COMPATIBLE
+    * with them (renames keep physical names, promotes widen — narrow
+    * pages read-widen, drops hide, adds NULL-backfill), verified
+    * structurally by [[TxTable.appendRebaseCompatible]]; the commit
+    * then lands under the CURRENT props (commitChecked inherits them),
+    * adopting the new metadata. Only a structurally incompatible
+    * change — none producible today — aborts. */
   protected var plannedMeta: Map[String, String] = Map.empty
   protected def checkMeta(cur: Map[String, String]): Unit = {
     val now = cur.filter { case (k, _) => TxTable.SchemaProps(k) }
-    if (now != plannedMeta) sys.error(
-      s"txtable DSv2 write to $root planned against a schema/column-" +
-        "mapping that a concurrent rename/drop/promote commit changed " +
-        "— aborting instead of drifting the table; retry the write")
+    if (now != plannedMeta &&
+        !TxTable.appendRebaseCompatible(
+          plan.fileCols.map(c => (c.phys, c.declared)), cur))
+      sys.error(
+        s"txtable DSv2 write to $root planned against a schema/column-" +
+          "mapping that a concurrent commit changed INCOMPATIBLY " +
+          "(staged columns no longer declared with a same-or-wider " +
+          "type) — aborting instead of drifting the table; retry")
   }
 
   /** Leading row fields the EXECUTED rows carry beyond info.schema().
@@ -635,14 +645,38 @@ private[streaming] class TxTableBatchWrite(root: String,
         s"$root (no tblschema manifest prop) — bootstrap with the " +
         "library append"))
     val declNames = declared.fieldNames.toSet
+    val cm = TxTable.colMapOf(m)
+    val logToPhys = cm.map(_.logToPhys).getOrElse(Map.empty[String, String])
+    val physSchema = TxTable.schemaOf(m).get // tracked — checked above
+    val dropped = cm.map(_.droppedPhys.toSet).getOrElse(Set.empty)
+    // frame name → PHYSICAL column, by-name first; when a name fails
+    // logical resolution, accept it as a direct PHYSICAL field of the
+    // tracked schema (round 20, OCC auto-retry: an INSERT analyzed
+    // against a pre-rename snapshot arrives carrying the OLD logical
+    // names, which ARE the stable physical names — the write is
+    // rebase-safe because renames never move a physical column;
+    // current-logical resolution wins on ambiguity)
+    def resolvePhys(name: String): Option[String] =
+      if (declNames.contains(name)) Some(logToPhys.getOrElse(name, name))
+      else Some(name).filter(n =>
+          physSchema.fieldNames.contains(n) && !dropped.contains(n))
+        // the name may be a RENAME-ERA logical alias (analyzed against
+        // a snapshot a concurrent rename has since replaced): resolve
+        // through the retained history, newest meaning first
+        .orElse(TxTable.resolveHistoricalLogical(root, name).filter(p =>
+          physSchema.fieldNames.contains(p) && !dropped.contains(p)))
     val qNames = querySchema.fieldNames.toSet
-    require(qNames == declNames,
+    val resolved = querySchema.fieldNames.toSeq.map(n =>
+      n -> resolvePhys(n))
+    val visiblePhys = physSchema.fieldNames.toSet -- dropped
+    require(resolved.forall(_._2.isDefined) &&
+      resolved.flatMap(_._2).toSet == visiblePhys &&
+      resolved.flatMap(_._2).distinct.size == resolved.size,
       s"txtable DSv2 write: frame columns ${qNames.toSeq.sorted} must " +
         s"match the table schema ${declNames.toSeq.sorted} exactly " +
         "(resolution is by name; add-column evolution is the library " +
         "append's job)")
-    val cm = TxTable.colMapOf(m)
-    val logToPhys = cm.map(_.logToPhys).getOrElse(Map.empty[String, String])
+    val physByName = resolved.toMap
     // partitioned targets (round 19): the partition column routes rows
     // to data/<col>=<v>/ directories instead of landing in the file
     val physPart = TxTable.partitionColumn(m)
@@ -658,7 +692,10 @@ private[streaming] class TxTableBatchWrite(root: String,
     val cols = querySchema.fields.toSeq.zipWithIndex.map {
       case (qf, i0) =>
         val i = i0 + off
-        val dt = declared(qf.name).dataType
+        val phys = physByName(qf.name).get
+        // declared type from the PHYSICAL schema — race-proof (a
+        // concurrent promote validates against the widened type)
+        val dt = physSchema(phys).dataType
         if (qf.dataType != dt && !TxTable.promotable(qf.dataType, dt))
           sys.error(if (TxTable.promotable(dt, qf.dataType))
             s"txtable DSv2 write widens column '${qf.name}' from " +
@@ -669,11 +706,12 @@ private[streaming] class TxTableBatchWrite(root: String,
             s"txtable DSv2 write: column '${qf.name}' is " +
               s"${qf.dataType.sql}, table declares ${dt.sql} — " +
               "incompatible")
-        TxWriteCol(i, logToPhys.getOrElse(qf.name, qf.name),
-          qf.dataType, dt)
+        TxWriteCol(i, phys, qf.dataType, dt)
     }
+    // the partition column matches by PHYSICAL name (the frame may
+    // carry pre-rename logical names — see resolvePhys)
     val (partCols, fileCols) = cols.partition(c =>
-      partLogical.contains(querySchema.fields(c.rowIdx - off).name))
+      physPart.contains(c.phys))
     partCols.headOption.foreach { pc =>
       require(pc.incoming == org.apache.spark.sql.types.IntegerType ||
         pc.incoming == org.apache.spark.sql.types.LongType ||
@@ -681,20 +719,24 @@ private[streaming] class TxTableBatchWrite(root: String,
         s"txtable partition column '${partLogical.get}' must be " +
           s"int/bigint/string, got ${pc.incoming.sql}")
     }
-    val bucket = bucketSpec.map { case (_, n) =>
-      val bl = bucketLogical.get
-      val bc = cols.find(c =>
-        querySchema.fields(c.rowIdx - off).name == bl).getOrElse(
+    val bucket = bucketSpec.map { case (bp, n) =>
+      val bc = cols.find(_.phys == bp).getOrElse(
         sys.error(s"txtable bucketed write: frame lacks bucket " +
-          s"column '$bl'"))
+          s"column '$bp'"))
       require(graft.streaming.TxBucket.supported(bc.incoming),
-        s"txtable bucket column '$bl' must be int/bigint/string, " +
+        s"txtable bucket column '$bp' must be int/bigint/string, " +
           s"got ${bc.incoming.sql}")
       (bc, n)
     }
-    TxWritePlan(root, fileCols, partCols.headOption, partLogical,
+    // distribution clustering references the FRAME's column name for
+    // the routing column (identity partition or bucket)
+    val distCol = (partCols.headOption ++ bucket.map(_._1)).headOption
+      .map(c => querySchema.fields(c.rowIdx - off).name)
+    TxWritePlan(root, fileCols, partCols.headOption,
+      partLogical = distCol.filter(_ => partCols.nonEmpty),
       numFields = querySchema.fields.length + off,
-      bucket = bucket, bucketLogical = bucketLogical)
+      bucket = bucket,
+      bucketLogical = distCol.filter(_ => bucket.nonEmpty))
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)

@@ -179,4 +179,122 @@ class HardeningSpec extends AnyFunSuite with graft.SparkFixture {
     assert(got.nonEmpty && got.forall { case (k, v) => k >= 20 && v == 3 },
       s"perturbed mtimes changed timestamp resolution: $got")
   }
+
+  test("DV commit auto-retry: a rewrite landing mid-flight triggers a " +
+      "recompute-and-rebase instead of a user-visible abort (round 20, " +
+      "OCC auto-retry)") {
+    val root = graft.Scratch.dir("txtable", "spec_dvrebase")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    TxTable.init(root)
+    TxTable.append(spark, root, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(2)): Unit
+    val vBefore = TxTable.currentVersion(root)
+    // the hook fires between address computation and the DV commit: a
+    // copy-on-write delete rewrites the target files underneath it
+    var hookRan = false
+    val (v, dvFiles) = TxTable.deleteVector(spark, root,
+      col("k") % 10 === 0,
+      () => { hookRan = true
+        TxTable.deleteWhere(spark, root, col("k") % 7 === 0): Unit })
+    assert(hookRan)
+    // the retry recomputed on the post-rewrite head and committed
+    assert(dvFiles.nonEmpty && v == vBefore + 2,
+      s"expected rewrite commit + rebased DV commit, at v$v")
+    assert(TxTable.readManifest(root, v).props.get("op")
+      .contains("delete-dv"))
+    // both deletes applied exactly once
+    val got = TxTable.snapshot(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 100L).filter(k => k % 7 != 0 && k % 10 != 0),
+      s"rebased DV diverged: $got")
+  }
+
+  test("DSv2 append rebases across a concurrent rename + promote " +
+      "instead of aborting: staged narrow files land under the new " +
+      "metadata and read-widen (round 20, OCC auto-retry)") {
+    val root = graft.Scratch.dir("txtable", "spec_dsv2rebase")
+    graft.Scratch.deleteRec(new java.io.File(root))
+    TxTable.init(root)
+    TxTable.append(spark, root, spark.range(0, 10)
+      .select(col("id").cast("int").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(1)): Unit
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val w = new TxTableBatchWrite(root, schema, overwrite = false)
+    w.requiredDistribution(): Unit // force plan (captures plannedMeta)
+    // stage the incoming rows under the PLANNED physical names/types
+    val staged = TxTable.writeData(spark, root, spark.range(10, 20)
+      .select(col("id").cast("int").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(1))
+    // concurrent metadata commits land between plan and commit
+    TxTable.renameColumn(spark, root, "v", "w"): Unit
+    TxTable.promoteColumnType(spark, root, "k", "bigint"): Unit
+    // the commit REBASES (no abort): files land under current metadata
+    w.commit(Array(TxFileCommitMessage(staged)))
+    val snap = TxTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "w"))
+    assert(snap.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "promoted type must win; staged int32 pages read-widen")
+    assert(snap.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20L).toSeq)
+  }
+
+  test("8 concurrent SQL INSERTs racing a column-renamer: zero " +
+      "user-visible insert aborts, every row lands (round 20, the " +
+      "rebasable-append stress)") {
+    val wh = graft.Scratch.dir("txtable", "spec_insstress")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.ins_tx",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ins_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ins_tx.db")
+    spark.sql("CREATE TABLE ins_tx.db.t (k BIGINT, v DOUBLE)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+    val insertFailures =
+      new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the renamer flips v<->w as fast as its loud DDL conflicts allow;
+    // its own aborts are EXPECTED (metadata DDL stays loud) — the pin
+    // is that INSERTS never surface one
+    val renamer = pool.submit(new Runnable {
+      override def run(): Unit = {
+        var name = "v"
+        while (!stop.get()) {
+          val next = if (name == "v") "w" else "v"
+          try {
+            spark.sql(
+              s"ALTER TABLE ins_tx.db.t RENAME COLUMN $name TO $next")
+            name = next
+          } catch { case _: Throwable => () } // lost to an insert: retry
+        }
+      }
+    })
+    val writers = (0 until 8).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try spark.sql(
+            s"""INSERT INTO ins_tx.db.t
+               |SELECT id, id * 1.0 FROM range(${i * 1000},
+               |${i * 1000 + 1000})""".stripMargin): Unit
+          catch { case e: Throwable =>
+            insertFailures.incrementAndGet(): Unit
+            System.err.println(s"insert $i failed: ${e.getMessage}")
+          }
+      })
+    }
+    writers.foreach(_.get())
+    stop.set(true); renamer.get()
+    pool.shutdown()
+    assert(insertFailures.get() == 0,
+      s"${insertFailures.get()} inserts aborted under the renamer")
+    assert(spark.sql("SELECT count(*) FROM ins_tx.db.t")
+      .collect()(0).getLong(0) == 8000L)
+    spark.sql("DROP TABLE ins_tx.db.t")
+  }
 }
