@@ -2852,7 +2852,46 @@ object TxTable {
             |FROM graft_tx.db.cdc_t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q_table_maintenance — the SQL maintenance surface (round 20,
+    * VERDICT r19 item 6): OPTIMIZE ZORDER, VACUUM and RESTORE run FROM
+    * SQL via `CALL graft_tx.system.*`
+    * ([[graft.streaming.TxProcedures]] on Spark 4's ProcedureCatalog
+    * hooks), each a thin door onto the library's verified maintenance
+    * commits. The key loads two eras, Z-orders them into 4 files,
+    * vacuums to a 3-version window, takes a bad load, and RESTOREs to
+    * the optimized snapshot — so the final state proves all three
+    * procedures end-to-end. Oracle: the two good eras recomputed
+    * (optimize is content-neutral; restore erases the bad load). */
+  def qTableMaintenance(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_tx.db.maint_t")
+    s.sql("""CREATE TABLE graft_tx.db.maint_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_maint_src")
+    s.sql("""INSERT INTO graft_tx.db.maint_t
+            |SELECT * FROM graft_maint_src WHERE o_orderkey % 3 = 0
+            |""".stripMargin)
+    s.sql("""INSERT INTO graft_tx.db.maint_t
+            |SELECT * FROM graft_maint_src WHERE o_orderkey % 3 = 1
+            |""".stripMargin)
+    val vOpt = s.sql("CALL graft_tx.system.optimize('db.maint_t', " +
+      "'o_custkey', 'o_orderkey', 4)").collect()(0).getInt(0)
+    s.sql("CALL graft_tx.system.vacuum('db.maint_t', 3)").collect(): Unit
+    s.sql("""INSERT INTO graft_tx.db.maint_t
+            |SELECT o_orderkey, o_custkey, -1.0
+            |FROM graft_maint_src WHERE o_orderkey % 3 = 2
+            |""".stripMargin)
+    s.sql(s"CALL graft_tx.system.restore('db.maint_t', $vOpt)")
+      .collect(): Unit
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_tx.db.maint_t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_table_maintenance" -> (qTableMaintenance _),
     "q_table_merge_cdc" -> (qTableMergeCdc _),
     "q_table_spj" -> (qTableSpj _),
     "q_table_agg_pushdown" -> (qTableAggPushdown _),
@@ -2879,6 +2918,10 @@ object TxTable {
     "q_table_rollback" -> (qTableRollback _))
 
   val oracle: Map[String, String] = Map(
+    "q_table_maintenance" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_table_merge_cdc" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -43,7 +43,8 @@ import graft.sources.TxTable
   * zero data-file footers), list is a directory listing of table
   * roots. */
 class TxTableCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -198,6 +199,22 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name == "bucket") new TxBucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // --- ProcedureCatalog: SQL maintenance (round 20) -------------------
+  //
+  // CALL <cat>.system.optimize/vacuum/restore — thin SQL doors onto the
+  // library's verified maintenance commits ([[TxProcedures]]).
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    TxProcedures.all(warehouse).keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    TxProcedures.all(warehouse).getOrElse(ident.name,
+      sys.error(s"txtable catalog has no procedure '${ident.name}' " +
+        s"(have: ${TxProcedures.all(warehouse).keys.toSeq.sorted
+          .mkString(", ")})"))
 
   /** SQL `ALTER TABLE` (round 19) — each TableChange maps onto the
     * format's existing METADATA-ONLY evolution commits, so the SQL

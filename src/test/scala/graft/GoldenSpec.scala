@@ -31,12 +31,13 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
 
   test("every oracleSql key has a queries entry and keys are unique") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 205,
-      s"expected the SURVEY §2 205-key inventory (202 as of round 19 + " +
+    assert(SparkEntry.queries.size == 206,
+      s"expected the SURVEY §2 206-key inventory (202 as of round 19 + " +
         s"round 20's q_table_agg_pushdown/q_table_spj/" +
-        s"q_table_merge_cdc), got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 177,
-      s"expected 177 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
+        s"q_table_merge_cdc/q_table_maintenance), " +
+        s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 178,
+      s"expected 178 oracle-checked keys, got ${SparkEntry.oracleSql.size}")
   }
 
   test("q_limit_topk is the top-25 of q_sort-style ordering") {

@@ -1796,6 +1796,74 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE cdc_tx.db.t")
   }
 
+  test("SQL CALL procedures: OPTIMIZE matches the library clusterBy " +
+      "commit, VACUUM prunes retention, RESTORE republishes a retained " +
+      "version (round 20)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_proc")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.proc_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.proc_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS proc_tx.db")
+    spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 37).as("g"))
+      .createOrReplaceTempView("proc_src")
+    spark.sql("CREATE TABLE proc_tx.db.t (k BIGINT, g BIGINT)")
+    spark.sql("INSERT INTO proc_tx.db.t SELECT * FROM proc_src " +
+      "WHERE k % 2 = 0")
+    spark.sql("INSERT INTO proc_tx.db.t SELECT * FROM proc_src " +
+      "WHERE k % 2 = 1")
+    val root = s"$wh/db/t"
+    // library twin: identical history, library clusterBy
+    val twin = graft.Scratch.dir("txtable", "spec_proc_twin")
+    graft.Scratch.deleteRec(new java.io.File(twin))
+    sources.TxTable.init(twin)
+    sources.TxTable.append(spark, twin, spark.table("proc_src")
+      .filter(col("k") % 2 === 0)): Unit
+    sources.TxTable.append(spark, twin, spark.table("proc_src")
+      .filter(col("k") % 2 === 1)): Unit
+    sources.TxTable.clusterBy(spark, twin, "k", "g", 3): Unit
+    // SQL OPTIMIZE → the same cluster commit
+    val opt = spark.sql(
+      "CALL proc_tx.system.optimize('db.t', 'k', 'g', 3)").collect()(0)
+    val vOpt = opt.getInt(0)
+    val mOpt = sources.TxTable.readManifest(root, vOpt)
+    val mTwin = sources.TxTable.readManifest(twin,
+      sources.TxTable.currentVersion(twin))
+    assert(mOpt.props.get("op").contains("cluster"))
+    assert(opt.getInt(1) == 3 &&
+      mOpt.files.count(_.startsWith("data/")) == 3)
+    // the SAME commit semantics as the library call: a content-neutral
+    // cluster rewrite (snapshot rows identical to the library-optimized
+    // twin) respecting n_files; per-file byte shape may differ because
+    // range sampling sees each table's own ingest layout
+    assert(mTwin.props.get("op").contains("cluster"))
+    assert(spark.sql("SELECT * FROM proc_tx.db.t").orderBy("k")
+      .collect().map(_.toSeq).toSeq ==
+      sources.TxTable.snapshot(spark, twin).orderBy("k")
+        .collect().map(_.toSeq).toSeq)
+    // VACUUM through SQL: retain 2 → the pre-optimize manifests prune
+    val vac = spark.sql(
+      "CALL proc_tx.system.vacuum('db.t', 2)").collect()(0)
+    assert(vac.getInt(0) > 0, "vacuum must prune old versions")
+    assert(sources.TxTable.versions(root).size == 2)
+    // RESTORE through SQL: a bad load, then a pointer-flip back
+    spark.sql("INSERT INTO proc_tx.db.t SELECT k, -1 FROM proc_src " +
+      "WHERE k < 10")
+    val before = spark.sql("SELECT count(*) FROM proc_tx.db.t")
+      .collect()(0).getLong(0)
+    val res = spark.sql(
+      s"CALL proc_tx.system.restore('db.t', $vOpt)").collect()(0)
+    assert(res.getInt(0) == vOpt)
+    assert(sources.TxTable.readManifest(root, res.getInt(1)).props
+      .get("op").contains("rollback"))
+    assert(spark.sql("SELECT count(*) FROM proc_tx.db.t")
+      .collect()(0).getLong(0) == before - 10)
+    spark.sql("DROP TABLE proc_tx.db.t")
+  }
+
   test("the SQL keys' scratch stays bounded across repeated " +
       "invocations: one stable warehouse, DROP-then-CREATE per key " +
       "(VERDICT r18 item 8)") {
@@ -1807,6 +1875,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       sources.TxTable.qTableSqlAlter(spark, sf0001).count(): Unit
       sources.TxTable.qTableSpj(spark, sf0001).count(): Unit
       sources.TxTable.qTableMergeCdc(spark, sf0001).count(): Unit
+      sources.TxTable.qTableMaintenance(spark, sf0001).count(): Unit
     }
     def fileCount: Int = {
       def walk(f: java.io.File): Int =
@@ -1826,7 +1895,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val dbDirs = Option(new java.io.File(wh, "db").listFiles())
       .toSeq.flatten.map(_.getName).sorted
     assert(dbDirs ==
-      Seq("alter_t", "cdc_t", "ctas_t", "dml_t", "orders_t",
+      Seq("alter_t", "cdc_t", "ctas_t", "dml_t", "maint_t", "orders_t",
         "spj_a", "spj_b"),
       s"unexpected table dirs: $dbDirs")
   }
