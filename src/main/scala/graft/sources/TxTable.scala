@@ -804,14 +804,16 @@ object TxTable {
     * (empty, real schema), appendable by every surface, and cost one
     * manifest write regardless of eventual size. */
   private[graft] def createEmpty(root: String, schema: StructType,
-      partCol: Option[String] = None,
+      partCols: Seq[String] = Nil,
       bucketSpec: Option[(String, Int)] = None): Int = {
     init(root)
     require(currentVersion(root) == 0,
       s"createEmpty: $root already has commits")
-    require(partCol.isEmpty || bucketSpec.isEmpty,
+    require(partCols.isEmpty || bucketSpec.isEmpty,
       "a table is identity-partitioned OR bucketed, not both")
-    partCol.foreach { c =>
+    require(partCols.distinct == partCols,
+      s"duplicate partition columns: $partCols")
+    partCols.foreach { c =>
       requireIdent(c)
       require(schema.fieldNames.contains(c),
         s"partition column '$c' is not in the declared schema " +
@@ -830,7 +832,8 @@ object TxTable {
     }
     commit(root, "create", _ => Nil,
       encodeSchemaProp(mergeTblSchema(StructType(Nil), schema)) ++
-        partCol.map("partcol" -> _) ++
+        (if (partCols.isEmpty) Map.empty[String, String]
+         else Map("partcol" -> partCols.mkString(","))) ++
         bucketSpec.toSeq.flatMap { case (c, n) =>
           Seq("bucketcol" -> c, "bucketn" -> n.toString)
         })
@@ -856,8 +859,12 @@ object TxTable {
     * partitioned table route its first write), falling back to the
     * layout-derived column for tables partitioned by their first
     * [[appendPartitioned]]. */
-  private[graft] def partitionColumn(m: Manifest): Option[String] =
-    m.props.get("partcol").orElse(partColOf(dataEntries(m.files)))
+  /** The table's PHYSICAL partition columns, OUTERMOST first — the
+    * declared `partcol` prop (CSV since round 20's multi-column
+    * support) or the layout-derived sequence. Empty = flat. */
+  private[graft] def partitionColumns(m: Manifest): Seq[String] =
+    m.props.get("partcol").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(partColsOf(dataEntries(m.files)))
 
   /** ALTER COLUMN TYPE as an O(1) metadata-only commit: the declared
     * schema widens (int→bigint, float→double — [[promotable]]), zero
@@ -931,20 +938,24 @@ object TxTable {
     * multi-level layout fails loudly — every write path here produces
     * exactly one level, so mixture means corruption or an unsupported
     * hand-built layout. */
-  private[graft] def partColOf(entries: Seq[String]): Option[String] = {
-    val cols = entries.map { e =>
-      val segs = e.split("/").drop(1).dropRight(1) // between data/ and file
-      require(segs.length <= 1 && segs.forall(_.contains('=')),
-        s"unsupported nested/undeclared partition layout in entry $e")
-      segs.headOption.map(_.split("=", 2)(0))
+  private[graft] def partColOf(entries: Seq[String]): Option[String] =
+    partColsOf(entries).headOption
+
+  /** The ordered partition-column sequence the entries' directory
+    * layout encodes (`data/a=1/b=2/…` → Seq(a, b); flat → Nil). Every
+    * entry must share ONE sequence — mixture means corruption or an
+    * unsupported hand-built layout. `__bucket=` is the bucket routing
+    * directory, not an identity partition column. */
+  private[graft] def partColsOf(entries: Seq[String]): Seq[String] = {
+    val seqs = entries.map { e =>
+      val segs = e.split("/").drop(1).dropRight(1).toSeq
+      require(segs.forall(_.contains('=')),
+        s"unsupported undeclared partition layout in entry $e")
+      segs.map(_.split("=", 2)(0))
     }.distinct
-    require(cols.length <= 1,
-      s"mixed flat/partitioned data entries in one table: $cols")
-    // `__bucket=` is the BUCKET routing directory, not an identity
-    // partition column — the mixed-layout guard above still applies
-    // (bucketed and flat entries can't coexist), but the derived
-    // identity partition column is None
-    cols.headOption.flatten.filterNot(_ == "__bucket")
+    require(seqs.length <= 1,
+      s"mixed partition layouts in one table: $seqs")
+    seqs.headOption.getOrElse(Nil).filterNot(_ == "__bucket")
   }
 
   /** Stage rows like the table is laid out: flat via [[writeData]], or
@@ -953,12 +964,12 @@ object TxTable {
     * keeps the directory-derived column instead of flattening it away
     * (round 18 — closes the partitioned-rewrite guard). */
   private def writeDataLike(s: SparkSession, root: String,
-      df: DataFrame, partCol: Option[String],
+      df: DataFrame, partCols: Seq[String],
       bucket: Option[(String, Int)] = None): Seq[String] =
-    (partCol, bucket) match {
+    (partCols, bucket) match {
       case (_, Some((c, n))) => stageBucketed(s, root, df, c, n)
-      case (None, _) => writeData(s, root, df)
-      case (Some(c), _) => stagePartitioned(s, root, df, c)
+      case (Nil, _) => writeData(s, root, df)
+      case (cs, _) => stagePartitioned(s, root, df, cs)
     }
 
   /** The library-side bucket routing expression — a null-refusing UDF
@@ -996,7 +1007,7 @@ object TxTable {
     stagePartitioned(s, root,
       df.withColumn("__bucket",
         bucketColumn(col(physCol), df.schema(physCol).dataType, n)),
-      "__bucket")
+      Seq("__bucket"))
   }
 
   /** Anti-join an addressed frame (`__tx_file`/`__tx_pos`) against the
@@ -1079,6 +1090,11 @@ object TxTable {
       (cs.t, kind) match {
         case ("long" | "double", "num") => num.getOrElse(true)
         case ("string", "string") => str
+        // the Hive default partition holds NULL values only — no
+        // comparison predicate can select a NULL, so ANY cmp/IN leaf
+        // prunes the file (IS NULL is unconvertible and keeps it)
+        case ("part", _) if cs.min == org.apache.spark.sql.catalyst
+          .catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME => false
         // partition values are path strings: compare numerically when
         // the literal is numeric (string order would put "10" < "9"),
         // lexically when it's a string
@@ -1365,18 +1381,29 @@ object TxTable {
     * partition's files (LayoutSpec pins it). */
   private[graft] def appendPartitioned(s: SparkSession, root: String,
       df: DataFrame, partCol: String,
+      extraProps: Map[String, String] = Map.empty): Int =
+    appendPartitionedCols(s, root, df, Seq(partCol), extraProps)
+
+  /** Multi-column twin of [[appendPartitioned]] (round 20): rows land
+    * under nested `data/a=…/b=…/` directories, outermost column
+    * first; every column's path segment lifts into exact min = max
+    * stats, so pruning composes per column with zero extra
+    * machinery. */
+  private[graft] def appendPartitionedCols(s: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String],
       extraProps: Map[String, String] = Map.empty): Int = {
+    require(partCols.nonEmpty)
     // same metadata-race replan loop as [[append]] (ADVICE r18)
     var round = 0
     while (true) {
       val v = currentVersion(root)
       val planned = schemaMetaOf(root, v)
       val cm = if (v == 0) None else colMapOf(readManifest(root, v))
-      val physPart =
-        cm.flatMap(_.logToPhys.get(partCol)).getOrElse(partCol)
+      val physParts = partCols.map(c =>
+        cm.flatMap(_.logToPhys.get(c)).getOrElse(c))
       val (physCast, schemaProps) =
         withTblSchema(root, v, toPhysical(df, cm))
-      val added = stagePartitioned(s, root, physCast, physPart)
+      val added = stagePartitioned(s, root, physCast, physParts)
       try {
         return commitChecked(root, "append", _ ++ added,
           extraProps ++ schemaProps,
@@ -1398,29 +1425,31 @@ object TxTable {
   }
 
   /** Partition-preserving staging core behind [[appendPartitioned]] and
-    * the rewrite paths' [[writeDataLike]]: write `partitionBy(partCol)`
-    * into a dot-dir, move each partition's files under
-    * `data/<partCol>=<v>/`, return the root-relative names. */
+    * the rewrite paths' [[writeDataLike]]: write
+    * `partitionBy(partCols…)` into a dot-dir, move each (possibly
+    * nested) partition directory's files under `data/a=…/b=…/`,
+    * return the root-relative names. */
   private def stagePartitioned(s: SparkSession, root: String,
-      df: DataFrame, partCol: String): Seq[String] = {
+      df: DataFrame, partCols: Seq[String]): Seq[String] = {
     val staging = new java.io.File(root,
       s".staging-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").partitionBy(partCol)
+    df.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(staging.getPath)
-    val added = Option(staging.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && d.getName.contains('='))
-      .flatMap { d =>
-        val target = new java.io.File(dataDir(root), d.getName)
-        target.mkdirs(): Unit
-        d.listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .map { f =>
-            java.nio.file.Files.move(f.toPath,
-              target.toPath.resolve(f.getName)): Unit
-            s"data/${d.getName}/${f.getName}"
-          }
-      }.sorted
+    def walk(dir: java.io.File, rel: Seq[String]): Seq[String] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory && d.getName.contains('=') =>
+          walk(d, rel :+ d.getName)
+        case f if rel.nonEmpty && f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet") =>
+          val target = new java.io.File(dataDir(root),
+            rel.mkString("/"))
+          target.mkdirs(): Unit
+          java.nio.file.Files.move(f.toPath,
+            target.toPath.resolve(f.getName)): Unit
+          Seq(s"data/${rel.mkString("/")}/${f.getName}")
+        case _ => Nil
+      }
+    val added = walk(staging, Nil).sorted
     graft.Scratch.deleteRec(staging)
     added
   }
@@ -1475,12 +1504,12 @@ object TxTable {
       // user-facing predicate) and re-stages physical — which also
       // physically sheds DROPPED columns, the Delta rewrite behavior.
       val m0 = readManifest(root, v0)
-      val partCol = partColOf(dataEntries(m0.files))
+      val partCols = partColsOf(dataEntries(m0.files))
       val cm0 = colMapOf(m0)
       val rewritten = writeDataLike(s, root,
         toPhysical(surviving(applyColMap(
           readDataWithDeletes(s, root, affAbs, dvAtRead), cm0)), cm0),
-        partCol, bucketSpecOf(m0))
+        partCols, bucketSpecOf(m0))
       val affSet = affRel.toSet
       val v =
         try commit(root, "delete", { prev =>
@@ -2016,7 +2045,7 @@ object TxTable {
       toPhysical(snapshot(s, root, v0).repartitionByRange(4,
           col("o_custkey"), col("o_orderkey")),
         colMapOf(readManifest(root, v0))),
-      partColOf(dataEntries(f0)),
+      partColsOf(dataEntries(f0)),
       bucketSpecOf(readManifest(root, v0)))
     // abort path reclaims the staged rewrite like every other write
     // path (ADVICE r17): a refused compact commit would otherwise leak
@@ -2169,7 +2198,7 @@ object TxTable {
     // partitioned table land under their partition dirs; logical view
     // in, physical names out (column mapping)
     val m0 = readManifest(root, v0)
-    val partCol = partColOf(dataEntries(m0.files))
+    val partCols0 = partColsOf(dataEntries(m0.files))
     val bucket0 = bucketSpecOf(m0)
     val cm0 = colMapOf(m0)
     val matchedKeys = matched.select(keyCol).distinct()
@@ -2203,11 +2232,11 @@ object TxTable {
           .withColumn(payloadCol,
             coalesce(col("__tx_new"), col(payloadCol)))
           .select(cols.map(col): _*)
-      }, cm0), partCol, bucket0)
+      }, cm0), partCols0, bucket0)
     val appended =
       if (nIns == 0) Seq.empty[String]
       else writeDataLike(s, root,
-        toPhysical(inserts.select(cols.map(col): _*), cm0), partCol,
+        toPhysical(inserts.select(cols.map(col): _*), cm0), partCols0,
         bucket0)
     val affRel = affAbs.map(relOf(root, _))
     val affSet = affRel.toSet

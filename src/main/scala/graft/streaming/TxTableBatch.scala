@@ -537,18 +537,19 @@ private[streaming] class TxTableBatchWrite(root: String,
     * correctness (the writer routes rows per-task regardless). */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    plan.partLogical.orElse(plan.bucketLogical) match {
+    plan.distCols match {
       // for BUCKETED targets, cluster by the raw bucket COLUMN: a plain
       // column reference resolves without a FunctionCatalog (path-based
       // writes have none), and same-value ⊆ same-bucket makes it a
       // strict refinement of bucket clustering — a task still sees few
       // buckets; a miss costs extra files, never correctness
-      case Some(c) => org.apache.spark.sql.connector.distributions
-        .Distributions.clustered(Array(
-          org.apache.spark.sql.connector.expressions.Expressions
-            .column(c)))
-      case None => org.apache.spark.sql.connector.distributions
+      case Nil => org.apache.spark.sql.connector.distributions
         .Distributions.unspecified()
+      case cs => org.apache.spark.sql.connector.distributions
+        .Distributions.clustered(cs.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c): org.apache.spark.sql.connector.expressions
+            .Expression).toArray)
     }
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -677,17 +678,13 @@ private[streaming] class TxTableBatchWrite(root: String,
         "(resolution is by name; add-column evolution is the library " +
         "append's job)")
     val physByName = resolved.toMap
-    // partitioned targets (round 19): the partition column routes rows
-    // to data/<col>=<v>/ directories instead of landing in the file
-    val physPart = TxTable.partitionColumn(m)
-    val partLogical = physPart.map(p =>
-      cm.flatMap(_.physToLog.get(p)).getOrElse(p))
+    // partitioned targets (round 19; multi-column round 20): the
+    // partition columns route rows to nested data/a=…/b=…/ directories
+    // instead of landing in the file — OUTERMOST column first
+    val physParts = TxTable.partitionColumns(m)
     // bucketed targets (round 20): rows route to data/__bucket=<b>/ by
     // the shared hash; the bucket column STAYS a file column
     val bucketSpec = TxTable.bucketSpecOf(m)
-    val bucketLogical = bucketSpec.map { case (p, _) =>
-      cm.flatMap(_.physToLog.get(p)).getOrElse(p)
-    }
     val off = rowIndexOffset
     val cols = querySchema.fields.toSeq.zipWithIndex.map {
       case (qf, i0) =>
@@ -708,15 +705,17 @@ private[streaming] class TxTableBatchWrite(root: String,
               "incompatible")
         TxWriteCol(i, phys, qf.dataType, dt)
     }
-    // the partition column matches by PHYSICAL name (the frame may
-    // carry pre-rename logical names — see resolvePhys)
-    val (partCols, fileCols) = cols.partition(c =>
-      physPart.contains(c.phys))
-    partCols.headOption.foreach { pc =>
+    // partition columns match by PHYSICAL name (the frame may carry
+    // pre-rename logical names — see resolvePhys), ordered per the
+    // table's declared spec (outermost directory first)
+    val (partCols0, fileCols) = cols.partition(c =>
+      physParts.contains(c.phys))
+    val partCols = physParts.map(p => partCols0.find(_.phys == p).get)
+    partCols.foreach { pc =>
       require(pc.incoming == org.apache.spark.sql.types.IntegerType ||
         pc.incoming == org.apache.spark.sql.types.LongType ||
         pc.incoming == org.apache.spark.sql.types.StringType,
-        s"txtable partition column '${partLogical.get}' must be " +
+        s"txtable partition column '${pc.phys}' must be " +
           s"int/bigint/string, got ${pc.incoming.sql}")
     }
     val bucket = bucketSpec.map { case (bp, n) =>
@@ -728,15 +727,14 @@ private[streaming] class TxTableBatchWrite(root: String,
           s"got ${bc.incoming.sql}")
       (bc, n)
     }
-    // distribution clustering references the FRAME's column name for
-    // the routing column (identity partition or bucket)
-    val distCol = (partCols.headOption ++ bucket.map(_._1)).headOption
+    // distribution clustering references the FRAME's column names for
+    // the routing columns (identity partitions or bucket)
+    val distCols = (partCols ++ bucket.map(_._1).toSeq)
       .map(c => querySchema.fields(c.rowIdx - off).name)
-    TxWritePlan(root, fileCols, partCols.headOption,
-      partLogical = distCol.filter(_ => partCols.nonEmpty),
+    TxWritePlan(root, fileCols, partCols,
+      distCols = distCols,
       numFields = querySchema.fields.length + off,
-      bucket = bucket,
-      bucketLogical = distCol.filter(_ => bucket.nonEmpty))
+      bucket = bucket)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -774,14 +772,14 @@ private[streaming] case class TxWriteCol(rowIdx: Int, phys: String,
     declared: org.apache.spark.sql.types.DataType)
 
 /** The validated write plan shipped to tasks: file columns (excluding
-  * the partition column — a partitioned file's column lives in its
-  * directory name, Spark-layout style) plus the optional partition
-  * routing column. */
+  * the partition columns — a partitioned file's columns live in its
+  * directory names, Spark-layout style) plus the partition routing
+  * columns (outermost first) / bucket spec, and the FRAME column names
+  * the write distribution clusters on. */
 private[streaming] case class TxWritePlan(root: String,
-    fileCols: Seq[TxWriteCol], part: Option[TxWriteCol],
-    partLogical: Option[String], numFields: Int,
-    bucket: Option[(TxWriteCol, Int)] = None,
-    bucketLogical: Option[String] = None)
+    fileCols: Seq[TxWriteCol], parts: Seq[TxWriteCol],
+    distCols: Seq[String], numFields: Int,
+    bucket: Option[(TxWriteCol, Int)] = None)
 
 private[streaming] case class TxTableWriterFactory(plan: TxWritePlan)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
@@ -901,22 +899,28 @@ private[streaming] class TxTableDataWriter(plan: TxWritePlan,
   }
 
   private def dirOfPart(row: org.apache.spark.sql.catalyst.InternalRow)
-      : String = plan.part match {
-    case None => "data"
-    case Some(pc) =>
-      require(!row.isNullAt(pc.rowIdx),
-        s"txtable partitioned write: NULL partition value refused " +
-          s"(column '${pc.phys}')")
-      val v = pc.incoming match {
-        case IntegerType => row.getInt(pc.rowIdx).toString
-        case LongType => row.getLong(pc.rowIdx).toString
-        case StringType => row.getUTF8String(pc.rowIdx).toString
-        case dt => sys.error(s"unreachable: partition type $dt " +
-          "passed plan validation")
+      : String =
+    if (plan.parts.isEmpty) "data"
+    else "data/" + plan.parts.map { pc =>
+      // NULL partition values follow the Hive default-partition
+      // convention (round 20): they land under the
+      // __HIVE_DEFAULT_PARTITION__ directory — the same marker Spark's
+      // own partitioned writers emit — and read back as NULL
+      if (row.isNullAt(pc.rowIdx))
+        s"${pc.phys}=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else {
+        val v = pc.incoming match {
+          case IntegerType => row.getInt(pc.rowIdx).toString
+          case LongType => row.getLong(pc.rowIdx).toString
+          case StringType => row.getUTF8String(pc.rowIdx).toString
+          case dt => sys.error(s"unreachable: partition type $dt " +
+            "passed plan validation")
+        }
+        s"${pc.phys}=${org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)}"
       }
-      s"data/${pc.phys}=${org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(v)}"
-  }
+    }.mkString("/")
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow)
       : Unit = {

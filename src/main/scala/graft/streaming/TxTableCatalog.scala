@@ -90,11 +90,11 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces
       sys.error(s"catalog table $root has no schema-tracking manifest"))
     def toLogical(p: String): String =
       TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p)
-    val partLogical = TxTable.partitionColumn(m).map(toLogical)
+    val partLogical = TxTable.partitionColumns(m).map(toLogical)
     val bucketLogical = TxTable.bucketSpecOf(m).map {
       case (c, n) => (toLogical(c), n)
     }
-    new TxTableTable(schema, Some(root), partitionCol = partLogical,
+    new TxTableTable(schema, Some(root), partitionCols = partLogical,
       bucketSpec = bucketLogical)
   }
 
@@ -149,12 +149,17 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces
       : Table = {
     // (IdentityTransform itself is private[sql]; the generic Transform
     // surface — name + a single one-part column reference — is public)
-    val (partCol, bucketSpec) = partitions.toSeq match {
-      case Seq() => (None, None)
-      case Seq(t) if t.name == "identity" &&
-          t.references.length == 1 &&
-          t.references()(0).fieldNames.length == 1 =>
-        (Some(t.references()(0).fieldNames()(0)), None)
+    def identityCol(t: Transform): Option[String] =
+      if (t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1)
+        Some(t.references()(0).fieldNames()(0))
+      else None
+    val (partCols, bucketSpec) = partitions.toSeq match {
+      case Seq() => (Nil, None)
+      // PARTITIONED BY (a[, b…]) — one or more identity columns,
+      // OUTERMOST first (round 20 multi-column support)
+      case ts if ts.nonEmpty && ts.forall(identityCol(_).isDefined) =>
+        (ts.map(identityCol(_).get), None)
       // PARTITIONED BY (bucket(n, col)) — storage bucketing (round 20):
       // the bucket count is the transform's int literal argument, the
       // column its single reference (argument ORDER is
@@ -168,9 +173,9 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces
             l.value.asInstanceOf[Int]
         }.getOrElse(sys.error(
           s"bucket transform needs an int bucket count: $t"))
-        (None, Some((t.references()(0).fieldNames()(0), n)))
+        (Nil, Some((t.references()(0).fieldNames()(0), n)))
       case other => sys.error(
-        "txtable PARTITIONED BY takes one identity column or one " +
+        "txtable PARTITIONED BY takes identity columns or one " +
           s"bucket(n, col) transform, got ${other.mkString(", ")}")
     }
     val root = rootOf(ident)
@@ -178,8 +183,8 @@ class TxTableCatalog extends TableCatalog with SupportsNamespaces
       .TableAlreadyExistsException(
         (catalogName +: ident.namespace.toSeq :+ ident.name)
           .map(s => s"`$s`").mkString("."))
-    TxTable.createEmpty(root, schema, partCol, bucketSpec): Unit
-    new TxTableTable(schema, Some(root), partitionCol = partCol,
+    TxTable.createEmpty(root, schema, partCols, bucketSpec): Unit
+    new TxTableTable(schema, Some(root), partitionCols = partCols,
       bucketSpec = bucketSpec)
   }
 

@@ -116,7 +116,7 @@ class TxTableSourceProvider extends TableProvider with DataSourceRegister {
   * `versionAsOf` option still wins). */
 private[streaming] class TxTableTable(userSchema: StructType,
     defaultRoot: Option[String] = None, pinnedVersion: Option[Int] = None,
-    partitionCol: Option[String] = None,
+    partitionCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -186,7 +186,7 @@ private[streaming] class TxTableTable(userSchema: StructType,
   override def schema(): StructType = userSchema
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    (partitionCol.map(c => org.apache.spark.sql.connector.expressions
+    (partitionCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)) ++
       bucketSpec.map { case (c, n) =>
         org.apache.spark.sql.connector.expressions.Expressions
@@ -549,13 +549,16 @@ private[streaming] class TxFilePartitionReader(part: TxFilePartition,
   // fail loudly, never NULL-backfill a value the path carries)
   // values were path-escaped by the writers (escapePathName) — decode,
   // so ':' '%' '=' etc. in a string partition value round-trip exactly
-  // (ADVICE r19: the raw segment surfaced escaped values to readers)
+  // (ADVICE r19: the raw segment surfaced escaped values to readers).
+  // The Hive default-partition marker reads back as NULL (round 20) —
+  // the entry is simply omitted, so the field falls to the NULL arm.
   private val partValues: Map[String, Any] = part.path.split("/")
     .dropRight(1).filter(_.contains('=')).map { seg =>
       val Array(k, v) = seg.split("=", 2)
       k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(v)
-    }.toMap.collect {
+    }.toMap.filter(_._2 != org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME).collect {
       // the path segment carries the PHYSICAL name; key the map by the
       // declared LOGICAL name it resolves to
       case (k, v) if declared.exists(f => physOf(f.name) == k) =>

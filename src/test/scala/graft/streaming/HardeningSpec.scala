@@ -180,6 +180,117 @@ class HardeningSpec extends AnyFunSuite with graft.SparkFixture {
       s"perturbed mtimes changed timestamp resolution: $got")
   }
 
+  test("NULL partition values take the Hive default-partition " +
+      "convention: they land under __HIVE_DEFAULT_PARTITION__, read " +
+      "back as NULL, and comparison predicates prune the default dir " +
+      "(round 20)") {
+    val wh = graft.Scratch.dir("txtable", "spec_nullpart")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.np_tx",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.np_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS np_tx.db")
+    spark.range(0, 40)
+      .select(col("id").as("k"),
+        when(col("id") % 4 === 0, lit(null))
+          .otherwise(concat(lit("g"), col("id") % 4)).as("pc"))
+      .createOrReplaceTempView("np_src")
+    spark.sql("""CREATE TABLE np_tx.db.t PARTITIONED BY (pc) AS
+                |SELECT * FROM np_src""".stripMargin)
+    val root = s"$wh/db/t"
+    val m = TxTable.readManifest(root, TxTable.currentVersion(root))
+    assert(m.files.exists(_.contains("pc=__HIVE_DEFAULT_PARTITION__")),
+      s"no default-partition dir in ${m.files}")
+    // NULLs read back as NULL on the DSv2, library, and SQL surfaces
+    for (df <- Seq(spark.read.format("txtable").load(root),
+      TxTable.snapshot(spark, root),
+      spark.sql("SELECT * FROM np_tx.db.t"))) {
+      assert(df.filter(col("pc").isNull).count() == 10,
+        "default-partition rows must surface as NULL")
+      assert(df.count() == 40)
+    }
+    // an equality predicate prunes the default dir (NULL never matches
+    // a comparison); IS NULL keeps it (unconvertible → sound)
+    val (kept, all) = TxTable.pruneDataFilesTree(m,
+      org.apache.spark.sql.graft.PlanBridge.PredCmp("=", "pc", "g1"))
+    assert(kept.nonEmpty && kept.size < all.size &&
+      kept.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"default dir not pruned: $kept")
+    assert(TxTable.snapshotWhere(spark, root,
+      col("pc") === "g1").count() == 10)
+    assert(TxTable.snapshotWhere(spark, root,
+      col("pc").isNull).count() == 10)
+    spark.sql("DROP TABLE np_tx.db.t")
+  }
+
+  test("multi-column partitioning: CTAS PARTITIONED BY (a, b) nests " +
+      "directories, pruning composes per column (incl. the NULL " +
+      "partition), and rewrites preserve the nested layout (round 20)") {
+    val wh = graft.Scratch.dir("txtable", "spec_multipart")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.mp_tx",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mp_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mp_tx.db")
+    spark.range(0, 120)
+      .select(col("id").as("k"),
+        concat(lit("r"), col("id") % 3).as("region"),
+        when(col("id") % 4 === 0, lit(null))
+          .otherwise((col("id") % 4).cast("int")).as("tier"))
+      .createOrReplaceTempView("mp_src")
+    spark.sql("""CREATE TABLE mp_tx.db.t PARTITIONED BY (region, tier)
+                |AS SELECT * FROM mp_src""".stripMargin)
+    val root = s"$wh/db/t"
+    val m = TxTable.readManifest(root, TxTable.currentVersion(root))
+    val entries = m.files.filter(_.startsWith("data/"))
+    assert(entries.nonEmpty && entries.forall(
+      _.matches("data/region=r\\d/tier=[^/]+/.*\\.parquet")),
+      s"layout not nested region/tier: $entries")
+    assert(TxTable.partitionColumns(m) == Seq("region", "tier"))
+    // reads surface both columns (path-derived) with NULL tier intact
+    for (df <- Seq(spark.sql("SELECT * FROM mp_tx.db.t"),
+      spark.read.format("txtable").load(root),
+      TxTable.snapshot(spark, root))) {
+      assert(df.count() == 120)
+      assert(df.filter(col("tier").isNull).count() == 30)
+      assert(df.filter(col("region") === "r1" && col("tier") === 1)
+        .count() ==
+        spark.table("mp_src")
+          .filter(col("region") === "r1" && col("tier") === 1).count())
+    }
+    // pruning composes per column: region alone, tier alone, both
+    import org.apache.spark.sql.graft.PlanBridge._
+    val (kr, all) = TxTable.pruneDataFilesTree(m,
+      PredCmp("=", "region", "r1"))
+    assert(kr.nonEmpty && kr.size < all.size &&
+      kr.forall(_.contains("region=r1/")))
+    val (kt, _) = TxTable.pruneDataFilesTree(m, PredCmp("=", "tier", 2))
+    assert(kt.nonEmpty && kt.forall(_.contains("/tier=2/")) &&
+      kt.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"tier pruning kept $kt")
+    val (kb, _) = TxTable.pruneDataFilesTree(m,
+      PredAnd(PredCmp("=", "region", "r2"), PredCmp("=", "tier", 3)))
+    assert(kb.nonEmpty &&
+      kb.forall(f => f.contains("region=r2/") && f.contains("/tier=3/")))
+    // INSERT keeps nested routing; a rewrite preserves the layout
+    spark.sql("""INSERT INTO mp_tx.db.t
+                |SELECT k + 1000, region, tier FROM mp_src""".stripMargin)
+    spark.sql("DELETE FROM mp_tx.db.t WHERE k % 2 = 0 AND k >= 1000 " +
+      "AND k IN (SELECT k + 1000 FROM mp_src WHERE k % 8 = 2)")
+    val m2 = TxTable.readManifest(root, TxTable.currentVersion(root))
+    assert(m2.files.filter(_.startsWith("data/")).forall(
+      _.matches("data/region=r\\d/tier=[^/]+/.*\\.parquet")),
+      "post-DML layout lost its nesting")
+    assert(spark.sql("SELECT count(*) FROM mp_tx.db.t")
+      .collect()(0).getLong(0) ==
+      240 - spark.table("mp_src")
+        .filter(col("k") % 8 === 2 && (col("k") + 1000) % 2 === 0)
+        .count())
+    spark.sql("DROP TABLE mp_tx.db.t")
+  }
+
   test("DV commit auto-retry: a rewrite landing mid-flight triggers a " +
       "recompute-and-rebase instead of a user-visible abort (round 20, " +
       "OCC auto-retry)") {
