@@ -2052,5 +2052,14 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .groupBy((col("o_orderkey") % 3).as("g")).agg(count(lit(1)))
     assert(grouped.queryExecution.executedPlan.toString
       .contains("BatchScan"))
+    // time travel composes: versionAsOf answers from THAT manifest's
+    // stats (v1 = first append only) — still zero data files planned
+    val v1 = agged(spark.read.format("txtable")
+      .option("versionAsOf", 1).load(root))
+    assert(v1.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(v1.collect()(0).toSeq ==
+      agged(sources.TxTable.snapshot(spark, root, 1)).collect()(0).toSeq,
+      "time-traveled aggregate pushdown diverged")
   }
 }

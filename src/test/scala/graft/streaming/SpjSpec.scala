@@ -87,6 +87,24 @@ class SpjSpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("the q_table_spj KEY's own join is exchange-free (the declared " +
+      "query, not just the spec twin)") {
+    val df = TxTable.qTableSpj(spark, sf0001)
+    df.collect(): Unit
+    // the FINAL adaptive plan only (the AQE string echoes the initial
+    // plan below it)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"q_table_spj must take the sort-merge path:\n$plan")
+    // exactly ONE exchange total — the ORDER BY's rangepartitioning
+    // ABOVE the join; neither join input hash-shuffles
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q_table_spj join inputs shuffled:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected only the ORDER BY exchange:\n$plan")
+  }
+
   test("INSERT INTO and MERGE INTO keep the bucket layout; the " +
       "post-DML join is still exchange-free") {
     wh: Unit
