@@ -46,8 +46,11 @@ import graft.{Q, Tables}
   *     passes (the same reader-lease contract as Delta's VACUUM).
   *
   * Scale shape: a commit is O(1) data (the manifest lists file names, not
-  * rows; at 100 TB the list itself would page into Iceberg-style manifest
-  * files — the protocol is unchanged), snapshot reads are a planned scan
+  * rows; above [[ManifestPageSize]] entries the list PAGES into
+  * Iceberg-style immutable manifest-page files with untouched pages
+  * REUSED across commits — O(commit + touched pages) manifest I/O, the
+  * round-17 IOU closed in round 20 with the protocol unchanged), snapshot
+  * reads are a planned scan
   * over exactly the listed files, and time travel / rollback are pure
   * metadata. LayoutSpec pins the old-or-new reader proof, the
   * delete-under-commit file minimality, commit-race exclusion, retention
@@ -73,10 +76,78 @@ object TxTable {
     * (root-relative), and per-file column stats for data skipping
     * (round 18, VERDICT r17 item 1 — the Delta add-action / Iceberg
     * manifest-entry discipline: stats live IN the commit log so a
-    * predicate can prune files at plan time without touching them). */
+    * predicate can prune files at plan time without touching them).
+    * `pages` records which entries arrived via PAGED manifest segments
+    * (round 20): (page file name, its entries) — what lets the next
+    * commit REUSE untouched pages instead of rewriting the world. */
   private[graft] case class Manifest(version: Int,
       props: Map[String, String], files: Seq[String],
-      stats: Map[String, FileStats] = Map.empty)
+      stats: Map[String, FileStats] = Map.empty,
+      pages: Seq[(String, Seq[String])] = Nil)
+
+  // --- MANIFEST PAGING (round 20) — the declared 100 TB IOU, closed.
+  //
+  // A single flat manifest re-lists EVERY file on EVERY commit: at
+  // harness scale that is noise, at 100 TB (millions of files) the
+  // manifest write itself becomes O(table) and the dominant commit
+  // cost. Paging makes it O(commit + touched pages), the Iceberg
+  // manifest-list design under this protocol:
+  //  - when a snapshot's entry count exceeds [[ManifestPageSize]], its
+  //    entries (with their stats lines) land in immutable PAGE files
+  //    (`_txlog/page-<uuid>`, ≤ page-size entries each) and the
+  //    manifest body holds `@<pagename>` reference lines;
+  //  - a child commit REUSES every parent page whose entries all
+  //    survive (appends reuse everything; a rewrite drops only the
+  //    pages holding its victims) — pages are immutable, so reuse is a
+  //    name, not a copy;
+  //  - [[readManifest]] expands references transparently — every
+  //    reader, pruner and conflict check sees the same flattened list
+  //    as before (the protocol is unchanged, as the round-17 scaladoc
+  //    promised);
+  //  - [[vacuum]] garbage-collects pages referenced by NO retained
+  //    manifest, with a grace window so a mid-flight commit's freshly
+  //    written pages are never swept.
+  // Defaults keep harness-scale tables inline (zero overhead); specs
+  // lower the knobs to force paging.
+  @volatile private[graft] var ManifestPageSize: Int = 512
+  @volatile private[graft] var PageGraceMs: Long = 10 * 60 * 1000L
+
+  private def writePage(root: String,
+      entries: Seq[String], stats: Map[String, FileStats]): String = {
+    val name = s"page-${java.util.UUID.randomUUID}"
+    val lines = entries ++ entries.flatMap(f =>
+      stats.get(f).map(encodeStatsLine(f, _)))
+    java.nio.file.Files.write(logDir(root).toPath.resolve(name),
+      lines.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+    name
+  }
+
+  /** Split a new snapshot into (reused parent pages, fresh pages,
+    * inline entries) and return the manifest BODY lines (entries,
+    * `@page` refs, inline stats) plus the names of pages written by
+    * THIS call (the caller deletes them if its commit loses). */
+  private def pagedBody(root: String, parent: Option[Manifest],
+      newFiles: Seq[String], stats: Map[String, FileStats])
+      : (Seq[String], Seq[String]) = {
+    if (newFiles.size <= ManifestPageSize) {
+      // inline (the pre-paging format, byte-compatible)
+      val statLines = stats.toSeq.sortBy(_._1).map {
+        case (p, fs) => encodeStatsLine(p, fs)
+      }
+      (newFiles ++ statLines, Nil)
+    } else {
+      val newSet = newFiles.toSet
+      val reused = parent.map(_.pages).getOrElse(Nil)
+        .filter { case (_, es) => es.nonEmpty && es.forall(newSet) }
+      val covered = reused.iterator.flatMap(_._2).toSet
+      val rest = newFiles.filterNot(covered)
+      val fresh = rest.grouped(ManifestPageSize).toSeq
+        .map(g => (writePage(root, g, stats), g))
+      val body = (reused ++ fresh).map { case (n, _) => s"@$n" }
+      (body, fresh.map(_._1))
+    }
+  }
 
   /** Per-file skipping stats: row count + per-column min/max. Only
     * columns whose parquet footer carries sound statistics in EVERY row
@@ -160,13 +231,35 @@ object TxTable {
       }.toMap
     import scala.jdk.CollectionConverters._
     val body = lines.asScala.toSeq.tail.filter(_.nonEmpty)
-    // stats are ADVISORY: a malformed stats line (a historical commit
-    // written before a codec guard, or hand-edited) degrades to
-    // no-stats-for-that-file — it must never make the manifest
-    // unreadable (the file list above is the table's source of truth)
-    Manifest(v, props, body.filterNot(_.startsWith("#")),
-      body.filter(_.startsWith("#s\t"))
-        .flatMap(l => scala.util.Try(decodeStatsLine(l)).toOption).toMap)
+    // `@<page>` lines expand to the page file's entries + stats
+    // (round 20 manifest paging) — transparently, so every consumer
+    // sees the same flattened list as the inline format
+    val files = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, FileStats]
+    val pages = Seq.newBuilder[(String, Seq[String])]
+    def take(ls: Seq[String]): Seq[String] = {
+      // stats are ADVISORY: a malformed stats line (a historical commit
+      // written before a codec guard, or hand-edited) degrades to
+      // no-stats-for-that-file — it must never make the manifest
+      // unreadable (the file list is the table's source of truth)
+      stats ++= ls.filter(_.startsWith("#s\t"))
+        .flatMap(l => scala.util.Try(decodeStatsLine(l)).toOption)
+      ls.filterNot(_.startsWith("#")).filterNot(_.startsWith("@"))
+    }
+    body.foreach {
+      case ref if ref.startsWith("@") =>
+        val name = ref.drop(1)
+        val pls = java.nio.file.Files.readAllLines(
+          logDir(root).toPath.resolve(name),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty)
+        val es = take(pls)
+        files ++= es
+        pages += ((name, es))
+      case line =>
+        files ++= take(Seq(line))
+    }
+    Manifest(v, props, files.result(), stats.result(), pages.result())
   }
 
   /** Attempt to land version `v`. Write-tmp + atomic hardlink-create:
@@ -182,9 +275,16 @@ object TxTable {
     val statLines = stats.toSeq.sortBy(_._1).map {
       case (p, fs) => encodeStatsLine(p, fs)
     }
+    tryCommitBody(root, v, props, files ++ statLines)
+  }
+
+  /** [[tryCommit]] over pre-assembled BODY lines (entries, `@page`
+    * refs, stats) — the entry the paged commit path uses. */
+  private def tryCommitBody(root: String, v: Int,
+      props: Map[String, String], body: Seq[String]): Boolean = {
     val content =
       (props.map { case (k, x) => s"$k=$x" }.toSeq.sorted.mkString(" ")
-        +: (files ++ statLines)).mkString("\n")
+        +: body).mkString("\n")
     val tmp = java.nio.file.Files.createTempFile(
       logDir(root).toPath, s".v$v", ".tmp")
     java.nio.file.Files.write(tmp,
@@ -232,12 +332,12 @@ object TxTable {
     val statsCache = scala.collection.mutable.Map.empty[String, FileStats]
     while (attempt < 1000) {
       val cur = currentVersion(root)
-      val (curFiles, curStats, curProps) =
-        if (cur == 0) (Seq.empty[String], Map.empty[String, FileStats],
+      val parent = if (cur == 0) None else Some(readManifest(root, cur))
+      val (curFiles, curStats, curProps) = parent match {
+        case None => (Seq.empty[String], Map.empty[String, FileStats],
           Map.empty[String, String])
-        else {
-          val m = readManifest(root, cur); (m.files, m.stats, m.props)
-        }
+        case Some(m) => (m.files, m.stats, m.props)
+      }
       // column-mapping props are TABLE STATE, not per-commit metadata:
       // inherit them from the parent manifest unless this commit
       // changes them (round 18 — the Delta metadata-carry discipline)
@@ -284,7 +384,21 @@ object TxTable {
       val stats = dataEntries(newFiles).flatMap { f =>
         curStats.get(f).orElse(statsCache.get(f)).map(f -> _)
       }.toMap
-      if (tryCommit(root, cur + 1, props, newFiles, stats)) return cur + 1
+      // paged manifests (round 20): above the page threshold, entries
+      // land in immutable page files — reusing every parent page whose
+      // entries all survive — and the manifest body carries refs; a
+      // lost race reclaims THIS attempt's fresh pages before retrying
+      val (body, freshPages) = pagedBody(root, parent, newFiles, stats)
+      val landed =
+        try tryCommitBody(root, cur + 1, props, body)
+        catch { case e: Throwable =>
+          freshPages.foreach(n => java.nio.file.Files.deleteIfExists(
+            logDir(root).toPath.resolve(n)): Unit)
+          throw e
+        }
+      if (landed) return cur + 1
+      freshPages.foreach(n => java.nio.file.Files.deleteIfExists(
+        logDir(root).toPath.resolve(n)): Unit)
       attempt += 1
     }
     sys.error(s"commit lost 1000 consecutive races at $root")
@@ -1674,7 +1788,8 @@ object TxTable {
       : (Seq[Int], Seq[String]) = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retain))
-    val live = keep.flatMap(readManifest(root, _).files).toSet
+    val keptManifests = keep.map(readManifest(root, _))
+    val live = keptManifests.flatMap(_.files).toSet
     val dead = drop.flatMap(readManifest(root, _).files).distinct
       .filterNot(live)
     drop.foreach { v =>
@@ -1685,6 +1800,16 @@ object TxTable {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, f)): Unit
     }
+    // manifest-page GC (round 20): delete page files referenced by NO
+    // retained manifest — with a grace window, so a mid-flight commit's
+    // freshly written but not-yet-referenced pages are never swept
+    val livePages = keptManifests.flatMap(_.pages.map(_._1)).toSet
+    val cutoff = System.currentTimeMillis() - PageGraceMs
+    Option(logDir(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("page-") &&
+        !livePages(f.getName) && f.lastModified() < cutoff)
+      .foreach(f =>
+        java.nio.file.Files.deleteIfExists(f.toPath): Unit)
     (drop, dead)
   }
 
