@@ -2944,9 +2944,22 @@ object TxTable {
     * live). At 100 TB this deletes the single largest avoidable
     * shuffle: two co-bucketed fact tables join at scan parallelism
     * with no data movement. Oracle: the join recomputed from source. */
-  def qTableSpj(s: SparkSession, dir: String): DataFrame = {
+  /** Child session with the SPJ gate open: key-grouped scan planning
+    * trades per-file parallelism for exchange-free joins, so the flag
+    * must not leak into the other keys' scans (the q_join_cbo /
+    * q_join_bloom_runtime child-session discipline — shared context
+    * and warehouse, isolated SQL confs). */
+  private val spjSession =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]
+
+  def qTableSpj(s0: SparkSession, dir: String): DataFrame = {
+    graft.SessionCaches.evictOnStop(s0, spjSession)
+    val s = spjSession.computeIfAbsent(graft.sessionKey(s0), _ => {
+      val c = s0.newSession()
+      c.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      c
+    })
     sqlCatalog(s)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.sql("DROP TABLE IF EXISTS graft_tx.db.spj_a")
     s.sql("DROP TABLE IF EXISTS graft_tx.db.spj_b")
     Tables.orders(s, dir)

@@ -342,7 +342,12 @@ private[streaming] class TxTableScan(required: StructType,
           case Some(groups) => groups.map { case (b, fs) =>
             TxBucketPartition(b, fs.map(mkFile))
           }.toArray[InputPartition]
-          case None => kept.map(mkFile).toArray[InputPartition]
+          case None => identGroups(kept) match {
+            case Some(groups) => groups.map { case (k, fs) =>
+              TxKeyedPartition(k, fs.map(mkFile))
+            }.toArray[InputPartition]
+            case None => kept.map(mkFile).toArray[InputPartition]
+          }
         }
     }
   }
@@ -357,43 +362,131 @@ private[streaming] class TxTableScan(required: StructType,
       }
     }
 
+  /** Identity partition columns as (LOGICAL name, declared type),
+    * outermost first — present iff the table is identity-partitioned
+    * AND every column's declared type supports a typed partition key. */
+  private lazy val identSpec
+      : Option[Seq[(String, org.apache.spark.sql.types.DataType)]] =
+    manifest.flatMap { m =>
+      val phys = TxTable.partitionColumns(m)
+      if (phys.isEmpty) None
+      else TxTable.inferLogicalSchema(root, readVersion).flatMap { st =>
+        val cm = TxTable.colMapOf(m)
+        val cols = phys.map { p =>
+          val logical = cm.flatMap(_.physToLog.get(p)).getOrElse(p)
+          st.fields.find(_.name == logical).map(f => (f.name, f.dataType))
+        }
+        if (cols.exists(_.isEmpty)) None else Some(cols.flatten)
+      }
+    }
+
+  /** Is key-grouped scan planning ON? Pre-grouping trades scan
+    * parallelism (one partition per key instead of per file) for
+    * exchange-free joins — exactly the trade the storage-partitioned-
+    * join flag opts into, so group ONLY when it's set; default-mode
+    * scans keep full per-file parallelism. */
+  private def spjEnabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false"))
+      .getOrElse("false") == "true"
+
   /** Kept files grouped per bucket id (parsed from the `__bucket=<b>`
-    * routing directory), ascending. None when the table is unbucketed
-    * or any kept entry lacks the segment (a hand-staged layout —
-    * grouping would then be a lie; fall back to per-file partitions and
-    * Unknown partitioning, which only costs a shuffle). */
+    * routing directory), ascending. None when SPJ is off, the table is
+    * unbucketed, or any kept entry lacks the segment (a hand-staged
+    * layout — grouping would then be a lie; fall back to per-file
+    * partitions and Unknown partitioning, which only costs a shuffle). */
   private def bucketGroups(kept: Seq[String])
-      : Option[Seq[(Int, Seq[String])]] = bucketSpec.flatMap { _ =>
-    val seg = "__bucket=(\\d+)".r
-    val parsed = kept.map(f =>
-      (f, seg.findFirstMatchIn(f).map(_.group(1).toInt)))
-    if (parsed.isEmpty || parsed.exists(_._2.isEmpty)) None
-    else Some(parsed.groupBy(_._2.get).toSeq
-      .map { case (b, fs) => (b, fs.map(_._1)) }.sortBy(_._1))
+      : Option[Seq[(Int, Seq[String])]] =
+    bucketSpec.filter(_ => spjEnabled).flatMap { _ =>
+      val seg = "__bucket=(\\d+)".r
+      val parsed = kept.map(f =>
+        (f, seg.findFirstMatchIn(f).map(_.group(1).toInt)))
+      if (parsed.isEmpty || parsed.exists(_._2.isEmpty)) None
+      else Some(parsed.groupBy(_._2.get).toSeq
+        .map { case (b, fs) => (b, fs.map(_._1)) }.sortBy(_._1))
+    }
+
+  /** Typed partition-key tuple of a kept file, parsed from its path
+    * segments per the identity spec (unescaped; the Hive default
+    * partition reads as null). None = a segment is missing or
+    * unparseable — grouping would be a lie, fall back. */
+  private def identKeyOf(f: String,
+      spec: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Option[Seq[Any]] = {
+    import org.apache.spark.sql.types._
+    val segs = f.split("/").dropRight(1).filter(_.contains('='))
+      .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toMap
+    // segment keys are PHYSICAL names; the spec carries logical — map
+    // back through the manifest colmap
+    val cm = manifest.flatMap(TxTable.colMapOf)
+    val utils = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val vals = spec.map { case (logical, dt) =>
+      val phys = cm.flatMap(_.logToPhys.get(logical)).getOrElse(logical)
+      segs.get(phys) match {
+        case None => return None // segment missing: can't key this file
+        case Some(utils.DEFAULT_PARTITION_NAME) => null // NULL partition
+        case Some(raw) =>
+          val v = utils.unescapePathName(raw)
+          scala.util.Try[Any](dt match {
+            case IntegerType => java.lang.Integer.valueOf(v.toInt)
+            case LongType => java.lang.Long.valueOf(v.toLong)
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v)
+            case _ => return None
+          }).getOrElse(return None)
+      }
+    }
+    Some(vals)
   }
 
-  /** Storage-partitioned joins (round 20, VERDICT r19 item 1): a
-    * bucketed table's scan reports
-    * `KeyGroupedPartitioning(bucket(n, col))` with one input partition
-    * per planned bucket — Spark resolves the transform through the
-    * catalog's `bucket` function ([[TxBucketUnbound]]) and a join of
-    * two co-bucketed txtables on the bucket column plans with ZERO
-    * Exchange on either side (enable
-    * `spark.sql.sources.v2.bucketing.enabled`). Derived from the SAME
-    * grouping `planInputPartitions` uses, so the reported partition
-    * count always matches the planned partitions. */
+  /** Kept files grouped per identity-partition value tuple — the SPJ
+    * extension for identity-partitioned tables (a join of two tables
+    * partitioned by the same column(s) on those columns also plans
+    * exchange-free). Same opt-in gate as bucket grouping. */
+  private def identGroups(kept: Seq[String])
+      : Option[Seq[(Seq[Any], Seq[String])]] =
+    identSpec.filter(_ => spjEnabled && bucketSpec.isEmpty)
+      .flatMap { spec =>
+        val parsed = kept.map(f => (f, identKeyOf(f, spec)))
+        if (parsed.isEmpty || parsed.exists(_._2.isEmpty)) None
+        else Some(parsed.groupBy(_._2.get).toSeq
+          .map { case (k, fs) => (k, fs.map(_._1)) }
+          .sortBy(_._1.mkString(" ")))
+      }
+
+  /** Storage-partitioned joins (round 20, VERDICT r19 item 1): with
+    * `spark.sql.sources.v2.bucketing.enabled`, a bucketed table's scan
+    * reports `KeyGroupedPartitioning(bucket(n, col))` (one input
+    * partition per planned bucket; the transform resolves through the
+    * catalog's `bucket` function — [[TxBucketUnbound]]) and an
+    * identity-partitioned table's scan reports
+    * `KeyGroupedPartitioning(identity(cols…))` (one partition per
+    * value tuple; identity resolves with no function catalog) — so a
+    * join of two co-partitioned txtables on the partition key plans
+    * with ZERO Exchange on either side. Derived from the SAME grouping
+    * `planInputPartitions` uses, so the reported partition count
+    * always matches the planned partitions; with the flag off, scans
+    * keep per-file parallelism and report Unknown. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     val kept = applyRuntimeKeep(pruned._1)
     (bucketSpec, bucketGroups(kept)) match {
       case (Some((colName, n)), Some(groups)) if groups.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, colName)), groups.size)
-      case _ =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(kept.size)
+            Array(Expressions.bucket(n, colName)), groups.size)
+      case _ => (identSpec, identGroups(kept)) match {
+        case (Some(spec), Some(groups)) if groups.nonEmpty =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .KeyGroupedPartitioning(
+              spec.map(c => Expressions.identity(c._1)
+                : org.apache.spark.sql.connector.expressions.Expression)
+                .toArray, groups.size)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(kept.size)
+      }
     }
   }
 

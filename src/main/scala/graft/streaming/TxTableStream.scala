@@ -463,12 +463,26 @@ private[streaming] case class TxBucketPartition(bucket: Int,
     new GenericInternalRow(Array[Any](bucket))
 }
 
+/** One identity-partition VALUE TUPLE of a partitioned table's scan —
+  * the identity twin of [[TxBucketPartition]] (round 20): key values
+  * are the typed partition-column values (null = the Hive default
+  * partition), which is what lets two tables partitioned by the same
+  * column(s) join exchange-free on them. */
+private[streaming] case class TxKeyedPartition(keyVals: Seq[Any],
+    files: Seq[TxFilePartition])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyVals.toArray)
+}
+
 private[streaming] case class TxTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
     case p: TxFilePartition => new TxFilePartitionReader(p, schema)
     case b: TxBucketPartition => new TxChainedReader(b.files, schema)
+    case k: TxKeyedPartition => new TxChainedReader(k.files, schema)
     case other => sys.error(s"unexpected partition type $other")
   }
 }

@@ -105,6 +105,51 @@ class SpjSpec extends AnyFunSuite with graft.SparkFixture {
       s"expected only the ORDER BY exchange:\n$plan")
   }
 
+  test("identity-partitioned SPJ: two tables PARTITIONED BY the same " +
+      "column join exchange-free on it; with the flag OFF the scan " +
+      "keeps per-file parallelism (round 20)") {
+    wh: Unit
+    spark.range(0, 2000)
+      .select((col("id") % 10).cast("int").as("g"), col("id").as("k"),
+        (col("id") * 1.0).as("v"))
+      .createOrReplaceTempView("spj_ident_src")
+    spark.sql("""CREATE TABLE spj_tx.db.ia PARTITIONED BY (g) AS
+                |SELECT * FROM spj_ident_src WHERE k % 2 = 0
+                |""".stripMargin)
+    spark.sql("""CREATE TABLE spj_tx.db.ib PARTITIONED BY (g) AS
+                |SELECT g, sum(v) AS sv FROM spj_ident_src
+                |GROUP BY g""".stripMargin)
+    // flag OFF (default): per-file parallelism, Unknown partitioning
+    val files = TxTable.readManifest(s"$wh/db/ia",
+      TxTable.currentVersion(s"$wh/db/ia"))
+      .files.count(_.startsWith("data/"))
+    assert(spark.sql("SELECT * FROM spj_tx.db.ia").rdd
+      .getNumPartitions == files,
+      "default-mode scans must keep per-file parallelism")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = """SELECT /*+ MERGE(a) */ a.g, a.k, a.v, b.sv
+                |FROM spj_tx.db.ia a JOIN spj_tx.db.ib b ON a.g = b.g
+                |""".stripMargin
+      val df = spark.sql(q)
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange"),
+        s"co-identity-partitioned join must not shuffle:\n$plan")
+      // results equal the conventional plan
+      val got = df.orderBy("k").collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(got == spark.sql(q).orderBy("k").collect()
+        .map(_.toSeq).toSeq && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE spj_tx.db.ia")
+      spark.sql("DROP TABLE spj_tx.db.ib")
+    }
+  }
+
   test("INSERT INTO and MERGE INTO keep the bucket layout; the " +
       "post-DML join is still exchange-free") {
     wh: Unit
