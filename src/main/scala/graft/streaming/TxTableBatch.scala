@@ -104,7 +104,7 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   // here is an optimization with a soundness gate, never a fallback
   // semantics change.
   private var aggPushed: Option[(StructType,
-    org.apache.spark.sql.catalyst.InternalRow)] = None
+    Array[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
@@ -120,19 +120,18 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
   private def tryPushAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+      : Option[(StructType,
+        Array[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
     if (pushed.nonEmpty || runtimeFileFilter || recorder.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
     val v = versionAsOf.getOrElse(TxTable.currentVersion(root))
     if (v <= 0) return None
     val m = TxTable.readManifest(root, v)
     if (TxTable.deleteEntries(m.files).nonEmpty) return None
     val data = TxTable.dataEntries(m.files)
     if (data.exists(f => !m.stats.contains(f))) return None
-    val stats = data.map(m.stats)
     val schema = TxTable.inferLogicalSchema(root, v).getOrElse(return None)
     val logToPhys = TxTable.colMapOf(m)
       .map(_.logToPhys).getOrElse(Map.empty[String, String])
@@ -143,10 +142,47 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
         Some(r.fieldNames()(0))
       case _ => None
     }
-    // min/max of column `ln` across all files' stats, typed per the
-    // DECLARED schema. None = not provable (missing stats on a
+    // GROUP BY pushdown (round 20): grouping expressions must all be
+    // IDENTITY PARTITION columns — every file then belongs to exactly
+    // one group (its path-segment min=max "part" stat), so per-group
+    // COUNT/MIN/MAX are exact from the manifest alone. The
+    // daily-counts-over-a-date-partitioned-table query as pure
+    // metadata. Anything else refuses.
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
+      colOf(e).getOrElse(return None))
+    if (groupCols.nonEmpty) {
+      val partLogical = TxTable.partitionColumns(m).map(p =>
+        TxTable.colMapOf(m).flatMap(_.physToLog.get(p)).getOrElse(p))
+      if (!groupCols.forall(partLogical.contains)) return None
+      if (TxTable.bucketSpecOf(m).nonEmpty) return None
+    }
+    // group key of one file: the typed path-segment values of the
+    // grouping columns (None = unprovable — refuse the pushdown).
+    // The Hive default partition reads as NULL, like every reader.
+    def keyOf(f: String): Option[Seq[Any]] = {
+      val fs = m.stats(f)
+      val vals = groupCols.map { gc =>
+        if (!schema.fieldNames.contains(gc)) return None
+        val cs = fs.cols.getOrElse(logToPhys.getOrElse(gc, gc),
+          return None)
+        if (cs.t != "part" || cs.min != cs.max) return None
+        if (cs.min == org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else scala.util.Try[Any](schema(gc).dataType match {
+          case IntegerType => java.lang.Integer.valueOf(cs.min.toInt)
+          case LongType => java.lang.Long.valueOf(cs.min.toLong)
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(cs.min)
+          case _ => return None
+        }).getOrElse(return None)
+      }
+      Some(vals)
+    }
+    // min/max of column `ln` across the GIVEN files' stats, typed per
+    // the DECLARED schema. None = not provable (missing stats on a
     // row-bearing file, type mismatch) — refuse the whole pushdown.
-    def minMax(ln: String, wantMin: Boolean): Option[(DataType, Any)] = {
+    def minMax(ln: String, wantMin: Boolean,
+        stats: Seq[TxTable.FileStats]): Option[(DataType, Any)] = {
       if (!schema.fieldNames.contains(ln)) return None
       val dt = schema(ln).dataType
       val phys = logToPhys.getOrElse(ln, ln)
@@ -188,27 +224,47 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
       }
       Some((dt, value))
     }
-    val rows = java.lang.Long.valueOf(stats.map(_.rows).sum)
-    val results = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => (LongType: DataType, rows: Any)
-      case mn: Min =>
-        colOf(mn.column).flatMap(minMax(_, wantMin = true))
-          .getOrElse(return None)
-      case mx: Max =>
-        colOf(mx.column).flatMap(minMax(_, wantMin = false))
-          .getOrElse(return None)
-      case _ => return None // COUNT(col)/SUM/AVG need null counts/sums
-    }
-    val outSchema = StructType(results.zipWithIndex.map {
-      case ((dt, _), i) => StructField(s"agg_$i", dt)
-    })
-    Some((outSchema,
+    // one result row per group (ONE trivial group when no GROUP BY)
+    val groups: Seq[(Seq[Any], Seq[TxTable.FileStats])] =
+      if (groupCols.isEmpty) Seq((Nil, data.map(m.stats)))
+      else data.map(f => (keyOf(f).getOrElse(return None), f))
+        .groupBy(_._1).toSeq
+        .map { case (k, fs) => (k, fs.map(e => m.stats(e._2))) }
+        .sortBy(_._1.mkString(" "))
+    if (groups.isEmpty) return None // empty grouped table: ordinary scan
+    val groupTypes = groupCols.map(gc => schema(gc).dataType)
+    val perGroup: Seq[(Seq[(DataType, Any)], Seq[Any])] =
+      groups.map { case (key, gstats) =>
+        val rows = java.lang.Long.valueOf(gstats.map(_.rows).sum)
+        val results = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => (LongType: DataType, rows: Any)
+          case mn: Min =>
+            colOf(mn.column).flatMap(minMax(_, wantMin = true, gstats))
+              .getOrElse(return None)
+          case mx: Max =>
+            colOf(mx.column).flatMap(minMax(_, wantMin = false, gstats))
+              .getOrElse(return None)
+          case _ => return None // COUNT(col)/SUM/AVG need null counts/sums
+        }
+        (results, key)
+      }
+    // complete-pushdown output schema: GROUP BY columns first, then
+    // the aggregate results, in declaration order
+    val outSchema = StructType(
+      groupCols.zip(groupTypes).map { case (c, dt) =>
+        StructField(c, dt) } ++
+      perGroup.head._1.zipWithIndex.map {
+        case ((dt, _), i) => StructField(s"agg_$i", dt) })
+    val rows = perGroup.map { case (results, key) =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        results.map(_._2).toArray)))
+        (key ++ results.map(_._2)).toArray)
+        : org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+    Some((outSchema, rows))
   }
 
   override def build(): Scan = aggPushed match {
-    case Some((sch, row)) => new TxAggLocalScan(sch, Array(row), root)
+    case Some((sch, rows)) => new TxAggLocalScan(sch, rows, root)
     case None =>
       if (runtimeFileFilter)
         new TxRuntimeFilteredScan(required, pushed, root, versionAsOf,

@@ -2062,4 +2062,43 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       agged(sources.TxTable.snapshot(spark, root, 1)).collect()(0).toSeq,
       "time-traveled aggregate pushdown diverged")
   }
+
+  test("GROUP BY partition columns pushes down too: per-partition " +
+      "COUNT/MIN/MAX answer from path-segment stats (one LocalTableScan " +
+      "row per partition, NULL partition included); non-partition " +
+      "grouping falls back (round 20)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_aggpd_grp")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.apg_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.apg_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS apg_tx.db")
+    spark.range(0, 300)
+      .select(col("id").as("k"),
+        when(col("id") % 5 === 4, lit(null))
+          .otherwise(concat(lit("p"), col("id") % 5)).as("pc"))
+      .createOrReplaceTempView("apg_src")
+    spark.sql("""CREATE TABLE apg_tx.db.t PARTITIONED BY (pc) AS
+                |SELECT * FROM apg_src""".stripMargin)
+    val grouped = spark.sql("""SELECT pc, count(*) AS n, min(k) AS mn,
+      |max(k) AS mx FROM apg_tx.db.t GROUP BY pc""".stripMargin)
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped aggregate did not push:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq)
+        .sortBy(_.mkString(" ")).toSeq
+    assert(rows(grouped) == rows(spark.table("apg_src")
+      .groupBy("pc").agg(count(lit(1)).as("n"),
+        min("k").as("mn"), max("k").as("mx"))),
+      "grouped pushdown diverged (incl. the NULL partition group)")
+    // non-partition grouping falls back to the real scan
+    val nonPart = spark.sql(
+      "SELECT k % 3 AS g, count(*) FROM apg_tx.db.t GROUP BY k % 3")
+    assert(nonPart.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    spark.sql("DROP TABLE apg_tx.db.t")
+  }
 }
