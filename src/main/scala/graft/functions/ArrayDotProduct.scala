@@ -107,5 +107,25 @@ object NativeFunctions {
         "collect_bounded takes exactly 2 arguments")
       BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
     }
+    // Spark's own runtime-bloom-join expression pair (SPARK-32268) —
+    // codegen'd probe, the exact representation InjectRuntimeFilter
+    // plans — exists in catalyst but is not SQL-registered in 4.1, so
+    // expose it here for the explicit bloom pre-filter operators
+    // (q_filter_bloom, the incremental-dedup manifest probes). The
+    // `ensure` guard means a future Spark that registers these natively
+    // simply wins.
+    ensure("bloom_filter_agg") { exprs =>
+      require(exprs.length == 3,
+        "bloom_filter_agg takes (value, estimatedNumItems, numBits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+        .toAggregateExpression()
+    }
+    ensure("might_contain") { exprs =>
+      require(exprs.length == 2,
+        "might_contain takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1))
+    }
   }
 }

@@ -43,6 +43,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "collect_bounded takes exactly 2 arguments")
         BoundedCollect(exprs.head, exprs(1)).toAggregateExpression()
       }))
+    // Spark's native runtime-bloom pair (SPARK-32268), not SQL-registered
+    // in 4.1 — mirrored from NativeFunctions.register (round 21)
+    extensions.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          "bloom_filter_agg takes (value, estimatedNumItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+          .toAggregateExpression()
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          "might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }))
     // whole-operator custom plan (graft.plans.AsOfJoin): planner strategy
     // + probe-side predicate pushdown rule
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -91,13 +91,43 @@ object Dedup {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(featured)
-    val pairs = model
-      .approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("id_a"),
-        col("datasetB.doc_id").as("id_b"),
+    // Candidate generation inlined from approxSimilarityJoin's published
+    // shape (explode signatures, equi-join per (table, hash), exact
+    // keyDistance on candidates) with two plan repairs (round 21):
+    //  - the bucket join keys are PRIMITIVE (entry int, hash double via
+    //    vector_to_array) instead of VectorUDT cells, so the join and
+    //    its dedup run in codegen;
+    //  - the candidate DISTINCT runs over (id_a, id_b) ONLY — MLlib's
+    //    form dedups full rows carrying the 65k-dim feature vector and
+    //    the signature array through the exchange. Features rejoin from
+    //    the (cached, broadcast) table for the exact filter afterwards.
+    // The collision set is unchanged (same signatures, same per-table
+    // equality), and the distance IS the model's own keyDistance, so
+    // the emitted pairs and jaccard values are identical.
+    val expl = model.transform(featured)
+      .select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("entry", "hv")))
+      .select(col("doc_id"), col("entry"),
+        org.apache.spark.ml.functions.vector_to_array(col("hv"))
+          .getItem(0).as("h"))
+    val cand = expl.as("a").join(expl.as("b"),
+        col("a.entry") === col("b.entry") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val mdl = model
+    val distU = udf((x: org.apache.spark.ml.linalg.Vector,
+        y: org.apache.spark.ml.linalg.Vector) =>
+      org.apache.spark.ml.graft.LshBridge.jaccardDistance(mdl, x, y))
+    val pairs = cand
+      .join(featured.select(col("doc_id").as("id_a"),
+        col("features").as("fa")), "id_a")
+      .join(featured.select(col("doc_id").as("id_b"),
+        col("features").as("fb")), "id_b")
+      .withColumn("jaccard_dist", distU(col("fa"), col("fb")))
+      .filter(col("jaccard_dist") < 0.2)
+      .select(col("id_a"), col("id_b"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
-      .filter(col("id_a") < col("id_b"))
     (featured, pairs)
   }
 

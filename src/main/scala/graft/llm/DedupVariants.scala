@@ -93,11 +93,20 @@ object DedupVariants {
   private[graft] def dedupNgramPairs(s: SparkSession, dir: String,
       maxDf: Long): DataFrame = {
     graft.functions.NativeFunctions.register(s)
+    // eagerly checkpointed: the posting aggregate AND each side of the
+    // sizes join consume this subtree — un-checkpointed, the physical
+    // plan re-ran the scan→split→shingle→explode THREE times (round-21
+    // before-plan: three parquet scans of documents), the round-5
+    // re-evaluation trap. localCheckpoint materializes the narrow
+    // (doc_id, sh) projection once, outside the SQL cache (the
+    // cache-ownership contract), exactly like minhashShingles.
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr).as("sh"))
+      .localCheckpoint(false)
     // per-doc shingle counts (jaccard denominator) use the FULL shingle
-    // set — the cap prunes candidate generation only
+    // set — the cap prunes candidate generation only; computed from the
+    // checkpointed shingles, cheap enough to leave un-materialized
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting list + df per shingle in one aggregation; sorted ascending
     // so exploded pairs (i < j) satisfy id_a < id_b with no least/greatest.
@@ -132,14 +141,17 @@ object DedupVariants {
           / 1e6)
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "common", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** q_dedup_ngram — exact n-gram (3-token shingle) Jaccard pairs ≥ 0.8
     * via inverted index + per-pair common-count, with the stop-shingle
-    * document-frequency cap bounding posting-list skew. */
+    * document-frequency cap bounding posting-list skew. The global sort
+    * lives HERE, not in [[dedupNgramPairs]]: the graph consumers
+    * (q_dedup_cluster, q_recursive_cte) feed the pair set into keyed
+    * shuffles that destroy order anyway — paying a range exchange + sort
+    * they immediately discard (round 21). */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    dedupNgramPairs(s, dir, StopShingleMaxDf)
+    dedupNgramPairs(s, dir, StopShingleMaxDf).orderBy("id_a", "id_b")
 
   /** q_recursive_cte — transitive closure of the near-dup pair graph via
     * Spark 4's `WITH RECURSIVE` (round 11): the declarative twin of
@@ -176,8 +188,12 @@ object DedupVariants {
     * inverted-index join (round-5 re-evaluation trap). */
   def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = qDedupNgram(s, dir).select("id_a", "id_b")
-      .localCheckpoint(true)
+    // unordered pair core: the symmetrizing union + keyed repartition
+    // below destroy any order, so qDedupNgram's global sort would be
+    // paid and discarded
+    val pairs = dedupNgramPairs(s, dir, StopShingleMaxDf)
+      .select("id_a", "id_b")
+      .localCheckpoint(false)
     // tiny graph (only docs with a near-dup) — shrink parallelism or
     // per-iteration task overhead dominates the UnionLoop (same rationale
     // as clusterLabels' loopPar)
@@ -233,15 +249,27 @@ object DedupVariants {
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
           .as("h"))
-    val bits = tokHash
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
-        .as("v"))
-    val sig = bits.groupBy("doc_id")
-      .agg(sum(when(col("v") >= 0, expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(0L)).as("simhash"))
+    // Per-bit ±1 sums as 32 aggregate COLUMNS of ONE doc-keyed
+    // aggregate, not a ×32 row explode through two keyed shuffles
+    // (round 21): the explode form shuffled tokens×32 rows into a
+    // (doc_id, b) aggregate and then re-shuffled per doc; this form
+    // map-side-combines to one row of 32 longs per doc — shuffle volume
+    // O(docs × 32 longs) at any corpus size. Each v_b and therefore the
+    // packed signature is the identical sum over the identical rows.
+    val bitSums = tokHash.groupBy("doc_id").agg(
+      sum(when(expr("shiftright(h, 0) & 1") === 1, 1).otherwise(-1))
+        .as("v0"),
+      (1 to 31).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
+          .as(s"v$b")): _*)
+    val sig = bitSums.select(col("doc_id"),
+      (0 to 31).map(b =>
+        when(col(s"v$b") >= 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+      // both sides of the band self-join consume the signature — without
+      // the checkpoint each side re-ran the whole signature build (lazy:
+      // materializes inside the one consuming job)
+      .localCheckpoint(false)
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("band", expr("shiftright(simhash, k * 8) & 255"))
@@ -347,12 +375,15 @@ object DedupVariants {
     // Similarity.boundedSample, the shared pqSample discipline): fit
     // cost is scale-free, encode/probe stay fully distributed
     val sample = Similarity.boundedSample(e, "emb")
+    // the L independent quantizer fits run concurrently on the driver
+    // (pure seeded functions of the sample — results identical to the
+    // serial loop, which left 31 cores idle for ~L×0.3 s; round 21)
     val cents = s.createDataFrame(
-      (0 until L).flatMap { l =>
+      Similarity.parTabulate(L) { l =>
         Similarity.lloydBestSeeded(sample, K, 20, restarts = 1,
           seedBase = 42L + 1000L * l).zipWithIndex.map { case (c, i) =>
           (l * K + i, c.toSeq, c.map(x => x * x).sum) }
-      }.toIndexedSeq)
+      }.toIndexedSeq.flatten)
       .toDF("bucket", "cemb", "cnrm2")
     // multi-probe assignment: P nearest centroids per (vector, quantizer).
     // Distance via ||v||² + ||c||² − 2·v·c with the codegen'd array_dot —
@@ -415,8 +446,11 @@ object DedupVariants {
   private[graft] def clusterLabels(s: SparkSession, dir: String)
       : (DataFrame, Int) = {
     // cache the pair set BEFORE the symmetrizing union — otherwise the
-    // union's two branches each re-run the whole inverted-index join
-    val pairs = qDedupNgram(s, dir).select("id_a", "id_b").cache()
+    // union's two branches each re-run the whole inverted-index join.
+    // Unordered core: the loop's keyed shuffles discard qDedupNgram's
+    // global sort (round 21).
+    val pairs = dedupNgramPairs(s, dir, StopShingleMaxDf)
+      .select("id_a", "id_b").cache()
     // the pair graph is orders of magnitude smaller than the corpus (only
     // docs with a near-dup survive into it) — shrink the loop's
     // parallelism to match, or per-round task overhead dominates. Derived
@@ -509,7 +543,7 @@ object DedupVariants {
     val docs = prefixFingerprints(s, dir)
     val manifest = docs.filter(col("doc_id") % 4 =!= 3)
       .select("prefix_md5").distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val today = docs.filter(col("doc_id") % 4 === 3)
     manifestAntiJoin(s, today, manifest).orderBy("doc_id")
   }
@@ -525,7 +559,7 @@ object DedupVariants {
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
           .as("prefix_md5"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
   /** Crawl rows whose `prefix_md5` is NOT in `manifest` — the incremental
     * dedup probe shared by [[qDedupIncremental]] and
@@ -541,12 +575,24 @@ object DedupVariants {
     * false positives. */
   private[graft] def manifestAntiJoin(s: SparkSession, crawl: DataFrame,
       manifest: DataFrame): DataFrame = {
-    val bf = manifest.stat.bloomFilter("prefix_md5",
-      math.max(manifest.count(), 1L), 0.01)
-    val bbf = s.sparkContext.broadcast(bf)
-    val might = udf((k: String) => bbf.value.mightContain(k))
-    val definitelyNew = crawl.filter(!might(col("prefix_md5")))
-    val residualNew = crawl.filter(might(col("prefix_md5")))
+    // Round 21 (VERDICT r20 item 8): Spark's native bloom_filter_agg /
+    // might_contain instead of a sketch-library filter behind a ScalaUDF
+    // — the probe now runs inside whole-stage codegen and the filter
+    // bytes ride the plan exactly as Catalyst's own runtime bloom does.
+    // FP membership differs between the two implementations, but FPs
+    // only route rows through the exact residual anti-join (and bloom
+    // false NEGATIVES are impossible in both), so the emitted row set is
+    // identical by construction. Same ~1% fpp sizing (n·9.6 bits).
+    graft.functions.NativeFunctions.register(s)
+    val n = math.max(manifest.count(), 1L)
+    val bfBytes = manifest
+      .select(expr(s"bloom_filter_agg(xxhash64(prefix_md5), ${n}L, " +
+        s"${math.max(64L, math.ceil(n * 9.6).toLong)}L)"))
+      .head().getAs[Array[Byte]](0)
+    val might = call_function("might_contain",
+      lit(bfBytes), xxhash64(col("prefix_md5")))
+    val definitelyNew = crawl.filter(!might)
+    val residualNew = crawl.filter(might)
       .join(manifest, Seq("prefix_md5"), "left_anti")
     definitelyNew.unionByName(
       residualNew.select(crawl.columns.map(col).toIndexedSeq: _*))
@@ -654,7 +700,7 @@ object DedupVariants {
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
   private def minhashBands(sh: DataFrame): DataFrame = {
     val sig = sh.groupBy("doc_id").agg(
@@ -667,7 +713,7 @@ object DedupVariants {
       .as("band"))
       .select(col("doc_id"), col("band.b").as("b"),
         col("band.bkey").as("bkey"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** Exact Jaccard over candidate pairs (columns `a`, `b`): common-shingle

@@ -431,19 +431,28 @@ object Governance {
     // not a no-op
     val (ordPristine, liPristine) = ensureDeletableLayouts(s, dir)
     val inv = execInvocation.incrementAndGet()
-    val ordRoot = layoutAsTable(ordPristine,
-      graft.Scratch.dir("deleteexec", s"inv${inv}_orders"))
-    val liRoot = layoutAsTable(liPristine,
-      graft.Scratch.dir("deleteexec", s"inv${inv}_lineitem"))
-    lastDeleteRoots.set((ordRoot, liRoot))
     val del = Tables.customer(s, dir)
       .filter(col("c_custkey") % 97 === 0)
       .select(col("c_custkey").as("owner"))
       .localCheckpoint(true)
-    TxTable.deleteMatching(s, ordRoot, del, "owner"): Unit
-    TxTable.deleteMatching(s, liRoot, del, "owner"): Unit
-    val second = TxTable.deleteMatching(s, ordRoot, del, "owner")._2 ++
-      TxTable.deleteMatching(s, liRoot, del, "owner")._2
+    // the two tables are INDEPENDENT (own roots, own commit logs): their
+    // snapshot→delete→convergence sequences run as two concurrent driver
+    // threads so each table's scheduling tail back-fills the other's
+    // executor slack (guide §2.6 overlap-independent-jobs; round 21 —
+    // serial, this key was 4.2 s wall / 32 cpu-s). Per-table ordering —
+    // link snapshot, delete commit, convergence proof — is unchanged, so
+    // the result and the commit discipline are identical.
+    val outcome = Similarity.parTabulate(2) { i =>
+      val (pristine, name) =
+        if (i == 0) (ordPristine, "orders") else (liPristine, "lineitem")
+      val root = layoutAsTable(pristine,
+        graft.Scratch.dir("deleteexec", s"inv${inv}_$name"))
+      TxTable.deleteMatching(s, root, del, "owner"): Unit
+      (root, TxTable.deleteMatching(s, root, del, "owner")._2)
+    }
+    val (ordRoot, liRoot) = (outcome(0)._1, outcome(1)._1)
+    lastDeleteRoots.set((ordRoot, liRoot))
+    val second = outcome(0)._2 ++ outcome(1)._2
     require(second.isEmpty,
       s"delete did not converge: ${second.length} files still affected")
     // bound scratch growth across invocations (ADVICE r16): the two-back

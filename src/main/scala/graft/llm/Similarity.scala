@@ -140,9 +140,11 @@ object Similarity {
   private val PqCent = 16  // centroids per codebook (4-bit codes)
 
   /** vec_id + L2-normalized `unit` vector (L2 ordering == cosine
-    * ordering on units), eagerly checkpointed: codebook fits, encode,
-    * and query build all re-read this narrow projection
-    * (cache-ownership contract, graft/package.scala). */
+    * ordering on units), checkpointed LAZILY (round 21 — materializes
+    * inside the first consuming job instead of adding a serialized
+    * setup job): codebook fits, encode, and query build all re-read
+    * this narrow projection (cache-ownership contract,
+    * graft/package.scala). */
   private[graft] def unitVectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -150,7 +152,7 @@ object Similarity {
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("emb"), x => x / col("nrm")).as("unit"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
   /** Bounded, deterministic training sample for quantizer fits: the
     * first 4096 vectors in vec_id order via TakeOrdered (distributed
@@ -222,12 +224,36 @@ object Similarity {
       iters: Int, restarts: Int): Array[Array[Double]] =
     lloydBestSeeded(pts, k, iters, restarts, 42L)
 
+  /** Deterministic driver-side parallel tabulate: one thread per index
+    * (bounded small fan-out — restart counts / subspace counts), results
+    * land in index order so downstream selection is order-independent of
+    * scheduling. The fits here are independent pure functions of
+    * (sample, seed); threading changes WHEN each runs, never what it
+    * returns. Used to un-serialize the quantizer training that every
+    * index-lifecycle key pays on the driver (round 21 — the serial loop
+    * was ~0.5–1 s of single-core flops per train while 31 cores idled). */
+  private[graft] def parTabulate[T](n: Int)(f: Int => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val out = new Array[T](n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (0 until n).map { i =>
+      new Thread(() => {
+        try out(i) = f(i)
+        catch { case e: Throwable => errs.add(e): Unit }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    out
+  }
+
   private[graft] def lloydBestSeeded(pts: Array[Array[Double]], k: Int,
       iters: Int, restarts: Int, seedBase: Long): Array[Array[Double]] = {
     val d = pts(0).length
-    var best: Array[Array[Double]] = null; var bestSse = Double.MaxValue
-    var r = 0
-    while (r < restarts) {
+    // restarts run concurrently (independent seeded fits); the winner is
+    // picked by a SEQUENTIAL scan in seed order with strict <, so ties
+    // keep the earliest seed exactly as the serial loop did
+    val fits = parTabulate(restarts) { r =>
       val cents = lloyd(pts, k, iters, seedBase + r)
       var sse = 0.0; var p = 0
       while (p < pts.length) {
@@ -240,18 +266,23 @@ object Similarity {
         }
         sse += bd; p += 1
       }
-      if (sse < bestSse) { bestSse = sse; best = cents }
+      (cents, sse)
+    }
+    var best: Array[Array[Double]] = null; var bestSse = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      if (fits(r)._2 < bestSse) { bestSse = fits(r)._2; best = fits(r)._1 }
       r += 1
     }
     best
   }
 
   private def pqFit(sample: Array[Array[Double]]): Seq[Seq[Seq[Double]]] =
-    (0 until PqSub).map { i =>
+    parTabulate(PqSub) { i =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, i * PqDim, (i + 1) * PqDim))
       lloyd(sub, PqCent, 10).map(_.toSeq).toSeq
-    }
+    }.toSeq
 
   private def pqD2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

@@ -469,7 +469,18 @@ object TxTable {
               val mins = perBlock.flatten.map(_._1)
               val maxs = perBlock.flatten.map(_._2)
               def ord(v: Seq[String], lo: Boolean): String = tpe match {
-                case "string" => if (lo) v.min else v.max
+                case "string" =>
+                  // every consumer (the pruning comparator, the exact
+                  // MIN/MAX pushdown) orders strings by unsigned UTF-8
+                  // bytes — JVM String ordering (UTF-16 code units)
+                  // disagrees on supplementary-plane chars, so a
+                  // multi-row-group aggregate under it could record a
+                  // wrong file-level min/max (ADVICE r20)
+                  def u8(a: String, b: String): Int =
+                    java.util.Arrays.compareUnsigned(
+                      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  v.reduce((a, b) => if (lo == (u8(a, b) <= 0)) a else b)
                 case _ =>
                   val ds = v.map(BigDecimal(_))
                   val pick = if (lo) ds.min else ds.max

@@ -186,10 +186,17 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
       if (!schema.fieldNames.contains(ln)) return None
       val dt = schema(ln).dataType
       val phys = logToPhys.getOrElse(ln, ln)
+      // A 'part' stat equal to the Hive NULL-partition marker means every
+      // row of that file holds NULL for this column — like the rows==0
+      // case it contributes nothing to MIN/MAX (ADVICE r20: on a string
+      // partition column the marker would otherwise be compared as a
+      // value and silently win, e.g. MIN('__HIVE_DEF…') < 'apple').
       val per = stats.flatMap { fs =>
         if (fs.rows == 0L) None // empty file: contributes nothing
         else Some(fs.cols.get(phys).getOrElse(return None))
-      }
+      }.filterNot(c => c.t == "part" &&
+        c.min == org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       def u8(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -224,12 +231,16 @@ private[streaming] class TxTableScanBuilder(declared: StructType,
       }
       Some((dt, value))
     }
-    // one result row per group (ONE trivial group when no GROUP BY)
+    // one result row per group (ONE trivial group when no GROUP BY).
+    // A group whose files sum to zero rows would emit a spurious
+    // (key, COUNT=0) row where real aggregation emits no group — drop
+    // it (ADVICE r20; the global path already handles rows==0 exactly).
     val groups: Seq[(Seq[Any], Seq[TxTable.FileStats])] =
       if (groupCols.isEmpty) Seq((Nil, data.map(m.stats)))
       else data.map(f => (keyOf(f).getOrElse(return None), f))
         .groupBy(_._1).toSeq
         .map { case (k, fs) => (k, fs.map(e => m.stats(e._2))) }
+        .filter(_._2.map(_.rows).sum > 0L)
         .sortBy(_._1.mkString(" "))
     if (groups.isEmpty) return None // empty grouped table: ordinary scan
     val groupTypes = groupCols.map(gc => schema(gc).dataType)
@@ -446,6 +457,16 @@ private[streaming] class TxTableScan(required: StructType,
       .get("spark.sql.sources.v2.bucketing.enabled", "false"))
       .getOrElse("false") == "true"
 
+  /** Key-grouped planning additionally gates OFF for row-level scans
+    * (recorder set, or a runtime-filtered scan): a runtime file filter
+    * can land AFTER outputPartitioning() reported its group count and
+    * shrink the groups planInputPartitions() returns — the reported
+    * KeyGroupedPartitioning would then disagree with the planned
+    * partitions (ADVICE r20). Mirrors tryPushAgg's gate. */
+  private def keyGrouping: Boolean =
+    spjEnabled && recorder.isEmpty &&
+      !this.isInstanceOf[TxRuntimeFilteredScan]
+
   /** Kept files grouped per bucket id (parsed from the `__bucket=<b>`
     * routing directory), ascending. None when SPJ is off, the table is
     * unbucketed, or any kept entry lacks the segment (a hand-staged
@@ -453,7 +474,7 @@ private[streaming] class TxTableScan(required: StructType,
     * partitions and Unknown partitioning, which only costs a shuffle). */
   private def bucketGroups(kept: Seq[String])
       : Option[Seq[(Int, Seq[String])]] =
-    bucketSpec.filter(_ => spjEnabled).flatMap { _ =>
+    bucketSpec.filter(_ => keyGrouping).flatMap { _ =>
       val seg = "__bucket=(\\d+)".r
       val parsed = kept.map(f =>
         (f, seg.findFirstMatchIn(f).map(_.group(1).toInt)))
@@ -501,7 +522,7 @@ private[streaming] class TxTableScan(required: StructType,
     * exchange-free). Same opt-in gate as bucket grouping. */
   private def identGroups(kept: Seq[String])
       : Option[Seq[(Seq[Any], Seq[String])]] =
-    identSpec.filter(_ => spjEnabled && bucketSpec.isEmpty)
+    identSpec.filter(_ => keyGrouping && bucketSpec.isEmpty)
       .flatMap { spec =>
         val parsed = kept.map(f => (f, identKeyOf(f, spec)))
         if (parsed.isEmpty || parsed.exists(_._2.isEmpty)) None

@@ -37,9 +37,17 @@ object Analysis {
     * heuristic's accuracy depends on how language-distinct the corpus
     * vocabulary is; the operator contract is the deterministic pipeline. */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed (lazily — materialized inside the first consuming
+    // job, no extra serialized setup job): BOTH the profile build and
+    // the scoring join consume this frame — un-checkpointed, each
+    // consumer re-ran the scan→split→bigram→explode→distinct subtree
+    // (round-21 before-plan: two full parquet scans of documents).
+    // Narrow (id, lang, bg) rows, outside the SQL cache
+    // (cache-ownership contract).
     val docBigrams = withToks(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), explode(bigramExpr).as("bg"))
       .distinct()
+      .localCheckpoint(false)
     val profiles = docBigrams
       .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(

@@ -2101,4 +2101,36 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .contains("BatchScan"))
     spark.sql("DROP TABLE apg_tx.db.t")
   }
+
+  test("MIN/MAX of a string partition column ignores the NULL-partition " +
+      "marker file: the pushed answer equals real aggregation, never " +
+      "'__HIVE_DEFAULT_PARTITION__' (ADVICE r20 fix, round 21)") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.Scratch.dir("txtable", "spec_aggpd_nullpart")
+    graft.Scratch.deleteRec(new java.io.File(wh))
+    new java.io.File(wh).mkdirs()
+    spark.conf.set("spark.sql.catalog.apn_tx",
+      classOf[graft.streaming.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.apn_tx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS apn_tx.db")
+    // values sort ABOVE the marker in UTF-8 ('_' < 'a'): before the fix
+    // MIN silently returned the marker string itself
+    spark.range(0, 100)
+      .select(col("id").as("k"),
+        when(col("id") % 4 === 3, lit(null))
+          .otherwise(concat(lit("apple"), col("id") % 4)).as("pc"))
+      .createOrReplaceTempView("apn_src")
+    spark.sql("""CREATE TABLE apn_tx.db.t PARTITIONED BY (pc) AS
+                |SELECT * FROM apn_src""".stripMargin)
+    val agg = spark.sql(
+      "SELECT min(pc) AS mn, max(pc) AS mx, count(*) AS n FROM apn_tx.db.t")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"partition-column MIN/MAX did not push:\n$plan")
+    assert(agg.collect()(0).toSeq ===
+      spark.table("apn_src")
+        .agg(min("pc"), max("pc"), count(lit(1))).collect()(0).toSeq,
+      "pushed MIN/MAX over a NULL-partitioned string column diverged")
+    spark.sql("DROP TABLE apn_tx.db.t")
+  }
 }

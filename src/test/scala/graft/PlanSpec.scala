@@ -351,16 +351,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
-  test("bloom pre-filter sits in the probe scan stage, before the join") {
+  test("bloom pre-filter sits in the probe scan stage, before the join, " +
+      "as the native codegen'd might_contain (no ScalaUDF, round 21)") {
     val df = relational.ScaleOps.qFilterBloom(spark, sf0001)
     val plan = planOf(df)
-    // the mightContain UDF must be a Filter below the semi-join (scan
+    // the might_contain probe must be a Filter below the semi-join (scan
     // side), not above it — otherwise it prunes nothing
     val joinIdx = plan.indexOf("Join")
-    val udfIdx = plan.indexOf("UDF")
-    assert(joinIdx >= 0 && udfIdx >= 0, s"missing join or udf in:\n$plan")
-    assert(udfIdx > joinIdx,
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx >= 0,
+      s"missing join or might_contain in:\n$plan")
+    assert(probeIdx > joinIdx,
       "bloom filter should appear below (after, in explain order) the join")
+    // VERDICT r20 item 8: the probe is Spark's native expression inside
+    // codegen, not a ScalaUDF boundary
+    assert(!plan.contains("UDF"),
+      s"bloom probe must not be a ScalaUDF:\n$plan")
   }
 
   test("q_join_dpp: the runtime dim result prunes the fact scan's " +
@@ -462,8 +468,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // join — a bloom filter above the anti-join would prune nothing
     val joinIdx = plan.indexOf("LeftAnti")
     assert(joinIdx >= 0, s"expected a residual anti-join in:\n$plan")
-    assert(plan.indexOf("UDF", joinIdx) >= 0,
-      s"bloom mightContain must sit below the anti-join (scan side):\n$plan")
+    assert(plan.indexOf("might_contain", joinIdx) >= 0,
+      s"bloom might_contain must sit below the anti-join (scan side):\n$plan")
+    assert(!plan.contains("UDF"),
+      s"bloom probe must be the native expression, not a ScalaUDF:\n$plan")
     // and the bloom-negative branch joins nothing at all: exactly one
     // join in the whole plan (the residual), unioned with a plain filter
     assert("LeftAnti".r.findAllIn(plan).length == 1 && plan.contains("Union"))
@@ -488,17 +496,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // the day-1 probe ran inside its eager localCheckpoint (the
     // write-back must materialize before the manifest is rewritten), so
     // the returned plan carries exactly the DAY-2 probe: one residual
-    // anti-join with the bloom UDF filter below it on the scan side
+    // anti-join with the bloom might_contain filter below it scan-side
     val antis = "LeftAnti".r.findAllMatchIn(plan).map(_.start).toSeq
     assert(antis.length == 1,
       s"expected the day-2 residual anti-join:\n$plan")
     antis.foreach { i =>
-      assert(plan.indexOf("UDF", i) >= 0,
-        s"bloom mightContain must sit below the anti-join:\n$plan")
+      assert(plan.indexOf("might_contain", i) >= 0,
+        s"bloom might_contain must sit below the anti-join:\n$plan")
     }
-    // both bloom branches present: the negative branch (NOT UDF) is a
-    // plain filter that never joins
-    assert(plan.contains("NOT UDF"),
+    // both bloom branches present: the negative branch (NOT
+    // might_contain) is a plain filter that never joins
+    assert(plan.contains("NOT might_contain"),
       s"bloom-negative branch must skip the join entirely:\n$plan")
     // the compact manifests broadcast; today's slice never shuffles
     assert(plan.contains("BroadcastHashJoin") ||
