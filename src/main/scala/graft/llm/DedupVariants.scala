@@ -206,7 +206,7 @@ object DedupVariants {
     val labels = edges.groupBy("src")
       .agg(least(col("src"), min("dst")).as("l1"))
       .select(col("src").as("node"), col("l1"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // contract: re-express edges between hook labels, drop self-loops.
     edges
       .join(labels.select(col("node").as("src"), col("l1").as("la")), "src")
@@ -215,7 +215,7 @@ object DedupVariants {
       .select(col("la").as("src"), col("lb").as("dst"))
       .distinct()
       .coalesce(par)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .createOrReplaceTempView("graft_rec_cedges")
     // recursive closure over the CONTRACTED graph → final label per
     // contracted label; then map node → l1 → final.
@@ -463,7 +463,7 @@ object DedupVariants {
       .toDF("src", "dst").repartition(loopPar, col("dst")).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).coalesce(loopPar)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {

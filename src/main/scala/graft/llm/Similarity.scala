@@ -984,8 +984,22 @@ object Similarity {
     val root = updateArtifactBase(dir) +
       s"_store_i${rollbackInvocation.incrementAndGet()}"
     lastStore.set(root)
-    publishVersion(s, e, root): Unit                  // v1: good
-    publishVersion(s, e.filter(col("vec_id") % 4 === 3), root): Unit // v2: bad
+    new java.io.File(root).mkdirs()
+    // v1 (good, full corpus) and v2 (bad, quarter corpus) are
+    // INDEPENDENT immutable artifacts — each its own staging dir +
+    // atomic rename — so the two rebuild pipelines run as concurrent
+    // driver threads (round 21; serially this key paid two full
+    // train+encode+write passes back to back). The CURRENT pointer
+    // walks the same publish(v1)→publish(v2)→rollback sequence only
+    // after both artifacts are complete, so no reader can ever observe
+    // a pointer to a half-built version — strictly stronger than the
+    // sequential form. End state is identical: {v1, v2} retained,
+    // CURRENT=v1, serving = the good artifact.
+    parTabulate(2) { i =>
+      if (i == 0) rebuildInto(s, e, s"$root/v1")
+      else rebuildInto(s, e.filter(col("vec_id") % 4 === 3), s"$root/v2")
+    }
+    setCurrent(root, "v2")                            // the bad publish
     val serving = rollbackVersion(root)               // back to v1
     val (coarse, cb) = readIvfPqState(s, serving)
     ivfPqServe(s, e, coarse, cb, s.read.parquet(s"$serving/coded"))

@@ -122,7 +122,11 @@ object Pipelines {
       .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("f1"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(3)
-      .setParallelism(2)
+      // 4-deep fit pool (round 21; was 2): the 6 grid×fold fits are
+      // seeded and per-fold deterministic, so parallelism changes only
+      // wall time — the cached+counted features close the round-13
+      // lazy-cache race that once made concurrency here stochastic
+      .setParallelism(4)
       .setSeed(seed)
     val fitted = cv.fit(data)
     val rows = grid.zip(fitted.avgMetrics).map { case (pm, m) =>

@@ -196,15 +196,27 @@ object Stats {
     * distincts are kept here because they are what DuckDB can verify. */
   def qProfileTable(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
+    // Round 21: n exact COUNT(DISTINCT)s in ONE aggregate make Catalyst
+    // Expand the scan n ways (every profiled row shuffled ×4 with
+    // mostly-null expansion columns). Split instead: one partial-merge
+    // aggregate for the algebraic stats + one single-column distinct
+    // aggregate per profiled column, cross-joined as 1-row frames. Same
+    // output values; each distinct subtree scans ONE column
+    // (column-pruned — total column I/O equals the old single scan) and
+    // shuffles a narrow distinct stream instead of the ×4 Expand. The
+    // independent subtrees also schedule concurrently.
+    val baseAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"),
         count(lit(1)).minus(count(col(c))).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_dist"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"),
         round(avg(col(c)), 6).as(s"${c}_avg"))
     }
-    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val base = Tables.lineitem(s, dir).agg(baseAggs.head, baseAggs.tail: _*)
+    val one = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(Tables.lineitem(s, dir).select(c)
+        .agg(countDistinct(col(c)).as(s"${c}_dist")))
+    }
     val stackExpr = cols.map(c =>
       s"'$c', ${c}_n, ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max, ${c}_avg")
       .mkString(s"stack(${cols.size}, ", ", ",

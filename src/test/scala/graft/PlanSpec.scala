@@ -20,16 +20,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("l_orderkey"), "scan should not read unused keys")
   }
 
-  test("q_profile_table is one aggregate sweep — no join, no window, " +
-      "and only the multi-distinct Expand") {
+  test("q_profile_table runs Expand-free — per-column distinct subtrees " +
+      "cross-joined as 1-row frames, no window, no data-sized join " +
+      "(round 21)") {
     val plan = planOf(relational.Stats.qProfileTable(spark, sf0001))
-    assert(!plan.contains("Join"), "profiler must not join")
+    // the multi-distinct-in-one-aggregate form Expanded the scan ×4
+    // (every profiled row shuffled 4 times); the split form must not
+    assert(!plan.contains("Expand"),
+      s"profiler regressed to the multi-distinct Expand:\n$plan")
     assert(!plan.contains("Window"), "profiler must not window")
-    // the 4 exact COUNT(DISTINCT)s expand the scan once (documented
-    // toy-scale shape; approx_count_distinct removes it at 100 TB) —
-    // a second Expand would mean the stack unpivot hit the corpus
-    assert(plan.sliding("Expand".length).count(_ == "Expand") <= 2,
-      "unexpected extra Expand beyond the multi-distinct rewrite")
+    // the only joins are the 1-row aggregate cross-joins — never a
+    // hash/merge join of data-sized sides
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"profiler must not join data-sized sides:\n$plan")
     // the documented 100 TB swap (approx_count_distinct) must remove the
     // Expand entirely: one scan, one partial-merge aggregate
     val approxPlan = planOf(relational.Stats.qProfileTableApprox(
